@@ -1,0 +1,244 @@
+"""Typed messages between tokenizer, scheduler, and detokenizer.
+
+Wire-protocol parity with the reference's `srt/managers/io_struct.py`
+(`GenerateReqInput:64`, `TokenizedGenerateReqInput:482`, `BatchTokenIDOut:661`,
+`BatchStrOut:714`, RPC dataclasses).  On TPU these travel over in-process
+queues within one host and (multi-host) over a ZMQ control plane; all are
+plain picklable dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import uuid
+from enum import Enum
+from typing import Any, Dict, List, Optional, Union
+
+from sglang_npu_tpu.sampling.sampling_params import SamplingParams
+
+
+# ----------------------------------------------------------------------
+# Client-facing request input (pre-tokenization)
+# ----------------------------------------------------------------------
+@dataclasses.dataclass
+class GenerateReqInput:
+    # Either text or input_ids (or both lists for batch requests).
+    text: Optional[Union[str, List[str]]] = None
+    input_ids: Optional[Union[List[int], List[List[int]]]] = None
+    sampling_params: Optional[Union[Dict, List[Dict]]] = None
+    rid: Optional[Union[str, List[str]]] = None
+    return_logprob: bool = False
+    logprob_start_len: int = -1
+    top_logprobs_num: int = 0
+    token_ids_logprob: Optional[List[int]] = None
+    stream: bool = False
+    lora_path: Optional[Union[str, List[str]]] = None
+    session_params: Optional[Dict] = None
+    custom_logit_processor: Optional[str] = None
+    return_hidden_states: bool = False
+
+    def post_init(self):
+        if self.text is None and self.input_ids is None:
+            raise ValueError("Either text or input_ids must be provided")
+        if self.text is not None and self.input_ids is not None:
+            raise ValueError("Provide only one of text or input_ids")
+        self.is_single = not (
+            isinstance(self.text, list) or (self.input_ids and isinstance(self.input_ids[0], list))
+        )
+        if self.is_single:
+            if self.rid is None:
+                self.rid = uuid.uuid4().hex
+
+    def batch_size(self) -> int:
+        if self.is_single:
+            return 1
+        return len(self.text) if self.text is not None else len(self.input_ids)
+
+
+@dataclasses.dataclass
+class EmbeddingReqInput:
+    text: Optional[Union[str, List[str]]] = None
+    input_ids: Optional[Union[List[int], List[List[int]]]] = None
+    rid: Optional[Union[str, List[str]]] = None
+    is_cross_encoder_request: bool = False
+
+    def post_init(self):
+        if self.text is None and self.input_ids is None:
+            raise ValueError("Either text or input_ids must be provided")
+        self.is_single = not (
+            isinstance(self.text, list) or (self.input_ids and isinstance(self.input_ids[0], list))
+        )
+        if self.is_single and self.rid is None:
+            self.rid = uuid.uuid4().hex
+
+
+# ----------------------------------------------------------------------
+# Tokenizer -> Scheduler
+# ----------------------------------------------------------------------
+@dataclasses.dataclass
+class TokenizedGenerateReqInput:
+    rid: str
+    input_text: Optional[str]
+    input_ids: List[int]
+    sampling_params: SamplingParams
+    return_logprob: bool = False
+    logprob_start_len: int = -1
+    top_logprobs_num: int = 0
+    token_ids_logprob: Optional[List[int]] = None
+    stream: bool = False
+    lora_path: Optional[str] = None
+    session_params: Optional[Dict] = None
+    custom_logit_processor: Optional[str] = None
+    return_hidden_states: bool = False
+
+
+@dataclasses.dataclass
+class TokenizedEmbeddingReqInput:
+    rid: str
+    input_text: Optional[str]
+    input_ids: List[int]
+
+
+# ----------------------------------------------------------------------
+# Scheduler -> Detokenizer -> Tokenizer
+# ----------------------------------------------------------------------
+@dataclasses.dataclass
+class BatchTokenIDOut:
+    rids: List[str]
+    finished_reasons: List[Optional[Dict]]
+    decoded_texts: List[str]  # already-decoded prefix (for incremental decode)
+    decode_ids: List[List[int]]  # full output ids so far
+    read_offsets: List[int]
+    output_ids: List[List[int]]  # new tokens this step
+    skip_special_tokens: List[bool]
+    spaces_between_special_tokens: List[bool]
+    no_stop_trim: List[bool]
+    prompt_tokens: List[int]
+    completion_tokens: List[int]
+    cached_tokens: List[int]
+    input_token_logprobs: List[Optional[list]] = None
+    output_token_logprobs: List[Optional[list]] = None
+    input_top_logprobs: List[Optional[list]] = None
+    output_top_logprobs: List[Optional[list]] = None
+    spec_accepted_tokens: List[int] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class BatchStrOut:
+    rids: List[str]
+    finished_reasons: List[Optional[Dict]]
+    output_strs: List[str]
+    output_ids: List[List[int]]
+    prompt_tokens: List[int]
+    completion_tokens: List[int]
+    cached_tokens: List[int]
+    input_token_logprobs: List[Optional[list]] = None
+    output_token_logprobs: List[Optional[list]] = None
+    input_top_logprobs: List[Optional[list]] = None
+    output_top_logprobs: List[Optional[list]] = None
+    spec_accepted_tokens: List[int] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class BatchEmbeddingOut:
+    rids: List[str]
+    finished_reasons: List[Optional[Dict]]
+    embeddings: List[List[float]]
+    prompt_tokens: List[int]
+
+
+# ----------------------------------------------------------------------
+# Control RPCs (abort / flush / profile / weights / health)
+# ----------------------------------------------------------------------
+@dataclasses.dataclass
+class AbortReq:
+    rid: str
+    abort_all: bool = False
+
+
+@dataclasses.dataclass
+class FlushCacheReqInput:
+    pass
+
+
+@dataclasses.dataclass
+class FlushCacheReqOutput:
+    success: bool
+
+
+@dataclasses.dataclass
+class ProfileReq:
+    type: str  # "start" | "stop"
+    output_dir: Optional[str] = None
+    num_steps: Optional[int] = None
+
+
+@dataclasses.dataclass
+class ProfileReqOutput:
+    success: bool
+    message: str = ""
+
+
+@dataclasses.dataclass
+class GetInternalStateReq:
+    pass
+
+
+@dataclasses.dataclass
+class GetInternalStateReqOutput:
+    internal_state: Dict[str, Any]
+
+
+@dataclasses.dataclass
+class UpdateWeightFromDiskReqInput:
+    model_path: str
+    load_format: Optional[str] = None
+
+
+@dataclasses.dataclass
+class UpdateWeightFromDiskReqOutput:
+    success: bool
+    message: str
+    num_paused_requests: int = 0
+
+
+@dataclasses.dataclass
+class ReleaseMemoryOccupationReqInput:
+    tags: Optional[List[str]] = None
+
+
+@dataclasses.dataclass
+class ResumeMemoryOccupationReqInput:
+    tags: Optional[List[str]] = None
+
+
+@dataclasses.dataclass
+class SchedulerInfoReq:
+    pass
+
+
+@dataclasses.dataclass
+class HealthCheckOutput:
+    healthy: bool = True
+
+
+class SessionAction(Enum):
+    OPEN = "open"
+    CLOSE = "close"
+
+
+@dataclasses.dataclass
+class OpenSessionReqInput:
+    capacity_of_str_len: int
+    session_id: Optional[str] = None
+
+
+@dataclasses.dataclass
+class OpenSessionReqOutput:
+    session_id: Optional[str]
+    success: bool
+
+
+@dataclasses.dataclass
+class CloseSessionReqInput:
+    session_id: str

@@ -1,0 +1,439 @@
+"""Request lifecycle and batch construction.
+
+Behavioral counterpart of the reference's `srt/managers/schedule_batch.py`
+(`Req:412`, `ScheduleBatch:804`, `prepare_for_extend:1122`,
+`prepare_for_decode:1519`, `retract_decode:1378`, `filter_batch:1591`,
+`merge_batch:1648`) re-designed for the TPU execution model:
+
+  * All per-batch state here is **host numpy**; the ModelRunner pads it into
+    a small set of static shapes (jit bucket ladder) and uploads once.
+  * KV bookkeeping is the page/slot scheme of `mem_cache/allocator.py` —
+    each request carries a growing int32 array of token slot ids whose page
+    view becomes the device page table row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from enum import Enum, auto
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from sglang_npu_tpu.mem_cache.allocator import PagedAllocator
+from sglang_npu_tpu.mem_cache.radix_cache import BasePrefixCache, TreeNode
+from sglang_npu_tpu.sampling.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+# ----------------------------------------------------------------------
+# Finish reasons (reference `FINISH_*` classes, schedule_batch.py:121-165)
+# ----------------------------------------------------------------------
+class BaseFinishReason:
+    def __init__(self, is_error: bool = False):
+        self.is_error = is_error
+
+    def to_json(self) -> Dict[str, Any]:
+        raise NotImplementedError
+
+
+class FINISH_MATCHED_TOKEN(BaseFinishReason):
+    def __init__(self, matched: int):
+        super().__init__()
+        self.matched = matched
+
+    def to_json(self):
+        return {"type": "stop", "matched": self.matched}
+
+
+class FINISH_MATCHED_STR(BaseFinishReason):
+    def __init__(self, matched: str):
+        super().__init__()
+        self.matched = matched
+
+    def to_json(self):
+        return {"type": "stop", "matched": self.matched}
+
+
+class FINISH_LENGTH(BaseFinishReason):
+    def __init__(self, length: int):
+        super().__init__()
+        self.length = length
+
+    def to_json(self):
+        return {"type": "length", "length": self.length}
+
+
+class FINISH_ABORT(BaseFinishReason):
+    def __init__(self, message: str = "aborted"):
+        super().__init__(is_error=True)
+        self.message = message
+
+    def to_json(self):
+        return {"type": "abort", "message": self.message}
+
+
+# ----------------------------------------------------------------------
+class Req:
+    """One in-flight generation request (reference `Req:412`)."""
+
+    def __init__(
+        self,
+        rid: str,
+        origin_input_text: Optional[str],
+        origin_input_ids: List[int],
+        sampling_params: SamplingParams,
+        eos_token_ids: Optional[set] = None,
+        stream: bool = False,
+        return_logprob: bool = False,
+        top_logprobs_num: int = 0,
+        logprob_start_len: int = -1,
+        lora_path: Optional[str] = None,
+        grammar: Any = None,
+    ):
+        self.rid = rid
+        self.origin_input_text = origin_input_text
+        self.origin_input_ids = list(origin_input_ids)
+        self.sampling_params = sampling_params
+        self.eos_token_ids = eos_token_ids or set()
+        self.stream = stream
+        self.lora_path = lora_path
+        self.grammar = grammar
+
+        self.output_ids: List[int] = []
+        self.fill_ids: List[int] = list(origin_input_ids)
+
+        # KV bookkeeping
+        self.prefix_len: int = 0  # tree-owned prefix tokens
+        self.kv_slots: np.ndarray = np.empty((0,), dtype=np.int32)
+        self.pages: List[int] = []
+        self.last_node: Optional[TreeNode] = None
+        self.req_pool_idx: Optional[int] = None
+
+        # Chunked prefill: number of fill_ids already forwarded.
+        self.extend_input_len: int = 0
+        self.is_chunked: int = 0
+
+        # Logprobs
+        self.return_logprob = return_logprob
+        self.top_logprobs_num = top_logprobs_num
+        self.logprob_start_len = logprob_start_len
+        self.input_token_logprobs: Optional[list] = None
+        self.output_token_logprobs: list = []
+        self.output_top_logprobs: list = []
+        self.input_top_logprobs: Optional[list] = None
+
+        # Status
+        self.finished_reason: Optional[BaseFinishReason] = None
+        self.to_abort = False
+        self.cached_tokens = 0
+        self.stream_sent = 0  # output tokens already emitted downstream
+        self.spec_accepted_tokens = 0
+
+        # Detokenization state lives downstream (DetokenizerManager); the
+        # scheduler only keeps a tail decode for stop-string matching.
+        self.decoded_tail = ""
+        self.vid = 0  # version id for overlap-safety on retraction
+
+        self.queue_time: Optional[float] = None
+        self.created_time: Optional[float] = None
+
+    # ------------------------------------------------------------------
+    @property
+    def seq_len(self) -> int:
+        return len(self.fill_ids)
+
+    @property
+    def finished(self) -> bool:
+        return self.finished_reason is not None
+
+    def init_next_round_input(self, tree_cache: BasePrefixCache, page_size: int = 1) -> None:
+        """Refresh fill_ids and re-match the radix prefix before a prefill
+        round (reference `Req.init_next_round_input`)."""
+        self.fill_ids = self.origin_input_ids + self.output_ids
+        res = tree_cache.match_prefix(self.fill_ids)
+        # Never reuse the *entire* input (we need >=1 token to compute
+        # logits), and keep the reused prefix page-aligned — a request's own
+        # slots must always start at a page boundary (tree pages are full).
+        max_prefix = (len(self.fill_ids) - 1) // page_size * page_size
+        matched = res.device_indices
+        if len(matched) > max_prefix:
+            matched = matched[:max_prefix]
+        self.prefix_len = len(matched)
+        self.kv_slots = np.asarray(matched, dtype=np.int32)
+        self.last_node = res.last_node
+        self.cached_tokens = max(self.cached_tokens, self.prefix_len)
+        self.extend_input_len = len(self.fill_ids) - self.prefix_len
+
+    def reset_for_retract(self) -> None:
+        self.prefix_len = 0
+        self.kv_slots = np.empty((0,), dtype=np.int32)
+        self.pages = []
+        self.last_node = None
+        self.extend_input_len = 0
+        self.vid += 1
+
+    # ------------------------------------------------------------------
+    def check_finished(self, stop_tokenizer=None) -> None:
+        if self.finished:
+            return
+        if self.to_abort:
+            self.finished_reason = FINISH_ABORT()
+            return
+        sp = self.sampling_params
+        if len(self.output_ids) >= sp.max_new_tokens:
+            self.finished_reason = FINISH_LENGTH(sp.max_new_tokens)
+            return
+        if len(self.output_ids) < sp.min_new_tokens:
+            return
+        last = self.output_ids[-1]
+        if not sp.ignore_eos and last in self.eos_token_ids:
+            self.finished_reason = FINISH_MATCHED_TOKEN(last)
+            return
+        if last in sp.stop_token_ids:
+            self.finished_reason = FINISH_MATCHED_TOKEN(last)
+            return
+        if sp.stop_strs and stop_tokenizer is not None:
+            tail_len = sp.stop_str_max_len + 8
+            tail = stop_tokenizer.decode(self.output_ids[-tail_len:])
+            for s in sp.stop_strs:
+                if s in tail:
+                    self.finished_reason = FINISH_MATCHED_STR(s)
+                    return
+
+    def __repr__(self):
+        return (
+            f"Req(rid={self.rid}, in={len(self.origin_input_ids)}, "
+            f"out={len(self.output_ids)}, prefix={self.prefix_len})"
+        )
+
+
+# ----------------------------------------------------------------------
+class ForwardMode(Enum):
+    EXTEND = auto()
+    DECODE = auto()
+    IDLE = auto()
+    TARGET_VERIFY = auto()
+    DRAFT_EXTEND = auto()
+
+    def is_extend(self):
+        return self in (ForwardMode.EXTEND, ForwardMode.DRAFT_EXTEND)
+
+    def is_decode(self):
+        return self == ForwardMode.DECODE
+
+
+@dataclasses.dataclass
+class ModelWorkerBatch:
+    """Host-numpy view of a batch handed to the ModelRunner (reference
+    `ModelWorkerBatch:1850`).  The runner pads these to jit buckets."""
+
+    forward_mode: ForwardMode
+    input_ids: np.ndarray  # [T] tokens to forward this step
+    positions: np.ndarray  # [T] absolute positions of those tokens
+    seq_lens: np.ndarray  # [B] total seq len per req after this step
+    out_slots: np.ndarray  # [T] KV slot each new token writes to
+    page_tables: np.ndarray  # [B, max_pages] page ids per req (0-padded)
+    extend_seq_lens: Optional[np.ndarray]  # [B] extend token counts
+    extend_prefix_lens: Optional[np.ndarray]  # [B]
+    sampling_info: "SamplingBatchNumpy"
+    rids: List[str]
+    real_bs: int
+
+    @property
+    def batch_size(self) -> int:
+        return len(self.seq_lens)
+
+
+@dataclasses.dataclass
+class SamplingBatchNumpy:
+    """Tensorized per-request sampling knobs (host side)."""
+
+    temperatures: np.ndarray  # [B]
+    top_ps: np.ndarray  # [B]
+    top_ks: np.ndarray  # [B]
+    min_ps: np.ndarray  # [B]
+    is_all_greedy: bool
+    frequency_penalties: Optional[np.ndarray] = None
+    presence_penalties: Optional[np.ndarray] = None
+    vocab_mask: Optional[np.ndarray] = None  # [B, vocab] bool, grammar masking
+
+    @classmethod
+    def from_reqs(cls, reqs: List[Req]) -> "SamplingBatchNumpy":
+        temps = np.array(
+            [r.sampling_params.temperature for r in reqs], dtype=np.float32
+        )
+        top_ps = np.array([r.sampling_params.top_p for r in reqs], dtype=np.float32)
+        top_ks = np.array(
+            [r.sampling_params.effective_top_k for r in reqs], dtype=np.int32
+        )
+        min_ps = np.array([r.sampling_params.min_p for r in reqs], dtype=np.float32)
+        is_all_greedy = all(r.sampling_params.is_greedy for r in reqs)
+        return cls(temps, top_ps, top_ks, min_ps, is_all_greedy)
+
+
+# ----------------------------------------------------------------------
+class ScheduleBatch:
+    """A batch of requests scheduled together (reference `ScheduleBatch:804`)."""
+
+    def __init__(
+        self,
+        reqs: List[Req],
+        allocator: PagedAllocator,
+        tree_cache: BasePrefixCache,
+    ):
+        self.reqs = reqs
+        self.allocator = allocator
+        self.tree_cache = tree_cache
+        self.forward_mode: Optional[ForwardMode] = None
+
+    @classmethod
+    def init_new(cls, reqs, allocator, tree_cache) -> "ScheduleBatch":
+        return cls(list(reqs), allocator, tree_cache)
+
+    def is_empty(self) -> bool:
+        return len(self.reqs) == 0
+
+    def batch_size(self) -> int:
+        return len(self.reqs)
+
+    # ------------------------------------------------------------------
+    def _evict_for(self, num_pages: int) -> bool:
+        """Try to make `num_pages` available by evicting the radix tree."""
+        need = num_pages - self.allocator.available_pages()
+        if need <= 0:
+            return True
+        self.tree_cache.evict(need * self.allocator.page_size)
+        return self.allocator.available_pages() >= num_pages
+
+    def alloc_extend_slots(self, req: Req, new_len: int) -> np.ndarray:
+        old_len = len(req.kv_slots)
+        need = self.allocator.pages_needed(old_len, new_len)
+        if not self._evict_for(need):
+            raise RuntimeError("KV cache out of memory during extend alloc")
+        slots = self.allocator.alloc_extend(old_len, new_len, req.pages)
+        assert slots is not None
+        req.kv_slots = np.concatenate([req.kv_slots, slots])
+        return slots
+
+    # ------------------------------------------------------------------
+    def prepare_for_extend(self) -> ModelWorkerBatch:
+        self.forward_mode = ForwardMode.EXTEND
+        input_ids, positions, out_slots = [], [], []
+        seq_lens, extend_lens, prefix_lens = [], [], []
+        for req in self.reqs:
+            # fill_ids/prefix were set by init_next_round_input; for chunked
+            # prefill the adder already truncated extend_input_len.
+            start = req.prefix_len
+            end = start + req.extend_input_len
+            tokens = req.fill_ids[start:end]
+            req.pages = (req.kv_slots[:: self.allocator.page_size] // self.allocator.page_size).astype(int).tolist()
+            slots = self.alloc_extend_slots(req, end)
+            input_ids.append(np.asarray(tokens, dtype=np.int32))
+            positions.append(np.arange(start, end, dtype=np.int32))
+            out_slots.append(slots)
+            seq_lens.append(end)
+            extend_lens.append(end - start)
+            prefix_lens.append(start)
+        return self._finalize(
+            np.concatenate(input_ids),
+            np.concatenate(positions),
+            np.asarray(seq_lens, dtype=np.int32),
+            np.concatenate(out_slots),
+            np.asarray(extend_lens, dtype=np.int32),
+            np.asarray(prefix_lens, dtype=np.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def prepare_for_decode(self) -> ModelWorkerBatch:
+        self.forward_mode = ForwardMode.DECODE
+        input_ids = np.array([r.fill_ids[-1] for r in self.reqs], dtype=np.int32)
+        positions = np.array([r.seq_len - 1 for r in self.reqs], dtype=np.int32)
+        seq_lens = np.array([r.seq_len for r in self.reqs], dtype=np.int32)
+        out_slots = np.empty((len(self.reqs),), dtype=np.int32)
+        for i, req in enumerate(self.reqs):
+            slots = self.alloc_extend_slots(req, req.seq_len)
+            assert len(slots) == 1
+            out_slots[i] = slots[0]
+        return self._finalize(input_ids, positions, seq_lens, out_slots, None, None)
+
+    # ------------------------------------------------------------------
+    def _finalize(
+        self, input_ids, positions, seq_lens, out_slots, extend_lens, prefix_lens
+    ) -> ModelWorkerBatch:
+        ps = self.allocator.page_size
+        max_pages = max((-(-int(l) // ps) for l in seq_lens), default=1)
+        page_tables = np.zeros((len(self.reqs), max_pages), dtype=np.int32)
+        for i, req in enumerate(self.reqs):
+            pages = req.kv_slots[::ps] // ps
+            page_tables[i, : len(pages)] = pages
+        return ModelWorkerBatch(
+            forward_mode=self.forward_mode,
+            input_ids=input_ids,
+            positions=positions,
+            seq_lens=seq_lens,
+            out_slots=out_slots,
+            page_tables=page_tables,
+            extend_seq_lens=extend_lens,
+            extend_prefix_lens=prefix_lens,
+            sampling_info=SamplingBatchNumpy.from_reqs(self.reqs),
+            rids=[r.rid for r in self.reqs],
+            real_bs=len(self.reqs),
+        )
+
+    # ------------------------------------------------------------------
+    def decode_token_budget_ok(self, extra_steps: int = 0) -> bool:
+        """Can every running request take one more decode step?"""
+        need_pages = 0
+        ps = self.allocator.page_size
+        for req in self.reqs:
+            need_pages += self.allocator.pages_needed(
+                len(req.kv_slots), req.seq_len + 1 + extra_steps
+            )
+        return (
+            self.allocator.available_pages() + self.tree_cache.evictable_size() // ps
+            >= need_pages
+        )
+
+    def retract_decode(self) -> List[Req]:
+        """Evict the newest requests back to the waiting queue on OOM
+        (reference `retract_decode:1378`)."""
+        # Retract requests with the most remaining work last-in-first-out:
+        # sort by output length ascending -> retract shortest progress first.
+        order = sorted(
+            range(len(self.reqs)),
+            key=lambda i: (-len(self.reqs[i].origin_input_ids), len(self.reqs[i].output_ids)),
+        )
+        retracted: List[Req] = []
+        keep = set(range(len(self.reqs)))
+        idx = 0
+        while idx < len(order) and not self.decode_token_budget_ok(extra_steps=1):
+            if len(keep) <= 1:
+                break
+            i = order[idx]
+            idx += 1
+            req = self.reqs[i]
+            keep.discard(i)
+            self._release_req_kv(req)
+            req.reset_for_retract()
+            retracted.append(req)
+        self.reqs = [self.reqs[i] for i in sorted(keep)]
+        return retracted
+
+    def _release_req_kv(self, req: Req) -> None:
+        """Free a request's exclusively-owned KV and unlock its prefix."""
+        ps = self.allocator.page_size
+        # prefix_len is page-aligned tree-owned; everything after is ours.
+        own = req.kv_slots[req.prefix_len :]
+        self.allocator.free_slots(own)
+        if req.last_node is not None:
+            self.tree_cache.dec_lock_ref(req.last_node)
+
+    # ------------------------------------------------------------------
+    def filter_batch(self) -> None:
+        self.reqs = [r for r in self.reqs if not r.finished]
+
+    def merge_batch(self, other: "ScheduleBatch") -> None:
+        self.reqs.extend(other.reqs)

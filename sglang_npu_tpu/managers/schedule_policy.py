@@ -1,0 +1,141 @@
+"""Waiting-queue priority and prefill admission control.
+
+Behavioral counterpart of the reference's `srt/managers/schedule_policy.py`
+(`SchedulePolicy:77`, LPM/FCFS/LOF/RANDOM policies, `PrefillAdder:271`,
+`add_one_req:497`, `add_chunked_req:382`).
+"""
+
+from __future__ import annotations
+
+import random
+from enum import Enum
+from typing import List, Optional
+
+from sglang_npu_tpu.managers.schedule_batch import Req
+from sglang_npu_tpu.mem_cache.allocator import PagedAllocator
+from sglang_npu_tpu.mem_cache.radix_cache import BasePrefixCache, RadixCache
+
+# Cap on how many future decode tokens we budget per admitted request
+# (reference CLIP_MAX_NEW_TOKENS_ESTIMATION).
+CLIP_MAX_NEW_TOKENS_ESTIMATION = 512
+
+
+class AddReqResult(Enum):
+    CONTINUE = 1  # admitted, keep adding
+    NO_TOKEN = 2  # out of token budget, stop
+    OTHER = 3  # other limits (batch size), stop
+
+
+class SchedulePolicy:
+    def __init__(self, policy: str, tree_cache: BasePrefixCache):
+        self.policy = policy
+        self.tree_cache = tree_cache
+
+    def calc_priority(self, waiting_queue: List[Req], page_size: int = 1) -> None:
+        policy = self.policy
+        if policy == "lpm" and not isinstance(self.tree_cache, RadixCache):
+            policy = "fcfs"
+        if policy == "fcfs":
+            return
+        if policy == "lpm":
+            # Longest-prefix-match: refresh each request's radix match and
+            # sort by matched prefix length descending (cache-aware).
+            for r in waiting_queue:
+                r.init_next_round_input(self.tree_cache, page_size)
+            waiting_queue.sort(key=lambda r: -r.prefix_len)
+        elif policy == "lof":
+            waiting_queue.sort(key=lambda r: -len(r.origin_input_ids))
+        elif policy == "random":
+            random.shuffle(waiting_queue)
+
+
+class PrefillAdder:
+    """Builds one prefill batch under token budgets (reference
+    `PrefillAdder:271`)."""
+
+    def __init__(
+        self,
+        page_size: int,
+        tree_cache: BasePrefixCache,
+        allocator: PagedAllocator,
+        running_tokens: int,
+        max_prefill_tokens: int,
+        chunked_prefill_size: int,
+        max_batch_size: int,
+        new_token_ratio: float = 1.0,
+    ):
+        self.page_size = page_size
+        self.tree_cache = tree_cache
+        self.allocator = allocator
+        self.can_run_list: List[Req] = []
+        self.new_chunked_req: Optional[Req] = None
+        self.max_batch_size = max_batch_size
+        self.new_token_ratio = new_token_ratio
+
+        # Token slots still free for new work (free pages + evictable tree).
+        self.rem_total_tokens = (
+            allocator.available_size() + tree_cache.evictable_size() - running_tokens
+        )
+        self.rem_input_tokens = max_prefill_tokens
+        self.rem_chunk_tokens = chunked_prefill_size
+
+    # ------------------------------------------------------------------
+    def _estimate_total_cost(self, req: Req) -> int:
+        decode_est = min(
+            req.sampling_params.max_new_tokens, CLIP_MAX_NEW_TOKENS_ESTIMATION
+        )
+        return req.extend_input_len + int(decode_est * self.new_token_ratio)
+
+    def add_one_req(self, req: Req) -> AddReqResult:
+        if len(self.can_run_list) >= self.max_batch_size:
+            return AddReqResult.OTHER
+        if self.new_chunked_req is not None:
+            # Only one chunked request per batch (it fills the chunk budget).
+            return AddReqResult.OTHER
+
+        extend_len = req.extend_input_len
+        if extend_len == 0:
+            # Fully-cached input: still must forward the last token.
+            extend_len = 1
+
+        if self._estimate_total_cost(req) > self.rem_total_tokens:
+            return AddReqResult.NO_TOKEN
+        if extend_len > self.rem_input_tokens and len(self.can_run_list) > 0:
+            return AddReqResult.OTHER
+
+        if extend_len > self.rem_chunk_tokens:
+            # Chunked prefill: truncate this round's extend to the chunk
+            # budget, page-aligned (reference `add_chunked_req:382`).
+            trunc = self.rem_chunk_tokens // self.page_size * self.page_size
+            if trunc == 0:
+                return AddReqResult.OTHER
+            req.extend_input_len = trunc
+            req.fill_ids = req.fill_ids[: req.prefix_len + trunc]
+            req.is_chunked += 1
+            self.new_chunked_req = req
+            self.can_run_list.append(req)
+            self.rem_chunk_tokens = 0
+            self.rem_input_tokens -= trunc
+            self.rem_total_tokens -= trunc
+            return AddReqResult.OTHER
+
+        self.can_run_list.append(req)
+        self.rem_chunk_tokens -= extend_len
+        self.rem_input_tokens -= extend_len
+        self.rem_total_tokens -= self._estimate_total_cost(req)
+        return AddReqResult.CONTINUE
+
+    def add_chunked_req(self, req: Req) -> None:
+        """Re-admit the in-progress chunked request first (it already owns
+        KV and must continue before anything else)."""
+        req.init_next_round_input(self.tree_cache, self.page_size)
+        if req.extend_input_len > self.rem_chunk_tokens:
+            trunc = self.rem_chunk_tokens // self.page_size * self.page_size
+            req.extend_input_len = max(trunc, self.page_size if trunc == 0 else trunc)
+            req.fill_ids = req.fill_ids[: req.prefix_len + req.extend_input_len]
+            req.is_chunked += 1
+            self.new_chunked_req = req
+        self.can_run_list.append(req)
+        self.rem_chunk_tokens -= req.extend_input_len
+        self.rem_input_tokens -= req.extend_input_len
+        self.rem_total_tokens -= req.extend_input_len

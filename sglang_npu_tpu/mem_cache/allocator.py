@@ -1,0 +1,125 @@
+"""Host-side KV slot allocation.
+
+TPU-native re-design of the reference's `srt/mem_cache/allocator.py`
+(`TokenToKVPoolAllocator:117`, `PagedTokenToKVPoolAllocator:404`) and
+`memory_pool.py` `ReqToTokenPool:47`.
+
+The device KV pool is a preallocated jax array of ``num_pages * page_size``
+token slots (see `mem_cache/kv_pool.py`).  Allocation bookkeeping lives
+entirely on the host as a page free-list; the scheduler hands each request a
+growing int32 array of *token slot ids* whose page view
+(``slots[::page_size] // page_size``) becomes the device page table row.
+
+Invariants:
+  * Every request owns whole pages; a page is never shared by two requests
+    unless it is owned by the radix tree (shared prefix).
+  * The radix tree only ever owns fully-filled pages; partial tail pages are
+    freed when a request finishes (mirrors the reference's page-aligned
+    truncation in `radix_cache.cache_finished_req`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+
+class PagedAllocator:
+    """Free-list page allocator over the device KV pool."""
+
+    def __init__(self, num_pages: int, page_size: int):
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.size = num_pages * page_size  # total token slots
+        self.release_pages: List[int] = []
+        self.clear()
+
+    def clear(self):
+        # LIFO free list; page 0 is reserved as the "padding page" so that
+        # padded page-table entries always point at valid memory.
+        self.free_list = list(range(self.num_pages - 1, 0, -1))
+
+    # ------------------------------------------------------------------
+    def available_pages(self) -> int:
+        return len(self.free_list)
+
+    def available_size(self) -> int:
+        """Free token slots (reference `available_size`)."""
+        return len(self.free_list) * self.page_size
+
+    # ------------------------------------------------------------------
+    def alloc_pages(self, n: int) -> Optional[List[int]]:
+        if n > len(self.free_list):
+            return None
+        if n == 0:
+            return []
+        pages = self.free_list[-n:][::-1]
+        del self.free_list[-n:]
+        return pages
+
+    def free_page_ids(self, pages) -> None:
+        self.free_list.extend(int(p) for p in pages)
+
+    # ------------------------------------------------------------------
+    def pages_needed(self, old_len: int, new_len: int) -> int:
+        ps = self.page_size
+        return -(-new_len // ps) - (-(-old_len // ps))
+
+    def alloc_extend(
+        self, old_len: int, new_len: int, pages: List[int]
+    ) -> Optional[np.ndarray]:
+        """Extend a request from ``old_len`` to ``new_len`` tokens.
+
+        ``pages`` is the request's page list (mutated in place: new pages are
+        appended).  Returns the slot ids for tokens [old_len, new_len), or
+        None if out of memory (allocation is all-or-nothing).
+        """
+        ps = self.page_size
+        need = self.pages_needed(old_len, new_len)
+        new_pages = self.alloc_pages(need)
+        if new_pages is None:
+            return None
+        pages.extend(new_pages)
+        positions = np.arange(old_len, new_len, dtype=np.int64)
+        page_arr = np.asarray(pages, dtype=np.int64)
+        slots = page_arr[positions // ps] * ps + positions % ps
+        return slots.astype(np.int32)
+
+    def free_slots(self, slots: np.ndarray) -> None:
+        """Free the pages covered by ``slots``.
+
+        Only legal when the slots cover their pages exclusively (request tail
+        or evicted radix nodes).  Computes the unique page set.
+        """
+        if len(slots) == 0:
+            return
+        pages = np.unique(np.asarray(slots) // self.page_size)
+        self.free_page_ids(pages.tolist())
+
+
+class ReqSlotPool:
+    """Request-slot bookkeeping (reference `ReqToTokenPool:47`).
+
+    On TPU the page table is rebuilt per batch from each request's slot
+    array, so this pool only tracks which request slots are live (used for
+    max_running_requests accounting and debug dumps).
+    """
+
+    def __init__(self, max_reqs: int):
+        self.max_reqs = max_reqs
+        self.free_slots = list(range(max_reqs))
+
+    def alloc(self) -> Optional[int]:
+        if not self.free_slots:
+            return None
+        return self.free_slots.pop()
+
+    def free(self, slot: int) -> None:
+        self.free_slots.append(slot)
+
+    def available_size(self) -> int:
+        return len(self.free_slots)
+
+    def clear(self):
+        self.free_slots = list(range(self.max_reqs))

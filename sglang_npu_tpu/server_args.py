@@ -1,0 +1,265 @@
+"""Server arguments: the single flag/config surface of the engine.
+
+TPU-native analogue of the reference's `python/sglang/srt/server_args.py`
+(`ServerArgs:48`, argparse builder, `prepare_server_args:2095`).  We keep the
+reference's flag *names* where the concept carries over so that users can
+switch with minimal friction, and add TPU-specific knobs (mesh shape, decode
+bucket ladder, pallas backend toggles) in place of CUDA-specific ones.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import random
+import tempfile
+from typing import List, Literal, Optional
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ServerArgs:
+    # ------------------------------------------------------------------
+    # Model and tokenizer
+    # ------------------------------------------------------------------
+    model_path: str = ""
+    tokenizer_path: Optional[str] = None
+    tokenizer_mode: str = "auto"
+    skip_tokenizer_init: bool = False
+    load_format: str = "auto"  # auto | safetensors | dummy
+    trust_remote_code: bool = False
+    dtype: str = "auto"  # auto | bfloat16 | float32 | float16
+    kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | fp8_e4m3
+    quantization: Optional[str] = None  # None | fp8 | w8a8_int8 | awq | gptq
+    context_length: Optional[int] = None
+    revision: Optional[str] = None
+    model_impl: str = "auto"
+    served_model_name: Optional[str] = None
+    json_model_override_args: str = "{}"
+
+    # ------------------------------------------------------------------
+    # HTTP server
+    # ------------------------------------------------------------------
+    host: str = "127.0.0.1"
+    port: int = 30000
+    api_key: Optional[str] = None
+
+    # ------------------------------------------------------------------
+    # Memory and scheduling
+    # ------------------------------------------------------------------
+    mem_fraction_static: Optional[float] = None
+    max_running_requests: Optional[int] = None
+    max_total_tokens: Optional[int] = None
+    max_prefill_tokens: int = 16384
+    chunked_prefill_size: Optional[int] = None  # default set in __post_init__
+    page_size: int = 16
+    schedule_policy: str = "fcfs"  # fcfs | lpm | random | lof
+    schedule_conservativeness: float = 1.0
+    stream_interval: int = 1
+    stream_output: bool = False
+    disable_radix_cache: bool = False
+    max_queued_requests: Optional[int] = None
+    retract_decode_steps: int = 20
+
+    # ------------------------------------------------------------------
+    # Execution
+    # ------------------------------------------------------------------
+    device: str = "auto"  # auto | tpu | cpu
+    attention_backend: Optional[str] = None  # None=auto | pallas | xla
+    sampling_backend: str = "jax"
+    disable_overlap_schedule: bool = False
+    disable_jit_buckets: bool = False
+    decode_bucket_sizes: Optional[List[int]] = None
+    prefill_bucket_sizes: Optional[List[int]] = None
+    random_seed: Optional[int] = None
+    watchdog_timeout: float = 300.0
+    enable_nan_detection: bool = False
+
+    # ------------------------------------------------------------------
+    # Parallelism (mesh axes: data x model x expert)
+    # ------------------------------------------------------------------
+    tp_size: int = 1  # "model" mesh axis size
+    dp_size: int = 1  # "data" mesh axis size
+    ep_size: int = 1  # "expert" mesh axis size (MoE)
+    pp_size: int = 1  # pipeline stages (rarely useful on TPU; kept for parity)
+    nnodes: int = 1
+    node_rank: int = 0
+    dist_init_addr: Optional[str] = None
+
+    # ------------------------------------------------------------------
+    # Sampling / decoding extensions
+    # ------------------------------------------------------------------
+    max_new_tokens_default: int = 128
+    grammar_backend: str = "none"  # none | fsm (built-in) | xgrammar
+    reasoning_parser: Optional[str] = None
+    tool_call_parser: Optional[str] = None
+
+    # ------------------------------------------------------------------
+    # Speculative decoding
+    # ------------------------------------------------------------------
+    speculative_algorithm: Optional[str] = None  # EAGLE | NEXTN
+    speculative_draft_model_path: Optional[str] = None
+    speculative_num_steps: int = 3
+    speculative_eagle_topk: int = 4
+    speculative_num_draft_tokens: int = 8
+
+    # ------------------------------------------------------------------
+    # LoRA
+    # ------------------------------------------------------------------
+    enable_lora: bool = False
+    lora_paths: Optional[List[str]] = None
+    max_loras_per_batch: int = 4
+
+    # ------------------------------------------------------------------
+    # Observability
+    # ------------------------------------------------------------------
+    log_level: str = "info"
+    log_requests: bool = False
+    log_requests_level: int = 0
+    enable_metrics: bool = False
+    decode_log_interval: int = 40
+    show_time_cost: bool = False
+
+    # ------------------------------------------------------------------
+    # Disaggregation (prefill/decode split serving) — reference §2.8
+    # ------------------------------------------------------------------
+    disaggregation_mode: str = "null"  # null | prefill | decode
+    disaggregation_bootstrap_port: int = 8998
+
+    def __post_init__(self):
+        if self.served_model_name is None:
+            self.served_model_name = self.model_path
+        if self.tokenizer_path is None:
+            self.tokenizer_path = self.model_path
+        if self.chunked_prefill_size is None:
+            self.chunked_prefill_size = 4096
+        if self.random_seed is None:
+            self.random_seed = random.randint(0, 1 << 30)
+        if self.mem_fraction_static is None:
+            # Reference sizes KV from free memory after weights
+            # (model_runner.py:965 profile_max_num_token). Same idea here:
+            # fraction of HBM reserved for weights + KV pool.
+            self.mem_fraction_static = 0.85
+        if self.decode_bucket_sizes is None:
+            self.decode_bucket_sizes = [1, 2, 4, 8, 16, 32, 64, 128, 256]
+        if self.prefill_bucket_sizes is None:
+            self.prefill_bucket_sizes = [128, 256, 512, 1024, 2048, 4096, 8192]
+        if self.page_size < 1:
+            raise ValueError("page_size must be >= 1")
+        self.check()
+
+    # ------------------------------------------------------------------
+    def check(self):
+        """Validate argument combinations (reference `check_server_args`)."""
+        if self.dtype not in ("auto", "bfloat16", "float32", "float16"):
+            raise ValueError(f"Unsupported dtype {self.dtype}")
+        if self.kv_cache_dtype not in ("auto", "bfloat16", "float32", "int8", "fp8_e4m3"):
+            raise ValueError(f"Unsupported kv_cache_dtype {self.kv_cache_dtype}")
+        if self.disaggregation_mode not in ("null", "prefill", "decode"):
+            raise ValueError(f"Bad disaggregation_mode {self.disaggregation_mode}")
+        if self.schedule_policy not in ("fcfs", "lpm", "random", "lof", "dfs-weight"):
+            raise ValueError(f"Unknown schedule policy {self.schedule_policy}")
+        if self.pp_size != 1:
+            raise NotImplementedError("pipeline parallelism not yet supported")
+
+    # ------------------------------------------------------------------
+    @property
+    def device_kind(self) -> str:
+        if self.device != "auto":
+            return self.device
+        # Lazy to avoid importing jax at flag-parse time.
+        import jax
+
+        backend = jax.default_backend()
+        return "tpu" if backend in ("tpu", "axon") else backend
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser):
+        for f in dataclasses.fields(ServerArgs):
+            name = "--" + f.name.replace("_", "-")
+            default = f.default if f.default is not dataclasses.MISSING else None
+            if f.type in ("bool", bool) or isinstance(default, bool):
+                parser.add_argument(name, action="store_true", default=default)
+            elif f.name in ("lora_paths", "decode_bucket_sizes", "prefill_bucket_sizes"):
+                parser.add_argument(name, nargs="*", default=None)
+            else:
+                # Optional[int] etc: parse as str then coerce in from_cli_args.
+                parser.add_argument(name, default=default)
+        return parser
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":
+        kwargs = {}
+        hints = {f.name: f.type for f in dataclasses.fields(cls)}
+        for f in dataclasses.fields(cls):
+            if not hasattr(args, f.name):
+                continue
+            v = getattr(args, f.name)
+            if v is None:
+                continue
+            hint = str(hints[f.name])
+            if isinstance(v, str):
+                if "int" in hint and "List" not in hint:
+                    v = int(v)
+                elif "float" in hint:
+                    v = float(v)
+                elif "bool" in hint:
+                    v = v.lower() in ("1", "true", "yes")
+            if isinstance(v, list) and "int" in hint:
+                v = [int(x) for x in v]
+            kwargs[f.name] = v
+        return cls(**kwargs)
+
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+
+def prepare_server_args(argv: List[str]) -> ServerArgs:
+    """Parse CLI args into ServerArgs (reference `server_args.py:2095`)."""
+    parser = argparse.ArgumentParser(description="sglang_npu_tpu server")
+    ServerArgs.add_cli_args(parser)
+    ns = parser.parse_args(argv)
+    return ServerArgs.from_cli_args(ns)
+
+
+# Worker-side snapshot of scheduler-relevant args, mirrored after the
+# reference's `global_server_args_dict` (`schedule_batch.py:200`).
+def global_args_snapshot(args: ServerArgs) -> dict:
+    return {
+        "page_size": args.page_size,
+        "chunked_prefill_size": args.chunked_prefill_size,
+        "attention_backend": args.attention_backend,
+        "kv_cache_dtype": args.kv_cache_dtype,
+        "enable_nan_detection": args.enable_nan_detection,
+        "speculative_algorithm": args.speculative_algorithm,
+    }
+
+
+@dataclasses.dataclass
+class PortArgs:
+    """In-process queue / socket naming (reference `PortArgs:2112`).
+
+    On TPU the engine is one process per host; the tokenizer<->scheduler and
+    scheduler<->detokenizer channels are thread queues in-process, with ZMQ
+    endpoints reserved for the multi-host control plane.
+    """
+
+    scheduler_input_ipc: str = ""
+    detokenizer_ipc: str = ""
+    tokenizer_ipc: str = ""
+    rpc_ipc: str = ""
+
+    @classmethod
+    def init_new(cls, server_args: ServerArgs) -> "PortArgs":
+        base = tempfile.mkdtemp(prefix="sgl_tpu_")
+        return cls(
+            scheduler_input_ipc=f"ipc://{base}/sched",
+            detokenizer_ipc=f"ipc://{base}/detok",
+            tokenizer_ipc=f"ipc://{base}/tok",
+            rpc_ipc=f"ipc://{base}/rpc",
+        )
