@@ -1,0 +1,138 @@
+"""Normalized model configuration.
+
+Counterpart of the reference's `srt/configs/model_config.py` (`ModelConfig`,
+`AttentionArch`): reads a HuggingFace `config.json` (local path) or a plain
+dict and normalizes the fields the engine needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from enum import Enum
+from typing import Any, Dict, List, Optional
+
+
+class AttentionArch(Enum):
+    MHA = "mha"
+    MLA = "mla"
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    architectures: List[str]
+    model_type: str
+    vocab_size: int
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: int
+    intermediate_size: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[Dict[str, Any]] = None
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    hidden_act: str = "silu"
+    eos_token_ids: tuple = ()
+    bos_token_id: Optional[int] = None
+    context_length: int = 4096
+    dtype: str = "bfloat16"
+    attention_arch: AttentionArch = AttentionArch.MHA
+    sliding_window: Optional[int] = None
+    # MoE
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    num_shared_experts: int = 0
+    norm_topk_prob: bool = False
+    # Qwen3-style qk norm
+    qk_norm: bool = False
+    # raw HF dict for model-specific extras
+    hf_config: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    @classmethod
+    def from_hf_dict(
+        cls,
+        cfg: Dict[str, Any],
+        dtype: str = "auto",
+        context_length: Optional[int] = None,
+    ) -> "ModelConfig":
+        heads = cfg["num_attention_heads"]
+        kv_heads = cfg.get("num_key_value_heads", heads)
+        head_dim = cfg.get("head_dim") or cfg["hidden_size"] // heads
+        eos = cfg.get("eos_token_id", [])
+        if eos is None:
+            eos = []
+        if isinstance(eos, int):
+            eos = [eos]
+        max_pos = cfg.get("max_position_embeddings", 4096)
+        model_type = cfg.get("model_type", "llama")
+        if dtype == "auto":
+            torch_dtype = str(cfg.get("torch_dtype", "bfloat16"))
+            dtype = "bfloat16" if "bfloat16" in torch_dtype else (
+                "float32" if "float32" in torch_dtype else "bfloat16"
+            )
+        return cls(
+            architectures=cfg.get("architectures") or ["LlamaForCausalLM"],
+            model_type=model_type,
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            num_hidden_layers=cfg["num_hidden_layers"],
+            num_attention_heads=heads,
+            num_key_value_heads=kv_heads,
+            head_dim=head_dim,
+            intermediate_size=cfg.get("intermediate_size", 4 * cfg["hidden_size"]),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=cfg.get("rope_scaling"),
+            max_position_embeddings=max_pos,
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            attention_bias=cfg.get("attention_bias", model_type == "qwen2"),
+            hidden_act=cfg.get("hidden_act", "silu"),
+            eos_token_ids=tuple(eos),
+            bos_token_id=cfg.get("bos_token_id"),
+            context_length=context_length or max_pos,
+            dtype=dtype,
+            sliding_window=cfg.get("sliding_window")
+            if cfg.get("use_sliding_window", True)
+            else None,
+            num_experts=cfg.get("num_experts", cfg.get("n_routed_experts", 0)) or 0,
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 0) or 0,
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0) or 0,
+            num_shared_experts=cfg.get("shared_expert_intermediate_size", 0) or 0,
+            qk_norm=model_type in ("qwen3", "qwen3_moe"),
+            hf_config=cfg,
+        )
+
+    @classmethod
+    def from_model_path(
+        cls,
+        model_path: str,
+        dtype: str = "auto",
+        context_length: Optional[int] = None,
+        json_override: str = "{}",
+    ) -> "ModelConfig":
+        cfg_path = os.path.join(model_path, "config.json")
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        override = json.loads(json_override) if json_override else {}
+        cfg.update(override)
+        return cls.from_hf_dict(cfg, dtype=dtype, context_length=context_length)
+
+    # ------------------------------------------------------------------
+    @property
+    def num_qo_heads(self) -> int:
+        return self.num_attention_heads
+
+    def kv_bytes_per_token(self, kv_dtype_bytes: int = 2) -> int:
+        return (
+            2
+            * self.num_hidden_layers
+            * self.num_key_value_heads
+            * self.head_dim
+            * kv_dtype_bytes
+        )

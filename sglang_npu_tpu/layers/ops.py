@@ -1,0 +1,110 @@
+"""Core numerical layer ops (functional, shape-polymorphic over [..., D]).
+
+Counterpart of the reference's `srt/layers/layernorm.py`, `activation.py`,
+`rotary_embedding.py`.  On TPU these stay as plain jnp expressions — XLA
+fuses elementwise chains into the surrounding matmuls; Pallas is reserved
+for the ops XLA cannot fuse well (paged attention, quantized matmul).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """RMSNorm in f32 accumulation (matches HF Llama semantics)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    normed = x32 * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(dtype)
+
+
+def silu_and_mul(gate_up: jax.Array) -> jax.Array:
+    """SwiGLU activation on a fused [..., 2F] gate_up projection."""
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    return jax.nn.silu(gate) * up
+
+
+def gelu_and_mul(gate_up: jax.Array) -> jax.Array:
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    return jax.nn.gelu(gate, approximate=True) * up
+
+
+# ----------------------------------------------------------------------
+# Rotary position embeddings
+# ----------------------------------------------------------------------
+def make_rope_tables(
+    head_dim: int,
+    max_position: int,
+    rope_theta: float = 10000.0,
+    rope_scaling: dict | None = None,
+    dtype=jnp.float32,
+):
+    """Precompute cos/sin tables [max_position, head_dim//2].
+
+    Supports the HF `rope_scaling` variants used by the reference's model
+    zoo (`srt/layers/rotary_embedding.py`): llama3, linear, dynamic-ntk,
+    yarn (approximate).
+    """
+    import numpy as np
+
+    half = head_dim // 2
+    inv_freq = 1.0 / (rope_theta ** (np.arange(0, half, dtype=np.float64) / half))
+
+    if rope_scaling:
+        rtype = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
+        if rtype == "llama3":
+            factor = rope_scaling["factor"]
+            low = rope_scaling.get("low_freq_factor", 1.0)
+            high = rope_scaling.get("high_freq_factor", 4.0)
+            orig = rope_scaling.get("original_max_position_embeddings", 8192)
+            wavelen = 2 * np.pi / inv_freq
+            low_wl = orig / low
+            high_wl = orig / high
+            scaled = np.where(wavelen > low_wl, inv_freq / factor, inv_freq)
+            smooth = (orig / wavelen - low) / (high - low)
+            mid = (1 - smooth) * inv_freq / factor + smooth * inv_freq
+            is_mid = (wavelen <= low_wl) & (wavelen >= high_wl)
+            inv_freq = np.where(is_mid, mid, scaled)
+        elif rtype == "linear":
+            inv_freq = inv_freq / rope_scaling["factor"]
+        elif rtype in ("dynamic", "yarn"):
+            # Approximate: NTK-style base rescale.
+            factor = rope_scaling.get("factor", 1.0)
+            base = rope_theta * factor ** (half / max(half - 2, 1))
+            inv_freq = 1.0 / (base ** (np.arange(0, half, dtype=np.float64) / half))
+        elif rtype in ("default", "mrope", ""):
+            pass
+
+    t = np.arange(max_position, dtype=np.float64)
+    freqs = np.outer(t, inv_freq)
+    return {
+        "cos": jnp.asarray(np.cos(freqs), dtype=dtype),
+        "sin": jnp.asarray(np.sin(freqs), dtype=dtype),
+    }
+
+
+def apply_rope(
+    q: jax.Array,  # [..., H, D]
+    k: jax.Array,  # [..., H_kv, D]
+    positions: jax.Array,  # [...] int32, broadcastable to leading dims
+    rope: dict,
+):
+    """Apply rotary embedding with NEOX-style (half-split) layout, matching
+    HF Llama/Qwen."""
+    cos = rope["cos"][positions]  # [..., D/2]
+    sin = rope["sin"][positions]
+    cos = cos[..., None, :]  # broadcast over head axis
+    sin = sin[..., None, :]
+
+    def rot(x):
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        x1, x2 = jnp.split(x32, 2, axis=-1)
+        out1 = x1 * cos - x2 * sin
+        out2 = x2 * cos + x1 * sin
+        return jnp.concatenate([out1, out2], axis=-1).astype(dtype)
+
+    return rot(q), rot(k)

@@ -1,0 +1,84 @@
+"""On-device sampling (greedy / temperature / top-k / top-p / min-p).
+
+Counterpart of the reference's `srt/layers/sampler.py` (`Sampler:29`) and the
+sgl-kernel sampling ops (`common_extension.cc:314-333`): on TPU the whole
+sampling pipeline is a fused jit region — sort-based joint top-k/top-p/min-p
+filtering followed by Gumbel-max sampling, so no host round-trip happens
+between logits and token ids.
+
+Three entry points of increasing cost; the ModelRunner picks per batch based
+on the host-side sampling info (this is a *trace-time* decision, giving three
+compiled variants instead of runtime branches):
+  * sample_greedy:  argmax
+  * sample_simple:  temperature-only Gumbel sampling
+  * sample_full:    temperature + top-k/top-p/min-p via full-vocab sort
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sglang_npu_tpu.model_executor.forward_batch_info import SamplingDevice
+
+NEG_INF = -1e10
+
+
+def sample_greedy(logits: jax.Array, sampling: SamplingDevice, rng) -> jax.Array:
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def _gumbel(rng, shape):
+    u = jax.random.uniform(rng, shape, minval=1e-20, maxval=1.0)
+    return -jnp.log(-jnp.log(u))
+
+
+def _temperature_scale(logits, temperatures):
+    t = temperatures[:, None]
+    safe_t = jnp.where(t <= 0.0, 1.0, t)
+    return logits / safe_t
+
+
+def sample_simple(logits: jax.Array, sampling: SamplingDevice, rng) -> jax.Array:
+    scaled = _temperature_scale(logits, sampling.temperatures)
+    noisy = scaled + _gumbel(rng, logits.shape)
+    sampled = jnp.argmax(noisy, axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    is_greedy = sampling.temperatures[:] <= 0.0
+    return jnp.where(is_greedy, greedy, sampled).astype(jnp.int32)
+
+
+def sample_full(logits: jax.Array, sampling: SamplingDevice, rng) -> jax.Array:
+    """Joint top-k / top-p / min-p filtering (matches the reference's
+    flashinfer/torch sampling semantics), then Gumbel-max."""
+    B, V = logits.shape
+    scaled = _temperature_scale(logits, sampling.temperatures)
+
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]  # desc
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cumsum = jnp.cumsum(probs, axis=-1)
+
+    ranks = jnp.arange(V, dtype=jnp.int32)[None, :]
+    keep_topk = ranks < sampling.top_ks[:, None]
+    # top-p: keep the smallest prefix whose mass >= top_p (always keep 1st)
+    keep_topp = (cumsum - probs) < sampling.top_ps[:, None]
+    keep_minp = probs >= sampling.min_ps[:, None] * probs[:, :1]
+    keep = keep_topk & keep_topp & keep_minp
+    keep = keep.at[:, 0].set(True)
+
+    # threshold = smallest kept logit; then filter original layout
+    kept_logits = jnp.where(keep, sorted_logits, jnp.inf)
+    threshold = jnp.min(kept_logits, axis=-1, keepdims=True)
+    filtered = jnp.where(scaled >= threshold, scaled, NEG_INF)
+
+    noisy = filtered + _gumbel(rng, logits.shape)
+    sampled = jnp.argmax(noisy, axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    is_greedy = sampling.temperatures[:] <= 0.0
+    return jnp.where(is_greedy, greedy, sampled).astype(jnp.int32)
+
+
+def compute_token_logprobs(logits: jax.Array, token_ids: jax.Array) -> jax.Array:
+    """Log-softmax probability of chosen tokens; [B]."""
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(logprobs, token_ids[:, None], axis=-1)[:, 0]

@@ -1,0 +1,121 @@
+"""Device-side batch representation.
+
+Counterpart of the reference's `srt/model_executor/forward_batch_info.py`
+(`ForwardBatch:~240`, `ForwardMode:68`) re-designed for XLA: every field is a
+*statically-shaped* jax array padded to a jit bucket; actual sizes travel as
+device scalars (`seq_lens`, `extend_seq_lens`) so one compiled program
+serves many real batch shapes — the TPU equivalent of the reference's
+CUDA-graph padded replay (`cuda_graph_runner.py:711` `replay_prepare`).
+
+Shapes (E = extend bucket, B = batch bucket, P = pages bucket):
+  * extend:  rectangles [B, E] for tokens; page_tables [B, P]
+  * decode:  vectors [B]; page_tables [B, P]
+
+Padding conventions:
+  * padded token slots write to page 0, the reserved garbage page
+  * padded page-table entries point at page 0 (masked in attention)
+  * padded batch rows have seq_len 0 -> fully masked, sampled tokens ignored
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_npu_tpu.managers.schedule_batch import ModelWorkerBatch
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ForwardBatch:
+    """Statically-shaped device batch. All leaves are jnp arrays."""
+
+    input_ids: jax.Array  # extend: [B, E] int32; decode: [B]
+    positions: jax.Array  # same shape as input_ids
+    out_slots: jax.Array  # same shape; KV slot each token writes
+    page_tables: jax.Array  # [B, P] int32
+    seq_lens: jax.Array  # [B] int32 (0 = padded row)
+    extend_seq_lens: Optional[jax.Array]  # [B] int32 or None (decode)
+    extend_prefix_lens: Optional[jax.Array]  # [B] int32 or None
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SamplingDevice:
+    temperatures: jax.Array  # [B]
+    top_ks: jax.Array  # [B] int32
+    top_ps: jax.Array  # [B]
+    min_ps: jax.Array  # [B]
+
+
+def pad_to(arr: np.ndarray, size: int, fill=0, axis: int = 0) -> np.ndarray:
+    pad = size - arr.shape[axis]
+    if pad <= 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths, constant_values=fill)
+
+
+def build_extend_forward_batch(
+    mwb: ModelWorkerBatch,
+    bs_bucket: int,
+    extend_bucket: int,
+    pages_bucket: int,
+    page_size: int,
+) -> ForwardBatch:
+    """Pack a ragged extend batch into [B, E] rectangles (host numpy)."""
+    B = len(mwb.seq_lens)
+    ext = mwb.extend_seq_lens
+    input_ids = np.zeros((bs_bucket, extend_bucket), dtype=np.int32)
+    positions = np.zeros((bs_bucket, extend_bucket), dtype=np.int32)
+    out_slots = np.zeros((bs_bucket, extend_bucket), dtype=np.int32)
+    off = 0
+    for i in range(B):
+        n = int(ext[i])
+        input_ids[i, :n] = mwb.input_ids[off : off + n]
+        positions[i, :n] = mwb.positions[off : off + n]
+        out_slots[i, :n] = mwb.out_slots[off : off + n]
+        off += n
+    pt = pad_to(pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0)
+    return ForwardBatch(
+        input_ids=jnp.asarray(input_ids),
+        positions=jnp.asarray(positions),
+        out_slots=jnp.asarray(out_slots),
+        page_tables=jnp.asarray(pt),
+        seq_lens=jnp.asarray(pad_to(mwb.seq_lens, bs_bucket)),
+        extend_seq_lens=jnp.asarray(pad_to(ext, bs_bucket)),
+        extend_prefix_lens=jnp.asarray(pad_to(mwb.extend_prefix_lens, bs_bucket)),
+    )
+
+
+def build_decode_forward_batch(
+    mwb: ModelWorkerBatch,
+    bs_bucket: int,
+    pages_bucket: int,
+) -> ForwardBatch:
+    pt = pad_to(pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0)
+    # decode is extend with E=1: rectangles [B, 1]
+    return ForwardBatch(
+        input_ids=jnp.asarray(pad_to(mwb.input_ids, bs_bucket)[:, None]),
+        positions=jnp.asarray(pad_to(mwb.positions, bs_bucket)[:, None]),
+        out_slots=jnp.asarray(pad_to(mwb.out_slots, bs_bucket)[:, None]),
+        page_tables=jnp.asarray(pt),
+        seq_lens=jnp.asarray(pad_to(mwb.seq_lens, bs_bucket)),
+        extend_seq_lens=None,
+        extend_prefix_lens=None,
+    )
+
+
+def build_sampling_device(mwb: ModelWorkerBatch, bs_bucket: int) -> SamplingDevice:
+    s = mwb.sampling_info
+    return SamplingDevice(
+        temperatures=jnp.asarray(pad_to(s.temperatures, bs_bucket, fill=1.0)),
+        top_ks=jnp.asarray(pad_to(s.top_ks, bs_bucket, fill=1)),
+        top_ps=jnp.asarray(pad_to(s.top_ps, bs_bucket, fill=1.0)),
+        min_ps=jnp.asarray(pad_to(s.min_ps, bs_bucket, fill=0.0)),
+    )

@@ -1,0 +1,274 @@
+"""Per-host model execution engine.
+
+Counterpart of the reference's `srt/model_executor/model_runner.py`
+(`ModelRunner:158`, `initialize:257`, `init_memory_pool:1084`,
+`init_attention_backend:1327`, `forward:1623`, `sample:1717`) and its
+CUDA/NPU graph runners (`cuda_graph_runner.py:235`, `npu_graph_runner.py:52`),
+re-designed for XLA:
+
+  * Graph capture -> **jit bucket ladder**: every batch is padded to a small
+    set of static shapes; `jax.jit` caches one compiled SPMD program per
+    shape.  Actual lengths travel as device arrays (the clean version of the
+    NPU fork's post-capture `actual_seq_lengths_kv` update hack).
+  * Forward + KV write + sampling are ONE jit region with the KV pool
+    donated, so decode steps are a single device dispatch with in-place KV.
+  * Tensor parallelism is sharding metadata only: the same program runs on
+    1 chip or a mesh (`parallel/mesh.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sglang_npu_tpu.configs.model_config import ModelConfig
+from sglang_npu_tpu.managers.schedule_batch import ForwardMode, ModelWorkerBatch
+from sglang_npu_tpu.model_executor.forward_batch_info import (
+    ForwardBatch,
+    SamplingDevice,
+    build_decode_forward_batch,
+    build_extend_forward_batch,
+    build_sampling_device,
+)
+from sglang_npu_tpu.model_loader.loader import load_model_weights
+from sglang_npu_tpu.models.registry import resolve_model_class
+from sglang_npu_tpu.layers import sampler as sampler_ops
+from sglang_npu_tpu.parallel.mesh import build_mesh, tp_degree
+from sglang_npu_tpu.server_args import ServerArgs
+from sglang_npu_tpu.utils.common import cdiv, next_power_of_2, round_up
+
+logger = logging.getLogger(__name__)
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_config: ModelConfig,
+        mesh=None,
+    ):
+        self.server_args = server_args
+        self.model_config = model_config
+        self.page_size = server_args.page_size
+        self.mesh = mesh if mesh is not None else build_mesh(
+            tp_size=server_args.tp_size, dp_size=server_args.dp_size
+        )
+        self.kv_dtype = self._resolve_kv_dtype()
+
+        model_cls = resolve_model_class(model_config.architectures)
+        self.model = model_cls(model_config)
+        self._init_attention_backend()
+
+        t0 = time.time()
+        self.params = load_model_weights(
+            self.model,
+            server_args.model_path,
+            server_args.load_format,
+            self.mesh,
+            seed=server_args.random_seed,
+        )
+        self.param_bytes = sum(
+            x.nbytes for x in jax.tree_util.tree_leaves(self.params)
+        )
+        logger.info(
+            "weights loaded: %.2f GB in %.1fs",
+            self.param_bytes / 1e9,
+            time.time() - t0,
+        )
+
+        self.num_pages = self._profile_num_pages()
+        self.max_total_tokens = self.num_pages * self.page_size
+        self.kv_pool = self._alloc_kv_pool()
+        logger.info(
+            "KV pool: %d pages x %d = %d tokens (%.2f GB)",
+            self.num_pages,
+            self.page_size,
+            self.max_total_tokens,
+            self.kv_pool.nbytes / 1e9,
+        )
+
+        # RNG for sampling
+        self.rng_base = jax.random.key(server_args.random_seed)
+        self.step_counter = 0
+
+        self._step_fn = self._build_step_fn()
+        self.max_pages_per_req = cdiv(
+            model_config.context_length, self.page_size
+        )
+
+    # ------------------------------------------------------------------
+    def _resolve_kv_dtype(self):
+        kd = self.server_args.kv_cache_dtype
+        if kd in ("auto", "bfloat16"):
+            return jnp.bfloat16
+        if kd == "float32":
+            return jnp.float32
+        if kd == "int8":
+            return jnp.int8
+        if kd == "fp8_e4m3":
+            return jnp.float8_e4m3fn
+        raise ValueError(kd)
+
+    def _init_attention_backend(self):
+        """Pick the attention backend (reference
+        `_get_attention_backend_from_str:1384`)."""
+        name = self.server_args.attention_backend
+        if name is None:
+            name = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        self.attention_backend_name = name
+        if name == "xla":
+            self.model.attn_backend = None  # model falls back to XLA path
+        elif name == "pallas":
+            from sglang_npu_tpu.ops.pallas.paged_attention import (
+                make_pallas_attention_backend,
+            )
+
+            self.model.attn_backend = make_pallas_attention_backend()
+        else:
+            raise ValueError(f"unknown attention backend {name}")
+
+    # ------------------------------------------------------------------
+    def _profile_num_pages(self) -> int:
+        """Size the KV pool from free device memory (reference
+        `profile_max_num_token:965`)."""
+        args = self.server_args
+        if args.max_total_tokens is not None:
+            return max(cdiv(args.max_total_tokens, self.page_size), 2)
+        c = self.model_config
+        kv_bytes_per_page = (
+            2
+            * c.num_hidden_layers
+            * c.num_key_value_heads
+            * c.head_dim
+            * self.page_size
+            * jnp.dtype(self.kv_dtype).itemsize
+        )
+        # KV heads are sharded over the model axis -> per-device bytes shrink
+        tp = tp_degree(self.mesh)
+        if c.num_key_value_heads % tp == 0:
+            kv_bytes_per_page //= tp
+        try:
+            stats = jax.devices()[0].memory_stats()
+            limit = stats["bytes_limit"]
+            in_use = stats.get("bytes_in_use", 0)
+            budget = int(limit * args.mem_fraction_static) - in_use
+        except Exception:
+            budget = 0
+        if budget <= 0:
+            # CPU tests / unknown backend: small fixed pool.
+            return max(cdiv(64 * 1024, self.page_size), 2)
+        pages = budget // kv_bytes_per_page
+        return int(max(pages, 2))
+
+    def _alloc_kv_pool(self) -> jax.Array:
+        c = self.model_config
+        S = self.num_pages * self.page_size
+        shape = (c.num_hidden_layers, 2, S, c.num_key_value_heads, c.head_dim)
+        tp = tp_degree(self.mesh)
+        spec = (
+            P(None, None, None, "model", None)
+            if c.num_key_value_heads % tp == 0
+            else P()
+        )
+        sharding = NamedSharding(self.mesh, spec)
+        return jax.device_put(jnp.zeros(shape, dtype=self.kv_dtype), sharding)
+
+    # ------------------------------------------------------------------
+    def _build_step_fn(self):
+        model = self.model
+        page_size = self.page_size
+
+        def step(params, kv_pool, fb: ForwardBatch, sampling, rng, sample_mode):
+            logits, kv_pool = model(params, kv_pool, fb, page_size)
+            if sample_mode == "logits":
+                return logits, kv_pool
+            if sample_mode == "greedy":
+                toks = sampler_ops.sample_greedy(logits, sampling, rng)
+            elif sample_mode == "simple":
+                toks = sampler_ops.sample_simple(logits, sampling, rng)
+            else:
+                toks = sampler_ops.sample_full(logits, sampling, rng)
+            return toks, kv_pool
+
+        return jax.jit(step, donate_argnums=(1,), static_argnames=("sample_mode",))
+
+    # ------------------------------------------------------------------
+    def _buckets(self, mwb: ModelWorkerBatch):
+        B = len(mwb.seq_lens)
+        bs_bucket = next_power_of_2(B)
+        max_pages = mwb.page_tables.shape[1]
+        pages_bucket = max(next_power_of_2(max_pages), 8)
+        return bs_bucket, pages_bucket
+
+    def _sample_mode(self, mwb: ModelWorkerBatch) -> str:
+        s = mwb.sampling_info
+        if s.is_all_greedy:
+            return "greedy"
+        if (
+            np.all(s.top_ps >= 1.0)
+            and np.all(s.top_ks >= self.model_config.vocab_size)
+            and np.all(s.min_ps <= 0.0)
+        ):
+            return "simple"
+        return "full"
+
+    # ------------------------------------------------------------------
+    def forward_and_sample(self, mwb: ModelWorkerBatch) -> np.ndarray:
+        """Run one padded step; returns next token ids [real_bs] (host)."""
+        bs_bucket, pages_bucket = self._buckets(mwb)
+        if mwb.forward_mode == ForwardMode.EXTEND:
+            extend_bucket = max(
+                next_power_of_2(int(np.max(mwb.extend_seq_lens))), 16
+            )
+            fb = build_extend_forward_batch(
+                mwb, bs_bucket, extend_bucket, pages_bucket, self.page_size
+            )
+        else:
+            fb = build_decode_forward_batch(mwb, bs_bucket, pages_bucket)
+        sampling = build_sampling_device(mwb, bs_bucket)
+
+        self.step_counter += 1
+        rng = jax.random.fold_in(self.rng_base, self.step_counter)
+        tokens, self.kv_pool = self._step_fn(
+            self.params,
+            self.kv_pool,
+            fb,
+            sampling,
+            rng,
+            sample_mode=self._sample_mode(mwb),
+        )
+        return np.asarray(jax.device_get(tokens))[: mwb.real_bs]
+
+    def forward_logits(self, mwb: ModelWorkerBatch) -> np.ndarray:
+        """Run one step returning last-token logits [real_bs, vocab]
+        (numerics tests, scoring, logprobs)."""
+        bs_bucket, pages_bucket = self._buckets(mwb)
+        if mwb.forward_mode == ForwardMode.EXTEND:
+            extend_bucket = max(
+                next_power_of_2(int(np.max(mwb.extend_seq_lens))), 16
+            )
+            fb = build_extend_forward_batch(
+                mwb, bs_bucket, extend_bucket, pages_bucket, self.page_size
+            )
+        else:
+            fb = build_decode_forward_batch(mwb, bs_bucket, pages_bucket)
+        sampling = build_sampling_device(mwb, bs_bucket)
+        rng = jax.random.fold_in(self.rng_base, 0)
+        logits, self.kv_pool = self._step_fn(
+            self.params, self.kv_pool, fb, sampling, rng, sample_mode="logits"
+        )
+        return np.asarray(jax.device_get(logits))[: mwb.real_bs]
+
+    # ------------------------------------------------------------------
+    def flush_kv(self):
+        """Zero out the pool (used by /flush_cache)."""
+        self.kv_pool = jax.device_put(
+            jnp.zeros_like(self.kv_pool), self.kv_pool.sharding
+        )

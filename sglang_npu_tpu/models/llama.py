@@ -1,0 +1,237 @@
+"""Llama-family decoder (functional JAX, scan-over-layers).
+
+TPU-native re-design of the reference's `srt/models/llama.py` /
+`qwen2.py` / `qwen3.py` (nn.Module per layer, forward(input_ids, positions,
+forward_batch)): here the model is a pure function over a pytree of
+*stacked* per-layer weights, iterated with `jax.lax.scan` so XLA traces one
+layer once (fast compiles, clean KV-pool aliasing), and sharded for tensor
+parallelism purely via NamedSharding PartitionSpecs on the weight pytree.
+
+Covers (via config flags): Llama 2/3/3.x, Mistral, Qwen2 (qkv bias),
+Qwen3 (q/k norm, untied head_dim).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sglang_npu_tpu.configs.model_config import ModelConfig
+from sglang_npu_tpu.layers.ops import (
+    apply_rope,
+    make_rope_tables,
+    rms_norm,
+    silu_and_mul,
+)
+from sglang_npu_tpu.model_executor.forward_batch_info import ForwardBatch
+from sglang_npu_tpu.ops.xla_attention import paged_attention_xla, write_kv
+
+
+class LlamaForCausalLM:
+    """Functional Llama. Weights live in a pytree; this object holds config
+    and the attention backend callable."""
+
+    def __init__(self, config: ModelConfig, attn_backend=None):
+        self.config = config
+        self.attn_backend = attn_backend  # set by ModelRunner
+        c = config
+        self.q_size = c.num_attention_heads * c.head_dim
+        self.kv_size = c.num_key_value_heads * c.head_dim
+        self.scale = c.head_dim**-0.5
+        self.rope = make_rope_tables(
+            c.head_dim,
+            max(c.context_length, c.max_position_embeddings),
+            c.rope_theta,
+            c.rope_scaling,
+        )
+
+    # ------------------------------------------------------------------
+    # Parameter structure
+    # ------------------------------------------------------------------
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        L, D, F = c.num_hidden_layers, c.hidden_size, c.intermediate_size
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        shapes = {
+            "embed": ((c.vocab_size, D), dt),
+            "final_norm": ((D,), jnp.float32),
+            "layers": {
+                "input_norm": ((L, D), jnp.float32),
+                "post_norm": ((L, D), jnp.float32),
+                "wq": ((L, D, self.q_size), dt),
+                "wk": ((L, D, self.kv_size), dt),
+                "wv": ((L, D, self.kv_size), dt),
+                "wo": ((L, self.q_size, D), dt),
+                "w_gate": ((L, D, F), dt),
+                "w_up": ((L, D, F), dt),
+                "w_down": ((L, F, D), dt),
+            },
+        }
+        if c.attention_bias:
+            shapes["layers"]["bq"] = ((L, self.q_size), dt)
+            shapes["layers"]["bk"] = ((L, self.kv_size), dt)
+            shapes["layers"]["bv"] = ((L, self.kv_size), dt)
+        if c.qk_norm:
+            shapes["layers"]["q_norm"] = ((L, c.head_dim), jnp.float32)
+            shapes["layers"]["k_norm"] = ((L, c.head_dim), jnp.float32)
+        if not c.tie_word_embeddings:
+            shapes["lm_head"] = ((D, c.vocab_size), dt)
+        return shapes
+
+    def param_shardings(self) -> Dict[str, Any]:
+        """PartitionSpecs: column-parallel q/k/v/gate/up, row-parallel
+        o/down — the TP layout of the reference's linear layers
+        (`srt/layers/linear.py`) expressed as sharding annotations."""
+        c = self.config
+        specs = {
+            "embed": P(None, "model"),
+            "final_norm": P(None),
+            "layers": {
+                "input_norm": P(None, None),
+                "post_norm": P(None, None),
+                "wq": P(None, None, "model"),
+                "wk": P(None, None, "model"),
+                "wv": P(None, None, "model"),
+                "wo": P(None, "model", None),
+                "w_gate": P(None, None, "model"),
+                "w_up": P(None, None, "model"),
+                "w_down": P(None, "model", None),
+            },
+        }
+        if c.attention_bias:
+            specs["layers"]["bq"] = P(None, "model")
+            specs["layers"]["bk"] = P(None, "model")
+            specs["layers"]["bv"] = P(None, "model")
+        if c.qk_norm:
+            specs["layers"]["q_norm"] = P(None, None)
+            specs["layers"]["k_norm"] = P(None, None)
+        if not c.tie_word_embeddings:
+            specs["lm_head"] = P(None, "model")
+        return specs
+
+    # HF checkpoint name -> (our key path, transform)
+    # transform: how the HF tensor maps into the stacked layer array.
+    def hf_weight_map(self):
+        c = self.config
+        m = {
+            "model.embed_tokens.weight": ("embed", None),
+            "model.norm.weight": ("final_norm", None),
+        }
+        if not c.tie_word_embeddings:
+            m["lm_head.weight"] = ("lm_head", "transpose")
+        per_layer = {
+            "input_layernorm.weight": ("layers.input_norm", None),
+            "post_attention_layernorm.weight": ("layers.post_norm", None),
+            "self_attn.q_proj.weight": ("layers.wq", "transpose"),
+            "self_attn.k_proj.weight": ("layers.wk", "transpose"),
+            "self_attn.v_proj.weight": ("layers.wv", "transpose"),
+            "self_attn.o_proj.weight": ("layers.wo", "transpose"),
+            "mlp.gate_proj.weight": ("layers.w_gate", "transpose"),
+            "mlp.up_proj.weight": ("layers.w_up", "transpose"),
+            "mlp.down_proj.weight": ("layers.w_down", "transpose"),
+        }
+        if c.attention_bias:
+            per_layer["self_attn.q_proj.bias"] = ("layers.bq", None)
+            per_layer["self_attn.k_proj.bias"] = ("layers.bk", None)
+            per_layer["self_attn.v_proj.bias"] = ("layers.bv", None)
+        if c.qk_norm:
+            per_layer["self_attn.q_norm.weight"] = ("layers.q_norm", None)
+            per_layer["self_attn.k_norm.weight"] = ("layers.k_norm", None)
+        return m, per_layer
+
+    # ------------------------------------------------------------------
+    # Forward
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        params: Dict[str, Any],
+        kv_pool: jax.Array,  # [L, 2, S, H_kv, D]
+        fb: ForwardBatch,
+        page_size: int,
+    ):
+        """Returns (logits [B, vocab], new_kv_pool)."""
+        c = self.config
+        B, E = fb.input_ids.shape
+        x = params["embed"][fb.input_ids].astype(
+            jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        )  # [B, E, D]
+
+        eps = c.rms_norm_eps
+        rope = self.rope
+
+        def layer_fn(x, xs):
+            lp, kv_l = xs
+            h = rms_norm(x, lp["input_norm"], eps)
+            q = jnp.einsum("bed,dh->beh", h, lp["wq"])
+            k = jnp.einsum("bed,dh->beh", h, lp["wk"])
+            v = jnp.einsum("bed,dh->beh", h, lp["wv"])
+            if "bq" in lp:
+                q = q + lp["bq"]
+                k = k + lp["bk"]
+                v = v + lp["bv"]
+            q = q.reshape(B, E, c.num_attention_heads, c.head_dim)
+            k = k.reshape(B, E, c.num_key_value_heads, c.head_dim)
+            v = v.reshape(B, E, c.num_key_value_heads, c.head_dim)
+            if "q_norm" in lp:
+                q = rms_norm(q, lp["q_norm"], eps)
+                k = rms_norm(k, lp["k_norm"], eps)
+            q, k = apply_rope(q, k, fb.positions, rope)
+
+            kv_l = write_kv(kv_l, k, v, fb.out_slots)
+            att = self._attention(q, kv_l, fb, page_size)
+            x = x + jnp.einsum(
+                "beh,hd->bed", att.reshape(B, E, self.q_size), lp["wo"]
+            )
+
+            h = rms_norm(x, lp["post_norm"], eps)
+            gate = jnp.einsum("bed,df->bef", h, lp["w_gate"])
+            up = jnp.einsum("bed,df->bef", h, lp["w_up"])
+            act = jax.nn.silu(gate) * up  # stays shard-local under TP
+            x = x + jnp.einsum("bef,fd->bed", act, lp["w_down"])
+            return x, kv_l
+
+        x, new_kv = jax.lax.scan(layer_fn, x, (params["layers"], kv_pool))
+        x = rms_norm(x, params["final_norm"], eps)
+
+        # Last-token gather (reference LogitsProcessor last-token pruning).
+        if fb.extend_seq_lens is not None:
+            idx = jnp.maximum(fb.extend_seq_lens - 1, 0)  # [B]
+            last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]  # [B, D]
+        else:
+            last = x[:, 0]
+
+        head = (
+            params["embed"].T
+            if "lm_head" not in params
+            else params["lm_head"]
+        )
+        logits = jnp.einsum(
+            "bd,dv->bv", last.astype(jnp.float32), head.astype(jnp.float32)
+        )
+        return logits, new_kv
+
+    def _attention(self, q, kv_l, fb: ForwardBatch, page_size: int):
+        if self.attn_backend is not None:
+            return self.attn_backend(
+                q, kv_l, fb, page_size, self.scale, self.config
+            )
+        return paged_attention_xla(
+            q,
+            kv_l,
+            fb.page_tables,
+            fb.seq_lens,
+            fb.positions,
+            page_size,
+            self.scale,
+            sliding_window=self.config.sliding_window or -1,
+        )
+
+
+# silu/swiglu note: gate/up are separate arrays so TP sharding of the fused
+# activation stays local (see param_shardings); the concat+split pair here
+# fuses away in XLA.
+ENTRY_CLASS = LlamaForCausalLM

@@ -1,0 +1,31 @@
+"""Model architecture registry (reference `srt/models/registry.py`)."""
+
+from __future__ import annotations
+
+import importlib
+import logging
+from typing import Dict, Tuple
+
+logger = logging.getLogger(__name__)
+
+# architecture name (HF `architectures[0]`) -> (module, class)
+_REGISTRY: Dict[str, Tuple[str, str]] = {
+    "LlamaForCausalLM": ("sglang_npu_tpu.models.llama", "LlamaForCausalLM"),
+    "MistralForCausalLM": ("sglang_npu_tpu.models.llama", "LlamaForCausalLM"),
+    "Qwen2ForCausalLM": ("sglang_npu_tpu.models.llama", "LlamaForCausalLM"),
+    "Qwen3ForCausalLM": ("sglang_npu_tpu.models.llama", "LlamaForCausalLM"),
+}
+
+
+def register(arch: str, module: str, cls: str) -> None:
+    _REGISTRY[arch] = (module, cls)
+
+
+def resolve_model_class(architectures):
+    for arch in architectures:
+        if arch in _REGISTRY:
+            module, cls = _REGISTRY[arch]
+            return getattr(importlib.import_module(module), cls)
+    raise ValueError(
+        f"Unsupported architectures {architectures}; known: {sorted(_REGISTRY)}"
+    )

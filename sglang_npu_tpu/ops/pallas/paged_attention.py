@@ -1,0 +1,53 @@
+"""Pallas paged attention backend (TPU).
+
+Replaces the reference's CUDA attention backends
+(`layers/attention/flashattention_backend.py`, `ascend_backend.py:642`) with
+a TPU kernel family over the token-major paged KV pool.
+
+Status: the decode kernel is implemented in `decode_kernel.py`; extend
+(ragged prefill) currently falls back to the XLA path while the Pallas
+ragged-prefill kernel lands.  `make_pallas_attention_backend()` returns a
+callable with the model-facing signature
+``(q, kv_l, fb, page_size, scale, config) -> out``.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from sglang_npu_tpu.ops.xla_attention import paged_attention_xla
+
+
+def make_pallas_attention_backend():
+    def backend(q, kv_l, fb, page_size, scale, config):
+        B, E, Hq, D = q.shape
+        sliding_window = config.sliding_window or -1
+        if E == 1:
+            try:
+                from sglang_npu_tpu.ops.pallas.decode_kernel import (
+                    paged_decode_attention,
+                )
+
+                return paged_decode_attention(
+                    q[:, 0],
+                    kv_l,
+                    fb.page_tables,
+                    fb.seq_lens,
+                    page_size,
+                    scale,
+                    sliding_window=sliding_window,
+                )[:, None]
+            except ImportError:
+                pass
+        return paged_attention_xla(
+            q,
+            kv_l,
+            fb.page_tables,
+            fb.seq_lens,
+            fb.positions,
+            page_size,
+            scale,
+            sliding_window=sliding_window,
+        )
+
+    return backend

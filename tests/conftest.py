@@ -1,16 +1,27 @@
 """Test configuration: force JAX onto a virtual 8-device CPU platform so the
 full stack (sharding included) runs in CPU-only CI, mirroring the reference's
-device-free unit-test layer (SURVEY.md §4)."""
+device-free unit-test layer (SURVEY.md §4).
+
+Note: the environment's sitecustomize force-registers the axon TPU backend
+and sets jax_platforms to it, so we must override the *config* after import
+(env vars alone are not enough) — otherwise every unit test would run over
+the real-TPU tunnel.
+"""
 
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before the CPU backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
