@@ -1,0 +1,164 @@
+"""Python-embedded engine.
+
+Counterpart of the reference's `srt/entrypoints/engine.py` (`Engine:86`,
+`_launch_subprocesses:674`): the TPU process model is one process per host,
+so "subprocess launch" becomes thread launch — scheduler thread (device
+dispatch), detokenizer thread, tokenizer-manager router thread — all wired
+by in-process queues (multi-host: the same topology over a ZMQ control
+plane).
+
+Usage:
+    import sglang_npu_tpu as sgl
+    engine = sgl.Engine(model_path=..., load_format="dummy")
+    out = engine.generate("hello", {"max_new_tokens": 16})
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from typing import Any, Dict, Iterator, List, Optional, Union
+
+from sglang_npu_tpu.managers.io_struct import (
+    FlushCacheReqInput,
+    GenerateReqInput,
+    GetInternalStateReq,
+)
+from sglang_npu_tpu.server_args import ServerArgs
+
+logger = logging.getLogger(__name__)
+
+
+class Engine:
+    def __init__(self, server_args: Optional[ServerArgs] = None, **kwargs):
+        if server_args is None:
+            server_args = ServerArgs(**kwargs)
+        self.server_args = server_args
+
+        # Heavy imports deferred so `import sglang_npu_tpu` stays light.
+        from sglang_npu_tpu.configs.model_config import ModelConfig
+        from sglang_npu_tpu.managers.detokenizer_manager import (
+            DetokenizerManager,
+            run_detokenizer_thread,
+        )
+        from sglang_npu_tpu.managers.scheduler import (
+            Scheduler,
+            run_scheduler_thread,
+        )
+        from sglang_npu_tpu.managers.tokenizer_manager import TokenizerManager
+        from sglang_npu_tpu.model_executor.model_runner import ModelRunner
+        from sglang_npu_tpu.tokenizer.byte_tokenizer import get_tokenizer
+
+        self.model_config = ModelConfig.from_model_path(
+            server_args.model_path,
+            dtype=server_args.dtype,
+            context_length=server_args.context_length,
+            json_override=server_args.json_model_override_args,
+        )
+        if server_args.skip_tokenizer_init:
+            self.tokenizer = None
+        else:
+            self.tokenizer = get_tokenizer(
+                server_args.tokenizer_path,
+                server_args.tokenizer_mode,
+                trust_remote_code=server_args.trust_remote_code,
+            )
+
+        self.model_runner = ModelRunner(server_args, self.model_config)
+
+        self._sched_in: queue.Queue = queue.Queue()
+        self._detok_in: queue.Queue = queue.Queue()
+        self._detok_out: queue.Queue = queue.Queue()
+
+        self.scheduler = Scheduler(
+            server_args,
+            self.model_runner,
+            input_queue=self._sched_in,
+            output_queue=self._detok_in,
+            tokenizer=self.tokenizer,
+        )
+        self.detokenizer = DetokenizerManager(
+            self.tokenizer, self._detok_in, self._detok_out
+        )
+        self.tokenizer_manager = TokenizerManager(
+            server_args, self._sched_in, self._detok_out, self.tokenizer
+        )
+        self._sched_thread = run_scheduler_thread(self.scheduler)
+        self._detok_thread = run_detokenizer_thread(self.detokenizer)
+        self._shutdown = False
+        logger.info("Engine ready (model=%s)", server_args.model_path)
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        sampling_params: Optional[Union[Dict, List[Dict]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        return_logprob: bool = False,
+        top_logprobs_num: int = 0,
+        stream: bool = False,
+        rid: Optional[Union[str, List[str]]] = None,
+    ):
+        """Reference `Engine.generate` (`engine.py:138`): returns a dict for
+        single prompts, a list of dicts for batches, or an iterator when
+        stream=True."""
+        obj = GenerateReqInput(
+            text=prompt,
+            input_ids=input_ids,
+            sampling_params=sampling_params,
+            return_logprob=return_logprob,
+            top_logprobs_num=top_logprobs_num,
+            stream=stream,
+            rid=rid,
+        )
+        if stream:
+            return self.tokenizer_manager.stream_sync(obj)
+        return self.tokenizer_manager.generate_sync(obj)
+
+    async def async_generate(self, **kwargs):
+        stream = kwargs.get("stream", False)
+        obj = GenerateReqInput(
+            text=kwargs.get("prompt"),
+            input_ids=kwargs.get("input_ids"),
+            sampling_params=kwargs.get("sampling_params"),
+            stream=stream,
+            rid=kwargs.get("rid"),
+        )
+        if stream:
+            return self.tokenizer_manager.generate_request(obj)
+        async for chunk in self.tokenizer_manager.generate_request(obj):
+            last = chunk
+        return last
+
+    # ------------------------------------------------------------------
+    def flush_cache(self) -> bool:
+        self._sched_in.put(FlushCacheReqInput())
+        out = self.tokenizer_manager.control_mailbox.get(timeout=30)
+        return out.success
+
+    def get_internal_state(self) -> Dict[str, Any]:
+        self._sched_in.put(GetInternalStateReq())
+        out = self.tokenizer_manager.control_mailbox.get(timeout=30)
+        return out.internal_state
+
+    def abort_request(self, rid: str = "", abort_all: bool = False):
+        self.tokenizer_manager.abort_request(rid, abort_all)
+
+    def shutdown(self):
+        if self._shutdown:
+            return
+        self._shutdown = True
+        self.scheduler.shutdown()
+        self.detokenizer.shutdown()
+        self.tokenizer_manager.shutdown()
+        self._sched_thread.join(timeout=5)
+        self._detok_thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()

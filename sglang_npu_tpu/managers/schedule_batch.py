@@ -110,6 +110,7 @@ class Req:
         self.kv_slots: np.ndarray = np.empty((0,), dtype=np.int32)
         self.pages: List[int] = []
         self.last_node: Optional[TreeNode] = None
+        self.locked_node: Optional[TreeNode] = None  # the ONE lock we hold
         self.req_pool_idx: Optional[int] = None
 
         # Chunked prefill: number of fill_ids already forwarded.
@@ -172,6 +173,7 @@ class Req:
         self.kv_slots = np.empty((0,), dtype=np.int32)
         self.pages = []
         self.last_node = None
+        self.locked_node = None
         self.extend_input_len = 0
         self.vid += 1
 
@@ -324,6 +326,15 @@ class ScheduleBatch:
         input_ids, positions, out_slots = [], [], []
         seq_lens, extend_lens, prefix_lens = [], [], []
         for req in self.reqs:
+            # Hold exactly one lock on the request's matched prefix node so
+            # eviction can't free in-flight KV (reference inc_lock_ref in
+            # PrefillAdder.add_one_req).
+            if req.locked_node is not req.last_node:
+                if req.locked_node is not None:
+                    self.tree_cache.dec_lock_ref(req.locked_node)
+                if req.last_node is not None:
+                    self.tree_cache.inc_lock_ref(req.last_node)
+                req.locked_node = req.last_node
             # fill_ids/prefix were set by init_next_round_input; for chunked
             # prefill the adder already truncated extend_input_len.
             start = req.prefix_len
@@ -424,12 +435,12 @@ class ScheduleBatch:
 
     def _release_req_kv(self, req: Req) -> None:
         """Free a request's exclusively-owned KV and unlock its prefix."""
-        ps = self.allocator.page_size
         # prefix_len is page-aligned tree-owned; everything after is ours.
         own = req.kv_slots[req.prefix_len :]
         self.allocator.free_slots(own)
-        if req.last_node is not None:
-            self.tree_cache.dec_lock_ref(req.last_node)
+        if req.locked_node is not None:
+            self.tree_cache.dec_lock_ref(req.locked_node)
+            req.locked_node = None
 
     # ------------------------------------------------------------------
     def filter_batch(self) -> None:

@@ -1,0 +1,481 @@
+"""The scheduler: continuous-batching event loop.
+
+Behavioral counterpart of the reference's `srt/managers/scheduler.py`
+(`Scheduler:187`, `event_loop_normal:753`, `recv_requests:947`,
+`get_next_batch_to_run:1423`, `get_new_batch_prefill:1493`,
+`update_running_batch:1646`, `run_batch:1686`, watchdog `:2089`) re-designed
+for the TPU process model: ONE process per host, the scheduler runs on a
+dedicated thread, and the device work it launches is a single SPMD jit
+program over the mesh — no per-rank scheduler replication, no NCCL-broadcast
+of batch metadata.
+
+Responsibilities per loop iteration:
+  1. drain the input queue (tokenized requests + control RPCs)
+  2. admit waiting requests into a prefill batch under token budgets
+     (PrefillAdder, chunked prefill, radix-aware LPM policy)
+  3. otherwise run one decode step for the running batch (with retraction
+     on KV OOM)
+  4. hand sampled tokens to the output processor -> detokenizer queue
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from sglang_npu_tpu.managers.io_struct import (
+    AbortReq,
+    BatchTokenIDOut,
+    FlushCacheReqInput,
+    FlushCacheReqOutput,
+    GetInternalStateReq,
+    GetInternalStateReqOutput,
+    TokenizedGenerateReqInput,
+)
+from sglang_npu_tpu.managers.schedule_batch import (
+    FINISH_ABORT,
+    ForwardMode,
+    ModelWorkerBatch,
+    Req,
+    ScheduleBatch,
+)
+from sglang_npu_tpu.managers.schedule_policy import (
+    AddReqResult,
+    PrefillAdder,
+    SchedulePolicy,
+)
+from sglang_npu_tpu.mem_cache.allocator import PagedAllocator
+from sglang_npu_tpu.mem_cache.radix_cache import ChunkCache, RadixCache
+from sglang_npu_tpu.server_args import ServerArgs
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SchedulerStats:
+    """Gauges exported to metrics (reference `SchedulerStats:134`)."""
+
+    num_running_reqs: int = 0
+    num_waiting_reqs: int = 0
+    token_usage: float = 0.0
+    cache_hit_rate: float = 0.0
+    gen_throughput: float = 0.0
+    num_retracted_reqs: int = 0
+    forward_ct: int = 0
+
+
+class Scheduler:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_runner,
+        input_queue: "queue.Queue",
+        output_queue: "queue.Queue",
+        tokenizer=None,
+    ):
+        self.server_args = server_args
+        self.runner = model_runner
+        self.input_queue = input_queue
+        self.output_queue = output_queue
+        self.tokenizer = tokenizer
+        self.page_size = server_args.page_size
+
+        self.allocator = PagedAllocator(
+            num_pages=model_runner.num_pages, page_size=self.page_size
+        )
+        if server_args.disable_radix_cache:
+            self.tree_cache = ChunkCache(self.allocator, self.page_size)
+        else:
+            self.tree_cache = RadixCache(self.allocator, self.page_size)
+        self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
+
+        self.waiting_queue: List[Req] = []
+        self.running_batch = ScheduleBatch.init_new(
+            [], self.allocator, self.tree_cache
+        )
+        self.chunked_req: Optional[Req] = None
+        self.last_prefill_batch: Optional[ScheduleBatch] = None
+
+        self.max_running_requests = server_args.max_running_requests or 2048
+        self.max_batch_size = self.max_running_requests
+        # Adaptive decode-token reservation (reference init_new_token_ratio):
+        # start optimistic, bump toward 1.0 on each retraction.
+        self.new_token_ratio = min(0.7 * server_args.schedule_conservativeness, 1.0)
+
+        self.stats = SchedulerStats()
+        self.forward_ct = 0
+        self.num_generated_tokens = 0
+        self.last_log_time = time.time()
+        self.total_cached_tokens = 0
+        self.total_prompt_tokens = 0
+
+        self._running = True
+        self._rid_to_req: Dict[str, Req] = {}
+        self.watchdog_timeout = server_args.watchdog_timeout
+        self.last_heartbeat = time.time()
+
+    # ------------------------------------------------------------------
+    # Event loop
+    # ------------------------------------------------------------------
+    def event_loop(self):
+        """`event_loop_normal` (`scheduler.py:753`)."""
+        while self._running:
+            self.recv_requests(block=not self._has_work())
+            if not self._running:
+                break
+            batch = self.get_next_batch_to_run()
+            if batch is None:
+                continue
+            self.last_heartbeat = time.time()
+            mwb, is_prefill = batch
+            next_tokens = self.runner.forward_and_sample(mwb)
+            self.forward_ct += 1
+            self.process_batch_result(mwb, next_tokens, is_prefill)
+
+    def shutdown(self):
+        self._running = False
+        self.input_queue.put(None)
+
+    def _has_work(self) -> bool:
+        return bool(self.waiting_queue) or not self.running_batch.is_empty() or (
+            self.chunked_req is not None
+        )
+
+    # ------------------------------------------------------------------
+    # Input handling
+    # ------------------------------------------------------------------
+    def recv_requests(self, block: bool):
+        try:
+            item = self.input_queue.get(timeout=1.0) if block else self.input_queue.get_nowait()
+        except queue.Empty:
+            return
+        while True:
+            if item is None:
+                self._running = False
+                return
+            self.process_input_request(item)
+            try:
+                item = self.input_queue.get_nowait()
+            except queue.Empty:
+                return
+
+    def process_input_request(self, item):
+        if isinstance(item, TokenizedGenerateReqInput):
+            self.handle_generate_request(item)
+        elif isinstance(item, AbortReq):
+            self.abort_request(item)
+        elif isinstance(item, FlushCacheReqInput):
+            ok = self.flush_cache()
+            self.output_queue.put(FlushCacheReqOutput(success=ok))
+        elif isinstance(item, GetInternalStateReq):
+            self.output_queue.put(
+                GetInternalStateReqOutput(internal_state=self.get_internal_state())
+            )
+        else:
+            logger.warning("unknown scheduler input: %r", type(item))
+
+    def handle_generate_request(self, t: TokenizedGenerateReqInput):
+        eos_ids = set(self.runner.model_config.eos_token_ids)
+        req = Req(
+            rid=t.rid,
+            origin_input_text=t.input_text,
+            origin_input_ids=t.input_ids,
+            sampling_params=t.sampling_params,
+            eos_token_ids=eos_ids,
+            stream=t.stream,
+            return_logprob=t.return_logprob,
+            top_logprobs_num=t.top_logprobs_num,
+            logprob_start_len=t.logprob_start_len,
+            lora_path=t.lora_path,
+        )
+        req.queue_time = time.time()
+        if len(req.origin_input_ids) == 0:
+            req.finished_reason = FINISH_ABORT("empty input not allowed")
+            self._emit_finished_stub(req)
+            return
+        max_len = self.runner.model_config.context_length
+        if len(req.origin_input_ids) >= max_len:
+            req.finished_reason = FINISH_ABORT(
+                f"input length {len(req.origin_input_ids)} exceeds context {max_len}"
+            )
+            self._emit_finished_stub(req)
+            return
+        # Clamp generation length to context.
+        room = max_len - len(req.origin_input_ids) - 1
+        req.sampling_params.max_new_tokens = min(
+            req.sampling_params.max_new_tokens, max(room, 0)
+        )
+        self._rid_to_req[req.rid] = req
+        self.waiting_queue.append(req)
+
+    def abort_request(self, a: AbortReq):
+        if a.abort_all:
+            for req in list(self._rid_to_req.values()):
+                req.to_abort = True
+            self.waiting_queue = [r for r in self.waiting_queue if not r.to_abort]
+            return
+        req = self._rid_to_req.get(a.rid)
+        if req is None:
+            return
+        if req in self.waiting_queue:
+            self.waiting_queue.remove(req)
+            req.finished_reason = FINISH_ABORT()
+            self._emit_finished_stub(req)
+        else:
+            req.to_abort = True  # picked up at next check_finished
+
+    def flush_cache(self) -> bool:
+        if not self.running_batch.is_empty() or self.waiting_queue:
+            return False
+        self.tree_cache.reset()
+        self.allocator.clear()
+        self.runner.flush_kv()
+        return True
+
+    def get_internal_state(self) -> Dict[str, Any]:
+        return {
+            "num_running_reqs": len(self.running_batch.reqs),
+            "num_waiting_reqs": len(self.waiting_queue),
+            "available_pages": self.allocator.available_pages(),
+            "evictable_tokens": self.tree_cache.evictable_size(),
+            "forward_ct": self.forward_ct,
+            "token_usage": self._token_usage(),
+            "cache_hit_rate": (
+                self.total_cached_tokens / max(self.total_prompt_tokens, 1)
+            ),
+        }
+
+    def _token_usage(self) -> float:
+        total = self.allocator.size
+        free = self.allocator.available_size()
+        return round(1 - free / total, 3)
+
+    # ------------------------------------------------------------------
+    # Batch selection
+    # ------------------------------------------------------------------
+    def get_next_batch_to_run(self):
+        """Returns (ModelWorkerBatch, is_prefill) or None."""
+        prefill = self.get_new_batch_prefill()
+        if prefill is not None:
+            self.last_prefill_batch = prefill
+            return prefill.prepare_for_extend(), True
+
+        if self.running_batch.is_empty():
+            return None
+        mwb = self.update_running_batch()
+        if mwb is None:
+            return None
+        return mwb, False
+
+    def get_new_batch_prefill(self) -> Optional[ScheduleBatch]:
+        if not self.waiting_queue and self.chunked_req is None:
+            return None
+        running = len(self.running_batch.reqs)
+        if running >= self.max_running_requests:
+            return None
+
+        adder = PrefillAdder(
+            page_size=self.page_size,
+            tree_cache=self.tree_cache,
+            allocator=self.allocator,
+            running_tokens=sum(
+                r.sampling_params.max_new_tokens - len(r.output_ids)
+                for r in self.running_batch.reqs
+            ),
+            max_prefill_tokens=self.server_args.max_prefill_tokens,
+            chunked_prefill_size=self.server_args.chunked_prefill_size,
+            max_batch_size=self.max_running_requests - running,
+            new_token_ratio=self.new_token_ratio,
+        )
+
+        if self.chunked_req is not None:
+            req = self.chunked_req
+            self.chunked_req = None
+            adder.add_chunked_req(req)
+
+        self.policy.calc_priority(self.waiting_queue, self.page_size)
+        admitted = []
+        for req in self.waiting_queue:
+            if self.policy.policy != "lpm":
+                req.init_next_round_input(self.tree_cache, self.page_size)
+            res = adder.add_one_req(req)
+            if req in adder.can_run_list:
+                admitted.append(req)
+            if res != AddReqResult.CONTINUE:
+                break
+        for req in admitted:
+            self.waiting_queue.remove(req)
+        if adder.new_chunked_req is not None:
+            self.chunked_req = adder.new_chunked_req
+        if not adder.can_run_list:
+            return None
+        for req in adder.can_run_list:
+            self.total_prompt_tokens += req.extend_input_len
+            self.total_cached_tokens += req.prefix_len
+        return ScheduleBatch.init_new(
+            adder.can_run_list, self.allocator, self.tree_cache
+        )
+
+    def update_running_batch(self) -> Optional[ModelWorkerBatch]:
+        batch = self.running_batch
+        batch.filter_batch()
+        if batch.is_empty():
+            return None
+        if not batch.decode_token_budget_ok():
+            retracted = batch.retract_decode()
+            self.stats.num_retracted_reqs += len(retracted)
+            if retracted:
+                # mirror the reference's adaptive new_token_ratio bump
+                self.new_token_ratio = min(self.new_token_ratio + 0.1, 1.0)
+                self.waiting_queue.extend(retracted)
+                logger.info(
+                    "retracted %d reqs on KV OOM (usage %.2f)",
+                    len(retracted),
+                    self._token_usage(),
+                )
+            if batch.is_empty():
+                return None
+        return batch.prepare_for_decode()
+
+    # ------------------------------------------------------------------
+    # Result processing (reference scheduler_output_processor_mixin.py)
+    # ------------------------------------------------------------------
+    def process_batch_result(
+        self, mwb: ModelWorkerBatch, next_tokens: np.ndarray, is_prefill: bool
+    ):
+        if is_prefill:
+            batch = self.last_prefill_batch
+            self.last_prefill_batch = None
+            new_running = []
+            for i, req in enumerate(batch.reqs):
+                if req.is_chunked > 0:
+                    # mid-chunk: publish computed KV, no token sampled
+                    req.is_chunked -= 1
+                    self.tree_cache.cache_unfinished_req(req)
+                    continue
+                self._append_token(req, int(next_tokens[i]))
+                if req.finished:
+                    self.tree_cache.cache_finished_req(req)
+                else:
+                    new_running.append(req)
+            if new_running:
+                self.running_batch.merge_batch(
+                    ScheduleBatch.init_new(
+                        new_running, self.allocator, self.tree_cache
+                    )
+                )
+            self._emit_outputs(batch.reqs)
+        else:
+            for i, req in enumerate(self.running_batch.reqs):
+                self._append_token(req, int(next_tokens[i]))
+                if req.finished:
+                    self.tree_cache.cache_finished_req(req)
+            self._emit_outputs(self.running_batch.reqs)
+            self.running_batch.filter_batch()
+            self.num_generated_tokens += len(self.running_batch.reqs)
+        self._maybe_log()
+
+    def _append_token(self, req: Req, token: int):
+        if req.sampling_params.max_new_tokens == 0:
+            # degenerate request: prefill only, drop the sampled token
+            from sglang_npu_tpu.managers.schedule_batch import FINISH_LENGTH
+
+            req.finished_reason = FINISH_LENGTH(0)
+            self._rid_to_req.pop(req.rid, None)
+            return
+        req.output_ids.append(token)
+        req.fill_ids.append(token)
+        req.check_finished(self.tokenizer)
+        if req.finished:
+            self._rid_to_req.pop(req.rid, None)
+
+    # ------------------------------------------------------------------
+    def _emit_outputs(self, reqs: List[Req]):
+        out_reqs = []
+        for req in reqs:
+            if req.is_chunked > 0:
+                continue
+            if req.finished:
+                out_reqs.append(req)
+            elif req.stream and (
+                len(req.output_ids) - req.stream_sent
+                >= self.server_args.stream_interval
+            ):
+                out_reqs.append(req)
+        if not out_reqs:
+            return
+        out = BatchTokenIDOut(
+            rids=[r.rid for r in out_reqs],
+            finished_reasons=[
+                r.finished_reason.to_json() if r.finished_reason else None
+                for r in out_reqs
+            ],
+            decoded_texts=["" for _ in out_reqs],
+            decode_ids=[list(r.output_ids) for r in out_reqs],
+            read_offsets=[r.stream_sent for r in out_reqs],
+            output_ids=[r.output_ids[r.stream_sent :] for r in out_reqs],
+            skip_special_tokens=[
+                r.sampling_params.skip_special_tokens for r in out_reqs
+            ],
+            spaces_between_special_tokens=[
+                r.sampling_params.spaces_between_special_tokens for r in out_reqs
+            ],
+            no_stop_trim=[r.sampling_params.no_stop_trim for r in out_reqs],
+            prompt_tokens=[len(r.origin_input_ids) for r in out_reqs],
+            completion_tokens=[len(r.output_ids) for r in out_reqs],
+            cached_tokens=[r.cached_tokens for r in out_reqs],
+        )
+        for r in out_reqs:
+            r.stream_sent = len(r.output_ids)
+        self.output_queue.put(out)
+
+    def _emit_finished_stub(self, req: Req):
+        """Emit a finish record for a request that never ran (abort/validation)."""
+        self.output_queue.put(
+            BatchTokenIDOut(
+                rids=[req.rid],
+                finished_reasons=[req.finished_reason.to_json()],
+                decoded_texts=[""],
+                decode_ids=[list(req.output_ids)],
+                read_offsets=[0],
+                output_ids=[list(req.output_ids)],
+                skip_special_tokens=[True],
+                spaces_between_special_tokens=[True],
+                no_stop_trim=[False],
+                prompt_tokens=[len(req.origin_input_ids)],
+                completion_tokens=[len(req.output_ids)],
+                cached_tokens=[req.cached_tokens],
+            )
+        )
+
+    def _maybe_log(self):
+        now = time.time()
+        if self.forward_ct % self.server_args.decode_log_interval == 0:
+            dt = now - self.last_log_time
+            tput = self.num_generated_tokens / dt if dt > 0 else 0.0
+            self.stats.gen_throughput = tput
+            self.stats.num_running_reqs = len(self.running_batch.reqs)
+            self.stats.num_waiting_reqs = len(self.waiting_queue)
+            self.stats.token_usage = self._token_usage()
+            logger.info(
+                "step %d: running %d, waiting %d, tokens/s %.1f, kv usage %.2f",
+                self.forward_ct,
+                len(self.running_batch.reqs),
+                len(self.waiting_queue),
+                tput,
+                self._token_usage(),
+            )
+            self.num_generated_tokens = 0
+            self.last_log_time = now
+
+
+def run_scheduler_thread(scheduler: Scheduler) -> threading.Thread:
+    t = threading.Thread(target=scheduler.event_loop, daemon=True, name="scheduler")
+    t.start()
+    return t

@@ -1,0 +1,216 @@
+"""Request hub: tokenize inputs, dispatch to the scheduler, route results.
+
+Counterpart of the reference's `srt/managers/tokenizer_manager.py`
+(`TokenizerManager:174`, `generate_request:470`, `_wait_one_response:742`,
+`_handle_batch_output:1505`).  In the TPU single-process-per-host topology
+the ZMQ sockets become thread queues; a router thread fans `BatchStrOut`
+results out to per-request mailboxes.  Sync iteration is native; async
+wrappers (`generate_request`) bridge with `asyncio.to_thread`.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import logging
+import queue
+import threading
+import time
+import uuid
+from typing import Any, AsyncGenerator, Dict, List, Optional
+
+from sglang_npu_tpu.managers.io_struct import (
+    AbortReq,
+    BatchStrOut,
+    FlushCacheReqOutput,
+    GenerateReqInput,
+    GetInternalStateReqOutput,
+    TokenizedGenerateReqInput,
+)
+from sglang_npu_tpu.sampling.sampling_params import SamplingParams
+from sglang_npu_tpu.server_args import ServerArgs
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ReqState:
+    mailbox: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
+    text: str = ""
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    finished: bool = False
+    created_time: float = 0.0
+    first_token_time: Optional[float] = None
+
+
+class TokenizerManager:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        scheduler_input_queue: "queue.Queue",
+        detok_output_queue: "queue.Queue",
+        tokenizer,
+    ):
+        self.server_args = server_args
+        self.scheduler_input_queue = scheduler_input_queue
+        self.detok_output_queue = detok_output_queue
+        self.tokenizer = tokenizer
+        self.rid_to_state: Dict[str, ReqState] = {}
+        self.control_mailbox: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._running = True
+        self._router = threading.Thread(
+            target=self._route_loop, daemon=True, name="tok-router"
+        )
+        self._router.start()
+
+    def shutdown(self):
+        self._running = False
+        self.detok_output_queue.put(None)
+
+    # ------------------------------------------------------------------
+    def _route_loop(self):
+        while self._running:
+            try:
+                item = self.detok_output_queue.get(timeout=1.0)
+            except queue.Empty:
+                continue
+            if item is None:
+                break
+            if isinstance(item, BatchStrOut):
+                self._handle_batch_output(item)
+            elif isinstance(item, (FlushCacheReqOutput, GetInternalStateReqOutput)):
+                self.control_mailbox.put(item)
+            else:
+                logger.warning("unroutable output %r", type(item))
+
+    def _handle_batch_output(self, b: BatchStrOut):
+        for i, rid in enumerate(b.rids):
+            with self._lock:
+                state = self.rid_to_state.get(rid)
+            if state is None:
+                continue
+            state.text += b.output_strs[i]
+            state.output_ids.extend(b.output_ids[i])
+            finished = b.finished_reasons[i] is not None
+            if state.first_token_time is None:
+                state.first_token_time = time.time()
+            chunk = {
+                "text": state.text,
+                "output_ids": list(state.output_ids),
+                "meta_info": {
+                    "id": rid,
+                    "finish_reason": b.finished_reasons[i],
+                    "prompt_tokens": b.prompt_tokens[i],
+                    "completion_tokens": b.completion_tokens[i],
+                    "cached_tokens": b.cached_tokens[i],
+                },
+            }
+            if finished:
+                state.finished = True
+                with self._lock:
+                    self.rid_to_state.pop(rid, None)
+            state.mailbox.put((chunk, finished))
+
+    # ------------------------------------------------------------------
+    def tokenize_one(self, obj: GenerateReqInput, index: Optional[int] = None):
+        """Build a TokenizedGenerateReqInput from one (possibly batched)
+        GenerateReqInput element."""
+
+        def pick(field):
+            v = getattr(obj, field)
+            if index is None or not isinstance(v, list):
+                return v
+            return v[index]
+
+        text = pick("text")
+        input_ids = pick("input_ids") if obj.input_ids is not None else None
+        if input_ids is None:
+            if self.tokenizer is None:
+                raise ValueError(
+                    "no tokenizer available; pass input_ids "
+                    "(skip_tokenizer_init mode)"
+                )
+            input_ids = self.tokenizer.encode(text)
+        sp = obj.sampling_params
+        if isinstance(sp, list):
+            sp = sp[index or 0]
+        params = SamplingParams.from_dict(sp)
+        rid = pick("rid") or uuid.uuid4().hex
+        return TokenizedGenerateReqInput(
+            rid=rid,
+            input_text=text,
+            input_ids=list(input_ids),
+            sampling_params=params,
+            return_logprob=obj.return_logprob,
+            logprob_start_len=obj.logprob_start_len,
+            top_logprobs_num=obj.top_logprobs_num,
+            stream=obj.stream,
+            lora_path=obj.lora_path if not isinstance(obj.lora_path, list) else None,
+        )
+
+    def submit(self, tokenized: TokenizedGenerateReqInput) -> ReqState:
+        state = ReqState(created_time=time.time())
+        with self._lock:
+            self.rid_to_state[tokenized.rid] = state
+        self.scheduler_input_queue.put(tokenized)
+        return state
+
+    def abort_request(self, rid: str = "", abort_all: bool = False):
+        self.scheduler_input_queue.put(AbortReq(rid=rid, abort_all=abort_all))
+
+    # ------------------------------------------------------------------
+    # Sync interface (Engine)
+    # ------------------------------------------------------------------
+    def generate_sync(self, obj: GenerateReqInput, timeout: float = 3600.0):
+        """Blocking generate; returns dict (single) or list of dicts."""
+        obj.post_init()
+        n = 1 if obj.is_single else obj.batch_size()
+        states = []
+        for i in range(n):
+            t = self.tokenize_one(obj, None if obj.is_single else i)
+            states.append((t.rid, self.submit(t)))
+        results = []
+        for rid, state in states:
+            deadline = time.time() + timeout
+            while True:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    raise TimeoutError(f"request {rid} timed out")
+                chunk, finished = state.mailbox.get(timeout=remaining)
+                if finished:
+                    results.append(chunk)
+                    break
+        return results[0] if obj.is_single else results
+
+    def stream_sync(self, obj: GenerateReqInput, timeout: float = 3600.0):
+        """Blocking streaming iterator for a single request."""
+        obj.post_init()
+        t = self.tokenize_one(obj)
+        state = self.submit(t)
+        deadline = time.time() + timeout
+        while True:
+            chunk, finished = state.mailbox.get(timeout=deadline - time.time())
+            yield chunk
+            if finished:
+                return
+
+    # ------------------------------------------------------------------
+    # Async interface (HTTP server)
+    # ------------------------------------------------------------------
+    async def generate_request(
+        self, obj: GenerateReqInput
+    ) -> AsyncGenerator[Dict[str, Any], None]:
+        obj.post_init()
+        if obj.is_single:
+            t = self.tokenize_one(obj)
+            state = self.submit(t)
+            while True:
+                chunk, finished = await asyncio.to_thread(state.mailbox.get)
+                yield chunk
+                if finished:
+                    return
+        else:
+            results = await asyncio.to_thread(self.generate_sync, obj)
+            for r in results:
+                yield r

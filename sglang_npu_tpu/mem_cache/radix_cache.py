@@ -221,7 +221,10 @@ class RadixCache(BasePrefixCache):
         # Partial tail page never enters the tree.
         if aligned < len(slots):
             self.allocator.free_slots(slots[aligned:])
-        self.dec_lock_ref(req.last_node)
+        locked = getattr(req, "locked_node", None)
+        if locked is not None:
+            self.dec_lock_ref(locked)
+            req.locked_node = None
 
     # ------------------------------------------------------------------
     def cache_unfinished_req(self, req) -> None:
@@ -243,8 +246,12 @@ class RadixCache(BasePrefixCache):
         req.kv_slots = np.concatenate([res.device_indices, slots[aligned:]]).astype(
             np.int32
         )
-        self.dec_lock_ref(req.last_node)
+        # Transfer the request's single lock to the (deeper) new node.
+        locked = getattr(req, "locked_node", None)
+        if locked is not None:
+            self.dec_lock_ref(locked)
         self.inc_lock_ref(res.last_node)
+        req.locked_node = res.last_node
         req.last_node = res.last_node
         req.prefix_len = aligned
 

@@ -120,6 +120,7 @@ def test_cache_finished_req_lifecycle():
     extra = a.alloc_extend(12, 14, pages2)
     req2.kv_slots = np.concatenate([res2.device_indices, extra])
     req2.last_node = res2.last_node
+    req2.locked_node = res2.last_node
     c.inc_lock_ref(res2.last_node)
     avail = a.available_pages()
     c.cache_finished_req(req2)
