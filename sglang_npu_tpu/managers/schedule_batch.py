@@ -243,6 +243,10 @@ class ModelWorkerBatch:
     sampling_info: "SamplingBatchNumpy"
     rids: List[str]
     real_bs: int
+    # multi-step decode: device runs this many steps per dispatch, feeding
+    # sampled tokens back on-device; [B] per-req fill-length limits.
+    decode_steps: int = 1
+    decode_limits: Optional[np.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -358,24 +362,37 @@ class ScheduleBatch:
         )
 
     # ------------------------------------------------------------------
-    def prepare_for_decode(self) -> ModelWorkerBatch:
+    def prepare_for_decode(self, decode_steps: int = 1) -> ModelWorkerBatch:
+        """Allocate KV for up to ``decode_steps`` tokens per request and
+        build the decode batch.  The device computes per-step write slots
+        from the page table, so only page tables + lengths travel."""
         self.forward_mode = ForwardMode.DECODE
         input_ids = np.array([r.fill_ids[-1] for r in self.reqs], dtype=np.int32)
         positions = np.array([r.seq_len - 1 for r in self.reqs], dtype=np.int32)
         seq_lens = np.array([r.seq_len for r in self.reqs], dtype=np.int32)
         out_slots = np.empty((len(self.reqs),), dtype=np.int32)
+        limits = np.empty((len(self.reqs),), dtype=np.int32)
         for i, req in enumerate(self.reqs):
-            slots = self.alloc_extend_slots(req, req.seq_len)
-            assert len(slots) == 1
+            # KV covers seq_len-1 tokens; the window feeds tokens at
+            # positions [seq_len-1, seq_len-1+K), so allocate K more slots.
+            slots = self.alloc_extend_slots(req, req.seq_len - 1 + decode_steps)
+            assert len(slots) == decode_steps
             out_slots[i] = slots[0]
-        return self._finalize(input_ids, positions, seq_lens, out_slots, None, None)
+            remaining = req.sampling_params.max_new_tokens - len(req.output_ids)
+            limits[i] = req.seq_len + min(max(remaining, 0), decode_steps)
+        mwb = self._finalize(input_ids, positions, seq_lens, out_slots, None, None)
+        mwb.decode_steps = decode_steps
+        mwb.decode_limits = limits
+        return mwb
 
     # ------------------------------------------------------------------
     def _finalize(
         self, input_ids, positions, seq_lens, out_slots, extend_lens, prefix_lens
     ) -> ModelWorkerBatch:
         ps = self.allocator.page_size
-        max_pages = max((-(-int(l) // ps) for l in seq_lens), default=1)
+        # size from allocated slots (covers multi-step decode preallocation)
+        max_pages = max((len(r.kv_slots[::ps]) for r in self.reqs), default=1)
+        max_pages = max(max_pages, 1)
         page_tables = np.zeros((len(self.reqs), max_pages), dtype=np.int32)
         for i, req in enumerate(self.reqs):
             pages = req.kv_slots[::ps] // ps

@@ -322,12 +322,21 @@ class Scheduler:
             adder.can_run_list, self.allocator, self.tree_cache
         )
 
+    def _decode_window(self) -> int:
+        """Decode steps fused per dispatch; collapse to 1 when per-token
+        host work is required (logprobs, grammar) — mirrors the reference
+        disabling overlap for those paths."""
+        K = max(self.server_args.decode_steps, 1)
+        if any(r.return_logprob or r.grammar is not None for r in self.running_batch.reqs):
+            return 1
+        return K
+
     def update_running_batch(self) -> Optional[ModelWorkerBatch]:
         batch = self.running_batch
         batch.filter_batch()
         if batch.is_empty():
             return None
-        if not batch.decode_token_budget_ok():
+        if not batch.decode_token_budget_ok(extra_steps=self._decode_window() - 1):
             retracted = batch.retract_decode()
             self.stats.num_retracted_reqs += len(retracted)
             if retracted:
@@ -341,7 +350,7 @@ class Scheduler:
                 )
             if batch.is_empty():
                 return None
-        return batch.prepare_for_decode()
+        return batch.prepare_for_decode(self._decode_window())
 
     # ------------------------------------------------------------------
     # Result processing (reference scheduler_output_processor_mixin.py)
@@ -372,13 +381,20 @@ class Scheduler:
                 )
             self._emit_outputs(batch.reqs)
         else:
+            # decode window: next_tokens is [B, K]; consume per req until
+            # finish, then return unused preallocated KV slots.
+            K = mwb.decode_steps
             for i, req in enumerate(self.running_batch.reqs):
-                self._append_token(req, int(next_tokens[i]))
+                for k in range(K):
+                    if req.finished:
+                        break
+                    self._append_token(req, int(next_tokens[i, k]))
+                    self.num_generated_tokens += 1
+                self.allocator.shrink_req(req, len(req.fill_ids) - 1)
                 if req.finished:
                     self.tree_cache.cache_finished_req(req)
             self._emit_outputs(self.running_batch.reqs)
             self.running_batch.filter_batch()
-            self.num_generated_tokens += len(self.running_batch.reqs)
         self._maybe_log()
 
     def _append_token(self, req: Req, token: int):

@@ -97,6 +97,20 @@ class PagedAllocator:
         pages = np.unique(np.asarray(slots) // self.page_size)
         self.free_page_ids(pages.tolist())
 
+    def shrink_req(self, req, new_len: int) -> None:
+        """Truncate a request's slot array to ``new_len`` tokens, freeing
+        pages that become wholly unused (multi-step decode windows allocate
+        K slots up front; early finishes return the tail)."""
+        ps = self.page_size
+        if new_len >= len(req.kv_slots):
+            return
+        keep_pages = -(-new_len // ps)
+        drop = req.pages[keep_pages:]
+        if drop:
+            self.free_page_ids(drop)
+            req.pages = req.pages[:keep_pages]
+        req.kv_slots = req.kv_slots[:new_len]
+
 
 class ReqSlotPool:
     """Request-slot bookkeeping (reference `ReqToTokenPool:47`).

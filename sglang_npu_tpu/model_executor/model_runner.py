@@ -99,6 +99,7 @@ class ModelRunner:
         self.step_counter = 0
 
         self._step_fn = self._build_step_fn()
+        self._multi_fn = self._build_multi_step_fn()
         self.max_pages_per_req = cdiv(
             model_config.context_length, self.page_size
         )
@@ -199,6 +200,64 @@ class ModelRunner:
 
         return jax.jit(step, donate_argnums=(1,), static_argnames=("sample_mode",))
 
+    def _build_multi_step_fn(self):
+        """K decode steps fused in one jit with on-device token feedback —
+        the TPU answer to per-step dispatch latency (and the clean version
+        of the reference's overlap scheduler's future-token loop,
+        `tp_worker_overlap_thread.py:45`)."""
+        model = self.model
+        ps = self.page_size
+
+        def multi(
+            params,
+            kv_pool,
+            tokens,  # [B] last sampled token per req
+            page_tables,  # [B, P]
+            seq_lens,  # [B] current fill length (incl. `tokens`)
+            limits,  # [B] fill-length limit for this window
+            sampling,
+            rng,
+            n_steps,
+            sample_mode,
+        ):
+            def body(carry, k):
+                kv_pool, toks, lens = carry
+                active = lens < limits
+                pos = jnp.maximum(lens - 1, 0)
+                page = jnp.take_along_axis(
+                    page_tables, (pos // ps)[:, None], axis=1
+                )[:, 0]
+                slot = jnp.where(active, page * ps + pos % ps, 0)
+                fb = ForwardBatch(
+                    input_ids=toks[:, None],
+                    positions=pos[:, None],
+                    out_slots=slot[:, None],
+                    page_tables=page_tables,
+                    seq_lens=lens,
+                    extend_seq_lens=None,
+                    extend_prefix_lens=None,
+                )
+                logits, kv_pool = model(params, kv_pool, fb, ps)
+                krng = jax.random.fold_in(rng, k)
+                if sample_mode == "greedy":
+                    nt = sampler_ops.sample_greedy(logits, sampling, krng)
+                elif sample_mode == "simple":
+                    nt = sampler_ops.sample_simple(logits, sampling, krng)
+                else:
+                    nt = sampler_ops.sample_full(logits, sampling, krng)
+                nt = jnp.where(active, nt, 0)
+                lens = jnp.where(active, lens + 1, lens)
+                return (kv_pool, nt, lens), nt
+
+            (kv_pool, _, _), toks = jax.lax.scan(
+                body, (kv_pool, tokens, seq_lens), jnp.arange(n_steps)
+            )
+            return toks.T, kv_pool  # [B, K]
+
+        return jax.jit(
+            multi, donate_argnums=(1,), static_argnames=("n_steps", "sample_mode")
+        )
+
     # ------------------------------------------------------------------
     def _buckets(self, mwb: ModelWorkerBatch):
         B = len(mwb.seq_lens)
@@ -221,8 +280,16 @@ class ModelRunner:
 
     # ------------------------------------------------------------------
     def forward_and_sample(self, mwb: ModelWorkerBatch) -> np.ndarray:
-        """Run one padded step; returns next token ids [real_bs] (host)."""
+        """Run one padded step.
+
+        Extend: returns next token ids [real_bs].
+        Decode: runs mwb.decode_steps fused steps; returns [real_bs, K].
+        """
         bs_bucket, pages_bucket = self._buckets(mwb)
+        sampling = build_sampling_device(mwb, bs_bucket)
+        self.step_counter += 1
+        rng = self._step_rng(self.step_counter)
+
         if mwb.forward_mode == ForwardMode.EXTEND:
             extend_bucket = max(
                 next_power_of_2(int(np.max(mwb.extend_seq_lens))), 16
@@ -230,21 +297,45 @@ class ModelRunner:
             fb = build_extend_forward_batch(
                 mwb, bs_bucket, extend_bucket, pages_bucket, self.page_size
             )
-        else:
-            fb = build_decode_forward_batch(mwb, bs_bucket, pages_bucket)
-        sampling = build_sampling_device(mwb, bs_bucket)
+            tokens, self.kv_pool = self._step_fn(
+                self.params,
+                self.kv_pool,
+                fb,
+                sampling,
+                rng,
+                sample_mode=self._sample_mode(mwb),
+            )
+            return np.asarray(jax.device_get(tokens))[: mwb.real_bs]
 
-        self.step_counter += 1
-        rng = jax.random.fold_in(self.rng_base, self.step_counter)
-        tokens, self.kv_pool = self._step_fn(
+        # decode: fused multi-step window
+        from sglang_npu_tpu.model_executor.forward_batch_info import pad_to
+
+        K = mwb.decode_steps
+        pt = pad_to(
+            pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0
+        )
+        tokens, self.kv_pool = self._multi_fn(
             self.params,
             self.kv_pool,
-            fb,
+            jnp.asarray(pad_to(mwb.input_ids, bs_bucket)),
+            jnp.asarray(pt),
+            jnp.asarray(pad_to(mwb.seq_lens, bs_bucket)),
+            jnp.asarray(pad_to(mwb.decode_limits, bs_bucket)),
             sampling,
             rng,
+            n_steps=K,
             sample_mode=self._sample_mode(mwb),
         )
         return np.asarray(jax.device_get(tokens))[: mwb.real_bs]
+
+    def _step_rng(self, step: int):
+        """Per-step RNG key. fold_in is jitted with a device scalar so the
+        changing step id does NOT trigger a retrace (an eager fold_in with a
+        python int recompiles every step — catastrophic on remote-compile
+        backends)."""
+        if not hasattr(self, "_fold_fn"):
+            self._fold_fn = jax.jit(jax.random.fold_in)
+        return self._fold_fn(self.rng_base, np.uint32(step % (1 << 31)))
 
     def forward_logits(self, mwb: ModelWorkerBatch) -> np.ndarray:
         """Run one step returning last-token logits [real_bs, vocab]

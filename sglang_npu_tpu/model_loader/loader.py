@@ -154,9 +154,48 @@ def _validate_spec(shape, spec: P, mesh) -> P:
     return P(*fixed)
 
 
+def init_dummy_weights_device(model, mesh, seed: int = 0) -> Dict[str, Any]:
+    """Generate dummy weights directly on the devices (jit with
+    out_shardings) — avoids host->device transfer entirely, which matters
+    on low-bandwidth links and multi-GB models."""
+    import functools
+
+    key = jax.random.key(seed)
+    specs = model.param_shardings()
+    counter = [0]
+
+    def init(node, spec_node):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                out[k] = init(v, spec_node[k])
+                continue
+            shape, dtype = v
+            spec = spec_node.get(k, P()) if isinstance(spec_node, dict) else P()
+            spec = _validate_spec(shape, spec, mesh)
+            sharding = NamedSharding(mesh, spec)
+            counter[0] += 1
+            leaf_key = jax.random.fold_in(key, counter[0])
+            if "norm" in k:
+                fn = jax.jit(
+                    lambda _k, s=shape, d=dtype: jnp.ones(s, d),
+                    out_shardings=sharding,
+                )
+            else:
+                fn = jax.jit(
+                    lambda _k, s=shape, d=dtype: (
+                        jax.random.normal(_k, s, jnp.float32) * 0.02
+                    ).astype(d),
+                    out_shardings=sharding,
+                )
+            out[k] = fn(leaf_key)
+        return out
+
+    return init(model.param_shapes(), specs)
+
+
 def load_model_weights(model, model_path: str, load_format: str, mesh, seed: int = 0):
     if load_format == "dummy":
-        host = init_dummy_weights(model, seed)
-    else:
-        host = load_safetensors_weights(model, model_path)
+        return init_dummy_weights_device(model, mesh, seed)
+    host = load_safetensors_weights(model, model_path)
     return device_put_params(host, model, mesh)

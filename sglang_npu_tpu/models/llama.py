@@ -163,8 +163,13 @@ class LlamaForCausalLM:
         eps = c.rms_norm_eps
         rope = self.rope
 
-        def layer_fn(x, xs):
-            lp, kv_l = xs
+        # The KV pool is CARRIED whole through the layer scan and addressed
+        # with combined (layer, k/v, slot) gather/scatter indices — XLA then
+        # touches only the accessed rows in place.  (Consuming the pool as
+        # scan xs/ys instead would copy a full per-layer slab every
+        # iteration: traffic proportional to pool size, not batch size.)
+        def layer_fn(carry, lp):
+            x, kv_pool, l = carry
             h = rms_norm(x, lp["input_norm"], eps)
             q = jnp.einsum("bed,dh->beh", h, lp["wq"])
             k = jnp.einsum("bed,dh->beh", h, lp["wk"])
@@ -181,8 +186,8 @@ class LlamaForCausalLM:
                 k = rms_norm(k, lp["k_norm"], eps)
             q, k = apply_rope(q, k, fb.positions, rope)
 
-            kv_l = write_kv(kv_l, k, v, fb.out_slots)
-            att = self._attention(q, kv_l, fb, page_size)
+            kv_pool = write_kv(kv_pool, l, k, v, fb.out_slots)
+            att = self._attention(q, kv_pool, l, fb, page_size)
             x = x + jnp.einsum(
                 "beh,hd->bed", att.reshape(B, E, self.q_size), lp["wo"]
             )
@@ -192,9 +197,11 @@ class LlamaForCausalLM:
             up = jnp.einsum("bed,df->bef", h, lp["w_up"])
             act = jax.nn.silu(gate) * up  # stays shard-local under TP
             x = x + jnp.einsum("bef,fd->bed", act, lp["w_down"])
-            return x, kv_l
+            return (x, kv_pool, l + 1), None
 
-        x, new_kv = jax.lax.scan(layer_fn, x, (params["layers"], kv_pool))
+        (x, new_kv, _), _ = jax.lax.scan(
+            layer_fn, (x, kv_pool, jnp.int32(0)), params["layers"]
+        )
         x = rms_norm(x, params["final_norm"], eps)
 
         # Last-token gather (reference LogitsProcessor last-token pruning).
@@ -204,24 +211,33 @@ class LlamaForCausalLM:
         else:
             last = x[:, 0]
 
-        head = (
-            params["embed"].T
-            if "lm_head" not in params
-            else params["lm_head"]
-        )
-        logits = jnp.einsum(
-            "bd,dv->bv", last.astype(jnp.float32), head.astype(jnp.float32)
-        )
+        # bf16 x bf16 matmul with f32 accumulation — never materialize an
+        # f32 copy of the vocab matrix.
+        if "lm_head" not in params:
+            logits = jnp.einsum(
+                "bd,vd->bv",
+                last,
+                params["embed"],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            logits = jnp.einsum(
+                "bd,dv->bv",
+                last,
+                params["lm_head"],
+                preferred_element_type=jnp.float32,
+            )
         return logits, new_kv
 
-    def _attention(self, q, kv_l, fb: ForwardBatch, page_size: int):
+    def _attention(self, q, kv_pool, layer_idx, fb: ForwardBatch, page_size: int):
         if self.attn_backend is not None:
             return self.attn_backend(
-                q, kv_l, fb, page_size, self.scale, self.config
+                q, kv_pool, layer_idx, fb, page_size, self.scale, self.config
             )
         return paged_attention_xla(
             q,
-            kv_l,
+            kv_pool,
+            layer_idx,
             fb.page_tables,
             fb.seq_lens,
             fb.positions,

@@ -19,7 +19,7 @@ from sglang_npu_tpu.ops.xla_attention import paged_attention_xla
 
 
 def make_pallas_attention_backend():
-    def backend(q, kv_l, fb, page_size, scale, config):
+    def backend(q, kv_pool, layer_idx, fb, page_size, scale, config):
         B, E, Hq, D = q.shape
         sliding_window = config.sliding_window or -1
         if E == 1:
@@ -30,7 +30,8 @@ def make_pallas_attention_backend():
 
                 return paged_decode_attention(
                     q[:, 0],
-                    kv_l,
+                    kv_pool,
+                    layer_idx,
                     fb.page_tables,
                     fb.seq_lens,
                     page_size,
@@ -41,7 +42,8 @@ def make_pallas_attention_backend():
                 pass
         return paged_attention_xla(
             q,
-            kv_l,
+            kv_pool,
+            layer_idx,
             fb.page_tables,
             fb.seq_lens,
             fb.positions,

@@ -9,9 +9,18 @@ Unified code path: new-token KV is scattered into the pool *before*
 attention, so both extend and decode read everything through the page table.
 Decode is just extend with E=1.
 
-KV pool layout (token-major): kv_l = [2, S, H_kv, D] for one layer, where
-S = num_pages * page_size token slots. Slot 0..page_size-1 live on the
-reserved garbage page for padded writes.
+KV pool layout (token-major): [L, 2, S, H_kv, D] where S = num_pages *
+page_size token slots.  The pool is threaded through the layer scan as a
+single carried buffer; reads and writes address it with combined
+(layer, k/v, slot) indices so XLA touches only the needed rows instead of
+copying per-layer slabs (critical: slab copies scale with pool size, not
+batch size).  Slots 0..page_size-1 are the reserved garbage page for padded
+writes.
+
+Performance notes (TPU):
+  * all matmuls take bf16 inputs with preferred_element_type=f32 — no
+    materialized f32 casts of K/V.
+  * masks are built from iota comparisons, fused by XLA.
 """
 
 from __future__ import annotations
@@ -23,23 +32,25 @@ NEG_INF = -1e9
 
 
 def write_kv(
-    kv_l: jax.Array,  # [2, S, H_kv, D]
+    kv_pool: jax.Array,  # [L, 2, S, H_kv, D]
+    layer_idx: jax.Array,  # scalar int32 (traced)
     new_k: jax.Array,  # [B, E, H_kv, D]
     new_v: jax.Array,
     out_slots: jax.Array,  # [B, E] int32
 ) -> jax.Array:
-    """Scatter new K/V rows into the pool (donated in-place under jit)."""
+    """Scatter new K/V rows into the pool at (layer_idx, {0,1}, slots)."""
     flat_slots = out_slots.reshape(-1)
-    nk = new_k.reshape(-1, *new_k.shape[2:]).astype(kv_l.dtype)
-    nv = new_v.reshape(-1, *new_v.shape[2:]).astype(kv_l.dtype)
-    kv_l = kv_l.at[0, flat_slots].set(nk, mode="drop")
-    kv_l = kv_l.at[1, flat_slots].set(nv, mode="drop")
-    return kv_l
+    nk = new_k.reshape(-1, *new_k.shape[2:]).astype(kv_pool.dtype)
+    nv = new_v.reshape(-1, *new_v.shape[2:]).astype(kv_pool.dtype)
+    kv_pool = kv_pool.at[layer_idx, 0, flat_slots].set(nk, mode="drop")
+    kv_pool = kv_pool.at[layer_idx, 1, flat_slots].set(nv, mode="drop")
+    return kv_pool
 
 
 def paged_attention_xla(
     q: jax.Array,  # [B, E, H_q, D]
-    kv_l: jax.Array,  # [2, S, H_kv, D]
+    kv_pool: jax.Array,  # [L, 2, S, H_kv, D]
+    layer_idx: jax.Array,  # scalar int32 (traced)
     page_tables: jax.Array,  # [B, P] int32
     seq_lens: jax.Array,  # [B] int32 (kv length incl. new tokens)
     q_positions: jax.Array,  # [B, E] int32 absolute positions
@@ -54,7 +65,7 @@ def paged_attention_xla(
     """
     B, E, Hq, D = q.shape
     P = page_tables.shape[1]
-    Hkv = kv_l.shape[2]
+    Hkv = kv_pool.shape[3]
     Lkv = P * page_size
 
     # [B, Lkv] token slot ids
@@ -63,15 +74,18 @@ def paged_attention_xla(
         B, Lkv
     )
 
-    k = kv_l[0, slot_ids]  # [B, Lkv, Hkv, D]
-    v = kv_l[1, slot_ids]
+    k = kv_pool[layer_idx, 0, slot_ids]  # [B, Lkv, Hkv, D] — row gather only
+    v = kv_pool[layer_idx, 1, slot_ids]
 
     group = Hq // Hkv
     qg = q.reshape(B, E, Hkv, group, D)
 
-    scores = jnp.einsum(
-        "behgd,blhd->behgl", qg.astype(jnp.float32), k.astype(jnp.float32)
-    ) * scale  # [B, E, Hkv, group, Lkv]
+    scores = (
+        jnp.einsum(
+            "behgd,blhd->behgl", qg, k, preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # [B, E, Hkv, group, Lkv] f32
 
     if logit_cap > 0:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
@@ -83,6 +97,8 @@ def paged_attention_xla(
         mask = mask & (kv_pos > qp - sliding_window)
     scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)
 
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("behgl,blhd->behgd", probs, v.astype(jnp.float32))
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum(
+        "behgl,blhd->behgd", probs, v, preferred_element_type=jnp.float32
+    )
     return out.reshape(B, E, Hq, D).astype(q.dtype)

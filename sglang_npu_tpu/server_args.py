@@ -73,6 +73,10 @@ class ServerArgs:
     sampling_backend: str = "jax"
     disable_overlap_schedule: bool = False
     disable_jit_buckets: bool = False
+    # Decode steps fused into ONE device dispatch (on-device token feedback
+    # loop). Amortizes host<->device round trips; tokens stream back to the
+    # host once per window. 1 = classic per-step dispatch.
+    decode_steps: int = 8
     decode_bucket_sizes: Optional[List[int]] = None
     prefill_bucket_sizes: Optional[List[int]] = None
     random_seed: Optional[int] = None
