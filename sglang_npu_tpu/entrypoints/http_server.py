@@ -1,0 +1,221 @@
+"""HTTP serving API.
+
+Counterpart of the reference's `srt/entrypoints/http_server.py` (FastAPI app:
+`/generate:345`, `/health:233`, `/flush_cache:430`, `/get_model_info`,
+OpenAI routes `:767-847`).  Built on aiohttp (this image carries no
+fastapi/pydantic); request/response schemas live in
+`entrypoints/openai/protocol.py` as plain dataclasses with explicit
+validation — same wire format as the reference.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import json
+import logging
+import time
+from typing import Any, Dict, Optional
+
+from aiohttp import web
+
+from sglang_npu_tpu.managers.io_struct import GenerateReqInput
+from sglang_npu_tpu.server_args import ServerArgs, prepare_server_args
+
+logger = logging.getLogger(__name__)
+
+
+def _json_error(message: str, status: int = 400, etype: str = "invalid_request_error"):
+    return web.json_response(
+        {"error": {"message": message, "type": etype}}, status=status
+    )
+
+
+class HttpServer:
+    def __init__(self, engine):
+        self.engine = engine
+        self.tm = engine.tokenizer_manager
+        self.start_time = time.time()
+        from sglang_npu_tpu.entrypoints.openai.serving_chat import ChatServing
+        from sglang_npu_tpu.entrypoints.openai.serving_completions import (
+            CompletionServing,
+        )
+
+        self.chat_serving = ChatServing(engine)
+        self.completion_serving = CompletionServing(engine)
+
+    # ------------------------------------------------------------------
+    def build_app(self) -> web.Application:
+        app = web.Application(client_max_size=256 * 1024 * 1024)
+        r = app.router
+        r.add_get("/health", self.health)
+        r.add_get("/health_generate", self.health_generate)
+        r.add_get("/get_model_info", self.get_model_info)
+        r.add_get("/get_server_info", self.get_server_info)
+        r.add_post("/generate", self.generate)
+        r.add_post("/flush_cache", self.flush_cache)
+        r.add_post("/abort_request", self.abort_request)
+        r.add_get("/v1/models", self.models)
+        r.add_post("/v1/completions", self.v1_completions)
+        r.add_post("/v1/chat/completions", self.v1_chat_completions)
+        r.add_get("/metrics", self.metrics)
+        return app
+
+    # ------------------------------------------------------------------
+    async def health(self, request: web.Request) -> web.Response:
+        return web.Response(text="", status=200)
+
+    async def health_generate(self, request: web.Request) -> web.Response:
+        """Generate one token through the whole stack (reference
+        `/health_generate`)."""
+        obj = GenerateReqInput(
+            input_ids=[1, 2, 3],
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+        )
+        try:
+            async for _ in self.tm.generate_request(obj):
+                pass
+            return web.Response(text="", status=200)
+        except Exception as e:
+            return _json_error(f"health generate failed: {e}", 503)
+
+    async def get_model_info(self, request: web.Request) -> web.Response:
+        args = self.engine.server_args
+        return web.json_response(
+            {
+                "model_path": args.model_path,
+                "tokenizer_path": args.tokenizer_path,
+                "is_generation": True,
+                "served_model_name": args.served_model_name,
+            }
+        )
+
+    async def get_server_info(self, request: web.Request) -> web.Response:
+        internal = await asyncio.to_thread(self.engine.get_internal_state)
+        return web.json_response(
+            {
+                **dataclasses.asdict(self.engine.server_args),
+                **internal,
+                "uptime": time.time() - self.start_time,
+                "version": __import__("sglang_npu_tpu").__version__,
+            }
+        )
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        try:
+            from sglang_npu_tpu.metrics.collector import render_prometheus
+
+            text = render_prometheus(self.engine)
+            return web.Response(text=text, content_type="text/plain")
+        except Exception as e:
+            return _json_error(str(e), 500)
+
+    # ------------------------------------------------------------------
+    async def generate(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = await request.json()
+        except Exception:
+            return _json_error("invalid JSON body")
+        try:
+            obj = GenerateReqInput(
+                text=body.get("text"),
+                input_ids=body.get("input_ids"),
+                sampling_params=body.get("sampling_params"),
+                rid=body.get("rid"),
+                return_logprob=body.get("return_logprob", False),
+                logprob_start_len=body.get("logprob_start_len", -1),
+                top_logprobs_num=body.get("top_logprobs_num", 0),
+                stream=body.get("stream", False),
+                lora_path=body.get("lora_path"),
+            )
+            obj.post_init()
+        except ValueError as e:
+            return _json_error(str(e))
+
+        if obj.stream:
+            resp = web.StreamResponse(
+                headers={
+                    "Content-Type": "text/event-stream",
+                    "Cache-Control": "no-cache",
+                }
+            )
+            await resp.prepare(request)
+            try:
+                async for chunk in self.tm.generate_request(obj):
+                    await resp.write(
+                        b"data: " + json.dumps(chunk).encode() + b"\n\n"
+                    )
+                await resp.write(b"data: [DONE]\n\n")
+            except Exception as e:
+                logger.exception("stream error")
+                await resp.write(
+                    b"data: "
+                    + json.dumps({"error": {"message": str(e)}}).encode()
+                    + b"\n\n"
+                )
+            await resp.write_eof()
+            return resp
+
+        try:
+            results = []
+            async for chunk in self.tm.generate_request(obj):
+                results.append(chunk)
+            if obj.is_single:
+                return web.json_response(results[-1])
+            return web.json_response(results)
+        except ValueError as e:
+            return _json_error(str(e))
+
+    async def flush_cache(self, request: web.Request) -> web.Response:
+        ok = await asyncio.to_thread(self.engine.flush_cache)
+        return web.Response(
+            text="Cache flushed.\n" if ok else "Cache not flushed (busy).\n",
+            status=200 if ok else 503,
+        )
+
+    async def abort_request(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        self.engine.abort_request(
+            rid=body.get("rid", ""), abort_all=body.get("abort_all", False)
+        )
+        return web.Response(text="", status=200)
+
+    # ------------------------------------------------------------------
+    async def models(self, request: web.Request) -> web.Response:
+        args = self.engine.server_args
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": args.served_model_name,
+                        "object": "model",
+                        "created": int(self.start_time),
+                        "owned_by": "sglang_npu_tpu",
+                    }
+                ],
+            }
+        )
+
+    async def v1_completions(self, request: web.Request) -> web.StreamResponse:
+        return await self.completion_serving.handle(request)
+
+    async def v1_chat_completions(self, request: web.Request) -> web.StreamResponse:
+        return await self.chat_serving.handle(request)
+
+
+def launch_server(server_args: ServerArgs):
+    """Blocking server launch (reference `launch_server`)."""
+    from sglang_npu_tpu.entrypoints.engine import Engine
+
+    logging.basicConfig(level=getattr(logging, server_args.log_level.upper(), 20))
+    engine = Engine(server_args)
+    server = HttpServer(engine)
+    app = server.build_app()
+    logger.info("serving on %s", server_args.url())
+    try:
+        web.run_app(
+            app, host=server_args.host, port=server_args.port, print=None
+        )
+    finally:
+        engine.shutdown()

@@ -1,0 +1,194 @@
+"""/v1/chat/completions serving (reference `serving_chat.py:980`).
+
+Applies the model's chat template (HF tokenizer template when available, a
+plain role-prefix template otherwise), streams SSE chunks, and fills usage.
+Tool-call and reasoning-content extraction hook in here (function_call /
+reasoning_parser modules).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+
+from aiohttp import web
+
+from sglang_npu_tpu.entrypoints.openai.protocol import (
+    ChatCompletionRequest,
+    UsageInfo,
+    ValidationError,
+    chat_response,
+    gen_request_id,
+    map_finish_reason,
+)
+from sglang_npu_tpu.managers.io_struct import GenerateReqInput
+
+logger = logging.getLogger(__name__)
+
+
+def apply_chat_template(tokenizer, messages, add_generation_prompt=True):
+    """Render messages -> prompt (text or token ids)."""
+    if tokenizer is not None and hasattr(tokenizer, "apply_chat_template"):
+        try:
+            return tokenizer.apply_chat_template(
+                messages,
+                tokenize=False,
+                add_generation_prompt=add_generation_prompt,
+            )
+        except Exception:
+            pass
+    # Fallback plain template (byte tokenizer / template-less models).
+    parts = []
+    for m in messages:
+        content = m.get("content") or ""
+        if isinstance(content, list):  # multimodal form: concat text parts
+            content = "".join(
+                p.get("text", "") for p in content if p.get("type") == "text"
+            )
+        parts.append(f"{m['role']}: {content}")
+    if add_generation_prompt:
+        parts.append("assistant:")
+    return "\n".join(parts)
+
+
+class ChatServing:
+    def __init__(self, engine):
+        self.engine = engine
+        self.tm = engine.tokenizer_manager
+
+    async def handle(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = await request.json()
+            req = ChatCompletionRequest.from_dict(body)
+        except ValidationError as e:
+            return web.json_response(
+                {"error": {"message": str(e), "type": "invalid_request_error"}},
+                status=400,
+            )
+        except Exception:
+            return web.json_response(
+                {"error": {"message": "invalid JSON body"}}, status=400
+            )
+
+        rid = gen_request_id("chatcmpl")
+        prompt = apply_chat_template(self.tm.tokenizer, req.messages)
+        obj = GenerateReqInput(
+            text=prompt,
+            sampling_params=req.to_sampling_params(),
+            stream=req.stream,
+            rid=rid,
+        )
+
+        if req.stream:
+            return await self._stream(request, req, obj, rid)
+
+        last = None
+        try:
+            async for chunk in self.tm.generate_request(obj):
+                last = chunk
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+
+        meta = last["meta_info"]
+        text = last.get("text", "")
+        reasoning = None
+        if req.separate_reasoning:
+            from sglang_npu_tpu.reasoning_parser import split_reasoning
+
+            reasoning, text = split_reasoning(
+                text, self.engine.server_args.reasoning_parser
+            )
+        message = {"role": "assistant", "content": text}
+        if reasoning:
+            message["reasoning_content"] = reasoning
+        tool_calls = None
+        if req.tools and req.tool_choice != "none":
+            from sglang_npu_tpu.function_call.parser import parse_tool_calls
+
+            tool_calls, text_rest = parse_tool_calls(
+                text, self.engine.server_args.tool_call_parser
+            )
+            if tool_calls:
+                message["content"] = text_rest or None
+                message["tool_calls"] = tool_calls
+
+        usage = UsageInfo(
+            prompt_tokens=meta["prompt_tokens"],
+            completion_tokens=meta["completion_tokens"],
+            total_tokens=meta["prompt_tokens"] + meta["completion_tokens"],
+            prompt_tokens_details=(
+                {"cached_tokens": meta.get("cached_tokens", 0)}
+                if meta.get("cached_tokens")
+                else None
+            ),
+        )
+        finish = "tool_calls" if tool_calls else map_finish_reason(meta["finish_reason"])
+        choices = [
+            {
+                "index": 0,
+                "message": message,
+                "logprobs": None,
+                "finish_reason": finish,
+            }
+        ]
+        return web.json_response(chat_response(rid, req.model, choices, usage))
+
+    async def _stream(self, request, req, obj, rid) -> web.StreamResponse:
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        sent_len = 0
+        first = True
+        usage = UsageInfo()
+        try:
+            async for chunk in self.tm.generate_request(obj):
+                meta = chunk["meta_info"]
+                delta_text = chunk["text"][sent_len:]
+                sent_len = len(chunk["text"])
+                delta = {}
+                if first:
+                    delta["role"] = "assistant"
+                    first = False
+                if delta_text:
+                    delta["content"] = delta_text
+                data = {
+                    "id": rid,
+                    "object": "chat.completion.chunk",
+                    "created": int(time.time()),
+                    "model": req.model,
+                    "choices": [
+                        {
+                            "index": 0,
+                            "delta": delta,
+                            "finish_reason": map_finish_reason(meta["finish_reason"]),
+                        }
+                    ],
+                }
+                usage.prompt_tokens = meta["prompt_tokens"]
+                usage.completion_tokens = meta["completion_tokens"]
+                await resp.write(b"data: " + json.dumps(data).encode() + b"\n\n")
+            if req.stream_options and req.stream_options.get("include_usage"):
+                usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+                await resp.write(
+                    b"data: "
+                    + json.dumps(
+                        {
+                            "id": rid,
+                            "object": "chat.completion.chunk",
+                            "model": req.model,
+                            "choices": [],
+                            "usage": usage.to_dict(),
+                        }
+                    ).encode()
+                    + b"\n\n"
+                )
+            await resp.write(b"data: [DONE]\n\n")
+        except Exception as e:
+            logger.exception("chat stream error")
+            await resp.write(
+                b"data: " + json.dumps({"error": {"message": str(e)}}).encode() + b"\n\n"
+            )
+        await resp.write_eof()
+        return resp

@@ -1,0 +1,145 @@
+"""/v1/completions serving (reference `serving_completions.py:425`)."""
+
+from __future__ import annotations
+
+import json
+import logging
+
+from aiohttp import web
+
+from sglang_npu_tpu.entrypoints.openai.protocol import (
+    CompletionRequest,
+    UsageInfo,
+    ValidationError,
+    completion_response,
+    gen_request_id,
+    map_finish_reason,
+)
+from sglang_npu_tpu.managers.io_struct import GenerateReqInput
+
+logger = logging.getLogger(__name__)
+
+
+class CompletionServing:
+    def __init__(self, engine):
+        self.engine = engine
+        self.tm = engine.tokenizer_manager
+
+    async def handle(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = await request.json()
+            req = CompletionRequest.from_dict(body)
+        except ValidationError as e:
+            return web.json_response(
+                {"error": {"message": str(e), "type": "invalid_request_error"}},
+                status=400,
+            )
+        except Exception:
+            return web.json_response(
+                {"error": {"message": "invalid JSON body"}}, status=400
+            )
+
+        rid = gen_request_id("cmpl")
+        prompt = req.prompt
+        kwargs = {}
+        if isinstance(prompt, str):
+            kwargs["text"] = prompt
+        elif prompt and isinstance(prompt[0], int):
+            kwargs["input_ids"] = prompt
+        elif prompt and isinstance(prompt[0], str):
+            kwargs["text"] = prompt  # batch of strings
+        else:
+            kwargs["input_ids"] = prompt
+
+        obj = GenerateReqInput(
+            sampling_params=req.to_sampling_params(),
+            stream=req.stream,
+            rid=rid if isinstance(prompt, str) or (prompt and isinstance(prompt[0], int)) else None,
+            **kwargs,
+        )
+
+        if req.stream:
+            return await self._stream(request, req, obj, rid)
+
+        results = []
+        try:
+            async for chunk in self.tm.generate_request(obj):
+                results.append(chunk)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+
+        obj_single = obj.is_single
+        finals = [results[-1]] if obj_single else results
+        choices, usage = [], UsageInfo()
+        for i, r in enumerate(finals):
+            meta = r["meta_info"]
+            text = r.get("text", "")
+            if req.echo and isinstance(prompt, str):
+                text = prompt + text
+            choices.append(
+                {
+                    "index": i,
+                    "text": text,
+                    "logprobs": None,
+                    "finish_reason": map_finish_reason(meta["finish_reason"]),
+                }
+            )
+            usage.prompt_tokens += meta["prompt_tokens"]
+            usage.completion_tokens += meta["completion_tokens"]
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        return web.json_response(
+            completion_response(rid, req.model, choices, usage)
+        )
+
+    async def _stream(self, request, req, obj, rid) -> web.StreamResponse:
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        sent_len = 0
+        usage = UsageInfo()
+        try:
+            async for chunk in self.tm.generate_request(obj):
+                meta = chunk["meta_info"]
+                delta = chunk["text"][sent_len:]
+                sent_len = len(chunk["text"])
+                data = {
+                    "id": rid,
+                    "object": "text_completion",
+                    "created": int(__import__("time").time()),
+                    "model": req.model,
+                    "choices": [
+                        {
+                            "index": 0,
+                            "text": delta,
+                            "logprobs": None,
+                            "finish_reason": map_finish_reason(meta["finish_reason"]),
+                        }
+                    ],
+                }
+                usage.prompt_tokens = meta["prompt_tokens"]
+                usage.completion_tokens = meta["completion_tokens"]
+                await resp.write(b"data: " + json.dumps(data).encode() + b"\n\n")
+            if req.stream_options and req.stream_options.get("include_usage"):
+                usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+                await resp.write(
+                    b"data: "
+                    + json.dumps(
+                        {
+                            "id": rid,
+                            "object": "text_completion",
+                            "model": req.model,
+                            "choices": [],
+                            "usage": usage.to_dict(),
+                        }
+                    ).encode()
+                    + b"\n\n"
+                )
+            await resp.write(b"data: [DONE]\n\n")
+        except Exception as e:
+            logger.exception("completion stream error")
+            await resp.write(
+                b"data: " + json.dumps({"error": {"message": str(e)}}).encode() + b"\n\n"
+            )
+        await resp.write_eof()
+        return resp

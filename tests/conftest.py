@@ -24,4 +24,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# async test support for the HTTP layer (no pytest-asyncio in this image)
+pytest_plugins = ["aiohttp.pytest_plugin"]
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
