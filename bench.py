@@ -31,15 +31,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 BASELINE_TOK_S = 30.0
 
-LLAMA_1B = {
+# Llama-3.2-3B-class shape: head_dim 128 (pallas decode kernel path),
+# ~6.3 GB of bf16 weights — fits one v5e chip with a large KV pool.
+LLAMA_3B = {
     "architectures": ["LlamaForCausalLM"],
     "model_type": "llama",
     "vocab_size": 128256,
-    "hidden_size": 2048,
-    "num_hidden_layers": 16,
-    "num_attention_heads": 32,
+    "hidden_size": 3072,
+    "num_hidden_layers": 28,
+    "num_attention_heads": 24,
     "num_key_value_heads": 8,
-    "head_dim": 64,
+    "head_dim": 128,
     "intermediate_size": 8192,
     "max_position_embeddings": 8192,
     "rms_norm_eps": 1e-5,
@@ -47,6 +49,7 @@ LLAMA_1B = {
     "tie_word_embeddings": True,
     "torch_dtype": "bfloat16",
 }
+LLAMA_1B = LLAMA_3B  # back-compat alias for older scripts
 
 
 def main():
@@ -69,7 +72,7 @@ def main():
 
     model_dir = tempfile.mkdtemp(prefix="bench_model_")
     with open(os.path.join(model_dir, "config.json"), "w") as f:
-        _json.dump(LLAMA_1B, f)
+        _json.dump(LLAMA_3B, f)
 
     engine = Engine(
         ServerArgs(
@@ -107,7 +110,7 @@ def main():
     tput = total_out / dt
 
     result = {
-        "metric": "offline_output_tok_per_s_per_chip_llama1b_bf16",
+        "metric": "offline_output_tok_per_s_per_chip_llama3b_bf16",
         "value": round(tput, 2),
         "unit": "tok/s",
         "vs_baseline": round(tput / BASELINE_TOK_S, 2),

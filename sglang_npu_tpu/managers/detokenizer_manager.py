@@ -78,6 +78,20 @@ class DetokenizerManager:
                     new_text = full[len(st.decoded_text) :]
                 st.decoded_text = full
 
+            # decorate logprob entries with decoded token strings
+            if self.tokenizer is not None and b.output_token_logprobs:
+                entries = b.output_token_logprobs[i]
+                if entries:
+                    for e in entries:
+                        if e[2] is None:
+                            e[2] = self.tokenizer.decode([e[1]])
+                tops = b.output_top_logprobs[i] if b.output_top_logprobs else None
+                if tops:
+                    for step in tops:
+                        for e in step:
+                            if e[2] is None:
+                                e[2] = self.tokenizer.decode([e[1]])
+
             if finished:
                 reason = b.finished_reasons[i]
                 matched = reason.get("matched") if isinstance(reason, dict) else None

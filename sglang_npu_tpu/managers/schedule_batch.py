@@ -247,6 +247,9 @@ class ModelWorkerBatch:
     # sampled tokens back on-device; [B] per-req fill-length limits.
     decode_steps: int = 1
     decode_limits: Optional[np.ndarray] = None
+    # logprob plumbing
+    return_logprob: bool = False
+    top_logprobs_k: int = 0
 
     @property
     def batch_size(self) -> int:
@@ -397,6 +400,9 @@ class ScheduleBatch:
         for i, req in enumerate(self.reqs):
             pages = req.kv_slots[::ps] // ps
             page_tables[i, : len(pages)] = pages
+        top_k = max((r.top_logprobs_num for r in self.reqs), default=0)
+        if top_k > 0:
+            top_k = 5 if top_k <= 5 else 20  # bucket to limit recompiles
         return ModelWorkerBatch(
             forward_mode=self.forward_mode,
             input_ids=input_ids,
@@ -409,6 +415,8 @@ class ScheduleBatch:
             sampling_info=SamplingBatchNumpy.from_reqs(self.reqs),
             rids=[r.rid for r in self.reqs],
             real_bs=len(self.reqs),
+            return_logprob=any(r.return_logprob for r in self.reqs),
+            top_logprobs_k=top_k,
         )
 
     # ------------------------------------------------------------------

@@ -134,9 +134,9 @@ class Scheduler:
                 continue
             self.last_heartbeat = time.time()
             mwb, is_prefill = batch
-            next_tokens = self.runner.forward_and_sample(mwb)
+            next_tokens, logprob_info = self.runner.forward_and_sample(mwb)
             self.forward_ct += 1
-            self.process_batch_result(mwb, next_tokens, is_prefill)
+            self.process_batch_result(mwb, next_tokens, is_prefill, logprob_info)
 
     def shutdown(self):
         self._running = False
@@ -327,7 +327,7 @@ class Scheduler:
         host work is required (logprobs, grammar) — mirrors the reference
         disabling overlap for those paths."""
         K = max(self.server_args.decode_steps, 1)
-        if any(r.return_logprob or r.grammar is not None for r in self.running_batch.reqs):
+        if any(r.grammar is not None for r in self.running_batch.reqs):
             return 1
         return K
 
@@ -356,7 +356,11 @@ class Scheduler:
     # Result processing (reference scheduler_output_processor_mixin.py)
     # ------------------------------------------------------------------
     def process_batch_result(
-        self, mwb: ModelWorkerBatch, next_tokens: np.ndarray, is_prefill: bool
+        self,
+        mwb: ModelWorkerBatch,
+        next_tokens: np.ndarray,
+        is_prefill: bool,
+        logprob_info=None,
     ):
         if is_prefill:
             batch = self.last_prefill_batch
@@ -369,6 +373,8 @@ class Scheduler:
                     self.tree_cache.cache_unfinished_req(req)
                     continue
                 self._append_token(req, int(next_tokens[i]))
+                if logprob_info is not None and req.return_logprob:
+                    self._attach_logprob(req, logprob_info, i, None)
                 if req.finished:
                     self.tree_cache.cache_finished_req(req)
                 else:
@@ -389,6 +395,8 @@ class Scheduler:
                     if req.finished:
                         break
                     self._append_token(req, int(next_tokens[i, k]))
+                    if logprob_info is not None and req.return_logprob:
+                        self._attach_logprob(req, logprob_info, i, k)
                     self.num_generated_tokens += 1
                 self.allocator.shrink_req(req, len(req.fill_ids) - 1)
                 if req.finished:
@@ -396,6 +404,18 @@ class Scheduler:
             self._emit_outputs(self.running_batch.reqs)
             self.running_batch.filter_batch()
         self._maybe_log()
+
+    def _attach_logprob(self, req: Req, info, i: int, k):
+        chosen = info["chosen"][i] if k is None else info["chosen"][i, k]
+        tok = req.output_ids[-1]
+        req.output_token_logprobs.append([float(chosen), int(tok), None])
+        if req.top_logprobs_num > 0 and info["top_vals"] is not None:
+            tv = info["top_vals"][i] if k is None else info["top_vals"][i, k]
+            ti = info["top_ids"][i] if k is None else info["top_ids"][i, k]
+            n = req.top_logprobs_num
+            req.output_top_logprobs.append(
+                [[float(v), int(t), None] for v, t in zip(tv[:n], ti[:n])]
+            )
 
     def _append_token(self, req: Req, token: int):
         if req.sampling_params.max_new_tokens == 0:
@@ -446,6 +466,18 @@ class Scheduler:
             prompt_tokens=[len(r.origin_input_ids) for r in out_reqs],
             completion_tokens=[len(r.output_ids) for r in out_reqs],
             cached_tokens=[r.cached_tokens for r in out_reqs],
+            output_token_logprobs=[
+                r.output_token_logprobs[r.stream_sent :]
+                if r.return_logprob
+                else None
+                for r in out_reqs
+            ],
+            output_top_logprobs=[
+                r.output_top_logprobs[r.stream_sent :]
+                if r.return_logprob and r.top_logprobs_num > 0
+                else None
+                for r in out_reqs
+            ],
         )
         for r in out_reqs:
             r.stream_sent = len(r.output_ids)

@@ -38,6 +38,8 @@ class ReqState:
     mailbox: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
     text: str = ""
     output_ids: List[int] = dataclasses.field(default_factory=list)
+    output_token_logprobs: List[list] = dataclasses.field(default_factory=list)
+    output_top_logprobs: List[list] = dataclasses.field(default_factory=list)
     finished: bool = False
     created_time: float = 0.0
     first_token_time: Optional[float] = None
@@ -95,16 +97,23 @@ class TokenizerManager:
             finished = b.finished_reasons[i] is not None
             if state.first_token_time is None:
                 state.first_token_time = time.time()
+            meta = {
+                "id": rid,
+                "finish_reason": b.finished_reasons[i],
+                "prompt_tokens": b.prompt_tokens[i],
+                "completion_tokens": b.completion_tokens[i],
+                "cached_tokens": b.cached_tokens[i],
+            }
+            if b.output_token_logprobs and b.output_token_logprobs[i] is not None:
+                state.output_token_logprobs.extend(b.output_token_logprobs[i])
+                meta["output_token_logprobs"] = list(state.output_token_logprobs)
+            if b.output_top_logprobs and b.output_top_logprobs[i] is not None:
+                state.output_top_logprobs.extend(b.output_top_logprobs[i])
+                meta["output_top_logprobs"] = list(state.output_top_logprobs)
             chunk = {
                 "text": state.text,
                 "output_ids": list(state.output_ids),
-                "meta_info": {
-                    "id": rid,
-                    "finish_reason": b.finished_reasons[i],
-                    "prompt_tokens": b.prompt_tokens[i],
-                    "completion_tokens": b.completion_tokens[i],
-                    "cached_tokens": b.cached_tokens[i],
-                },
+                "meta_info": meta,
             }
             if finished:
                 state.finished = True

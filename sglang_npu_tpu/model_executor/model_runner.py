@@ -122,7 +122,13 @@ class ModelRunner:
         `_get_attention_backend_from_str:1384`)."""
         name = self.server_args.attention_backend
         if name is None:
-            name = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+            on_tpu = jax.default_backend() not in ("cpu",)
+            # the pallas decode kernel needs 128-lane-aligned head_dim
+            name = (
+                "pallas"
+                if on_tpu and self.model_config.head_dim % 128 == 0
+                else "xla"
+            )
         self.attention_backend_name = name
         if name == "xla":
             self.model.attn_backend = None  # model falls back to XLA path
@@ -169,12 +175,20 @@ class ModelRunner:
         return int(max(pages, 2))
 
     def _alloc_kv_pool(self) -> jax.Array:
+        """Head-major paged pool [L, 2, H_kv, num_pages, ps, D], KV heads
+        sharded over the model axis (reference `MHATokenToKVPool:162`)."""
         c = self.model_config
-        S = self.num_pages * self.page_size
-        shape = (c.num_hidden_layers, 2, S, c.num_key_value_heads, c.head_dim)
+        shape = (
+            c.num_hidden_layers,
+            2,
+            c.num_key_value_heads,
+            self.num_pages,
+            self.page_size,
+            c.head_dim,
+        )
         tp = tp_degree(self.mesh)
         spec = (
-            P(None, None, None, "model", None)
+            P(None, None, "model", None, None, None)
             if c.num_key_value_heads % tp == 0
             else P()
         )
@@ -186,7 +200,10 @@ class ModelRunner:
         model = self.model
         page_size = self.page_size
 
-        def step(params, kv_pool, fb: ForwardBatch, sampling, rng, sample_mode):
+        def step(
+            params, kv_pool, fb: ForwardBatch, sampling, rng, sample_mode,
+            return_logprob=False, top_logprobs_k=0,
+        ):
             logits, kv_pool = model(params, kv_pool, fb, page_size)
             if sample_mode == "logits":
                 return logits, kv_pool
@@ -196,9 +213,21 @@ class ModelRunner:
                 toks = sampler_ops.sample_simple(logits, sampling, rng)
             else:
                 toks = sampler_ops.sample_full(logits, sampling, rng)
-            return toks, kv_pool
+            if not return_logprob:
+                return toks, kv_pool
+            logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            chosen = jnp.take_along_axis(logprobs, toks[:, None], axis=-1)[:, 0]
+            if top_logprobs_k > 0:
+                top_vals, top_ids = jax.lax.top_k(logprobs, top_logprobs_k)
+            else:
+                top_vals = top_ids = None
+            return (toks, chosen, top_vals, top_ids), kv_pool
 
-        return jax.jit(step, donate_argnums=(1,), static_argnames=("sample_mode",))
+        return jax.jit(
+            step,
+            donate_argnums=(1,),
+            static_argnames=("sample_mode", "return_logprob", "top_logprobs_k"),
+        )
 
     def _build_multi_step_fn(self):
         """K decode steps fused in one jit with on-device token feedback —
@@ -219,6 +248,8 @@ class ModelRunner:
             rng,
             n_steps,
             sample_mode,
+            return_logprob=False,
+            top_logprobs_k=0,
         ):
             def body(carry, k):
                 kv_pool, toks, lens = carry
@@ -247,15 +278,37 @@ class ModelRunner:
                     nt = sampler_ops.sample_full(logits, sampling, krng)
                 nt = jnp.where(active, nt, 0)
                 lens = jnp.where(active, lens + 1, lens)
-                return (kv_pool, nt, lens), nt
+                if return_logprob:
+                    logprobs = jax.nn.log_softmax(
+                        logits.astype(jnp.float32), axis=-1
+                    )
+                    chosen = jnp.take_along_axis(logprobs, nt[:, None], -1)[:, 0]
+                    if top_logprobs_k > 0:
+                        tv, ti = jax.lax.top_k(logprobs, top_logprobs_k)
+                    else:
+                        tv = ti = jnp.zeros((nt.shape[0], 0), jnp.float32)
+                    ys = (nt, chosen, tv, ti)
+                else:
+                    ys = nt
+                return (kv_pool, nt, lens), ys
 
-            (kv_pool, _, _), toks = jax.lax.scan(
+            (kv_pool, _, _), ys = jax.lax.scan(
                 body, (kv_pool, tokens, seq_lens), jnp.arange(n_steps)
             )
-            return toks.T, kv_pool  # [B, K]
+            if return_logprob:
+                toks, chosen, tv, ti = ys
+                return (
+                    toks.T,
+                    chosen.T,
+                    jnp.swapaxes(tv, 0, 1),
+                    jnp.swapaxes(ti, 0, 1),
+                ), kv_pool
+            return ys.T, kv_pool  # [B, K]
 
         return jax.jit(
-            multi, donate_argnums=(1,), static_argnames=("n_steps", "sample_mode")
+            multi,
+            donate_argnums=(1,),
+            static_argnames=("n_steps", "sample_mode", "return_logprob", "top_logprobs_k"),
         )
 
     # ------------------------------------------------------------------
@@ -279,16 +332,18 @@ class ModelRunner:
         return "full"
 
     # ------------------------------------------------------------------
-    def forward_and_sample(self, mwb: ModelWorkerBatch) -> np.ndarray:
+    def forward_and_sample(self, mwb: ModelWorkerBatch):
         """Run one padded step.
 
-        Extend: returns next token ids [real_bs].
-        Decode: runs mwb.decode_steps fused steps; returns [real_bs, K].
+        Extend: returns (tokens [real_bs], logprob_info | None).
+        Decode: runs mwb.decode_steps fused steps; tokens [real_bs, K].
+        logprob_info = {"chosen": ..., "top_vals": ..., "top_ids": ...}.
         """
         bs_bucket, pages_bucket = self._buckets(mwb)
         sampling = build_sampling_device(mwb, bs_bucket)
         self.step_counter += 1
         rng = self._step_rng(self.step_counter)
+        rl, tk = mwb.return_logprob, mwb.top_logprobs_k
 
         if mwb.forward_mode == ForwardMode.EXTEND:
             extend_bucket = max(
@@ -297,36 +352,48 @@ class ModelRunner:
             fb = build_extend_forward_batch(
                 mwb, bs_bucket, extend_bucket, pages_bucket, self.page_size
             )
-            tokens, self.kv_pool = self._step_fn(
+            out, self.kv_pool = self._step_fn(
                 self.params,
                 self.kv_pool,
                 fb,
                 sampling,
                 rng,
                 sample_mode=self._sample_mode(mwb),
+                return_logprob=rl,
+                top_logprobs_k=tk,
             )
-            return np.asarray(jax.device_get(tokens))[: mwb.real_bs]
+        else:
+            # decode: fused multi-step window
+            from sglang_npu_tpu.model_executor.forward_batch_info import pad_to
 
-        # decode: fused multi-step window
-        from sglang_npu_tpu.model_executor.forward_batch_info import pad_to
-
-        K = mwb.decode_steps
-        pt = pad_to(
-            pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0
-        )
-        tokens, self.kv_pool = self._multi_fn(
-            self.params,
-            self.kv_pool,
-            jnp.asarray(pad_to(mwb.input_ids, bs_bucket)),
-            jnp.asarray(pt),
-            jnp.asarray(pad_to(mwb.seq_lens, bs_bucket)),
-            jnp.asarray(pad_to(mwb.decode_limits, bs_bucket)),
-            sampling,
-            rng,
-            n_steps=K,
-            sample_mode=self._sample_mode(mwb),
-        )
-        return np.asarray(jax.device_get(tokens))[: mwb.real_bs]
+            K = mwb.decode_steps
+            pt = pad_to(
+                pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0
+            )
+            out, self.kv_pool = self._multi_fn(
+                self.params,
+                self.kv_pool,
+                jnp.asarray(pad_to(mwb.input_ids, bs_bucket)),
+                jnp.asarray(pt),
+                jnp.asarray(pad_to(mwb.seq_lens, bs_bucket)),
+                jnp.asarray(pad_to(mwb.decode_limits, bs_bucket)),
+                sampling,
+                rng,
+                n_steps=K,
+                sample_mode=self._sample_mode(mwb),
+                return_logprob=rl,
+                top_logprobs_k=tk,
+            )
+        n = mwb.real_bs
+        if not rl:
+            return np.asarray(jax.device_get(out))[:n], None
+        toks, chosen, tv, ti = jax.device_get(out)
+        info = {
+            "chosen": np.asarray(chosen)[:n],
+            "top_vals": np.asarray(tv)[:n] if tk > 0 else None,
+            "top_ids": np.asarray(ti)[:n] if tk > 0 else None,
+        }
+        return np.asarray(toks)[:n], info
 
     def _step_rng(self, step: int):
         """Per-step RNG key. fold_in is jitted with a device scalar so the

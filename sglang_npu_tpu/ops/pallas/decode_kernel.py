@@ -1,0 +1,251 @@
+"""Pallas paged decode attention kernel (TPU).
+
+The centerpiece kernel replacing the reference's CUDA decode attention
+(`sgl-kernel/csrc/attention/`, `layers/attention/flashattention_backend.py`
+decode path, Ascend `_npu_paged_attention` in `ascend_backend.py`):
+flash-style online-softmax attention of a single query token per sequence
+against that sequence's paged KV, streamed page-by-page from HBM with
+double-buffered async DMA.
+
+Design:
+  * grid = (B,): one program per sequence; all KV heads processed together
+    so each page DMA moves [ps, D] x H_kv slabs (head-major pool layout).
+  * KV pages are gathered in blocks of BLOCK_T tokens (BLOCK_T/ps pages per
+    block, DMA'd concurrently, 128-lane aligned compute).
+  * online softmax in f32 scratch; GQA groups handled as a batched
+    dot_general over the H_kv batch axis.
+  * the pool stays in HBM (`memory_space=ANY`) — no gathered copy is ever
+    materialized, unlike the XLA fallback backend.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    page_tables_ref,  # [B, P] int32
+    seq_lens_ref,  # [B] int32
+    # inputs
+    q_ref,  # [1, Hkv, G, D] (VMEM block for this b)
+    pool_ref,  # [L, 2, Hkv, NP_total, ps, D] (HBM)
+    # outputs
+    o_ref,  # [1, Hkv, G, D]
+    # scratch
+    k_buf,  # [2, Hkv, NP, ps, D]
+    v_buf,  # [2, Hkv, NP, ps, D]
+    acc_ref,  # [Hkv, G, D] f32
+    m_ref,  # [Hkv, G, 128] f32 (running max, broadcast over lanes)
+    l_ref,  # [Hkv, G, 128] f32 (running denom)
+    sems,  # DMA sems [2, 2, NP]
+    *,
+    page_size: int,
+    block_t: int,
+    scale: float,
+    sliding_window: int,
+    logit_cap: float,
+):
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    num_pages = pl.cdiv(seq_len, page_size)
+    np_per_blk = block_t // page_size
+    num_blocks = pl.cdiv(num_pages, np_per_blk)
+
+    Hkv, G, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+
+    def start_dma(blk, slot):
+        for j in range(np_per_blk):  # static unroll
+            page_pos = blk * np_per_blk + j
+
+            @pl.when(page_pos < num_pages)
+            def _():
+                page = page_tables_ref[b, page_pos]
+                pltpu.make_async_copy(
+                    pool_ref.at[layer, 0, :, page],
+                    k_buf.at[slot, :, j],
+                    sems.at[slot, 0, j],
+                ).start()
+                pltpu.make_async_copy(
+                    pool_ref.at[layer, 1, :, page],
+                    v_buf.at[slot, :, j],
+                    sems.at[slot, 1, j],
+                ).start()
+
+    def wait_dma(blk, slot):
+        for j in range(np_per_blk):
+            page_pos = blk * np_per_blk + j
+
+            @pl.when(page_pos < num_pages)
+            def _():
+                page = page_tables_ref[b, page_pos]
+                pltpu.make_async_copy(
+                    pool_ref.at[layer, 0, :, page],
+                    k_buf.at[slot, :, j],
+                    sems.at[slot, 0, j],
+                ).wait()
+                pltpu.make_async_copy(
+                    pool_ref.at[layer, 1, :, page],
+                    v_buf.at[slot, :, j],
+                    sems.at[slot, 1, j],
+                ).wait()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [Hkv, G, D]
+
+    start_dma(0, 0)
+
+    def body(blk, _):
+        slot = jax.lax.rem(blk, 2)
+        next_slot = jax.lax.rem(blk + 1, 2)
+
+        @pl.when(blk + 1 < num_blocks)
+        def _():
+            start_dma(blk + 1, next_slot)
+
+        wait_dma(blk, slot)
+
+        def compute(slot_idx):
+            k = k_buf[slot_idx].reshape(Hkv, block_t, D).astype(jnp.float32)
+            v = v_buf[slot_idx].reshape(Hkv, block_t, D).astype(jnp.float32)
+            # zero out invalid token rows of v: p is 0 there, but 0 * garbage
+            # (uninitialized scratch can be NaN) would poison the pv matmul
+            valid_t = (
+                blk * block_t
+                + jax.lax.broadcasted_iota(jnp.int32, (1, block_t, 1), 1)
+            ) < seq_len
+            v = jnp.where(valid_t, v, 0.0)
+            # [Hkv, G, T] = batch-h (G, D) x (T, D)^T
+            s = jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            if logit_cap > 0:
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            tok_idx = blk * block_t + jax.lax.broadcasted_iota(
+                jnp.int32, (Hkv, G, block_t), 2
+            )
+            mask = tok_idx < seq_len
+            if sliding_window > 0:
+                mask = jnp.logical_and(mask, tok_idx > seq_len - 1 - sliding_window)
+            s = jnp.where(mask, s, NEG_INF)
+
+            m_prev = m_ref[:, :, :1]  # [Hkv, G, 1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)  # [Hkv, G, T]
+            l_new = l_ref[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            # [Hkv, G, D] += p @ v
+            pv = jax.lax.dot_general(
+                p,
+                v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[...] = acc_ref[...] * alpha + pv
+            m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+        compute(slot)
+        return 0
+
+    jax.lax.fori_loop(0, num_blocks, body, 0)
+
+    l = l_ref[:, :, :1]
+    l = jnp.where(l <= 0.0, 1.0, l)
+    o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("page_size", "scale", "sliding_window", "logit_cap", "interpret"),
+)
+def paged_decode_attention(
+    q: jax.Array,  # [B, Hq, D]
+    kv_pool: jax.Array,  # [L, 2, Hkv, NP_total, ps, D]
+    layer_idx: jax.Array,  # scalar int32
+    page_tables: jax.Array,  # [B, P] int32
+    seq_lens: jax.Array,  # [B] int32
+    page_size: int,
+    scale: float,
+    sliding_window: int = -1,
+    logit_cap: float = 0.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [B, Hq, D]."""
+    B, Hq, D = q.shape
+    Hkv = kv_pool.shape[2]
+    G = Hq // Hkv
+    P = page_tables.shape[1]
+    if D % 128 != 0 and not interpret:
+        # Mosaic DMA slices must keep whole trailing (sublane, lane) tiles;
+        # head_dim < 128 pools cannot be page-sliced. Callers fall back to
+        # the XLA backend for such models (e.g. 1B-class with D=64).
+        raise ValueError(f"pallas decode kernel requires head_dim % 128 == 0, got {D}")
+
+    # block = up to 128 tokens of pages
+    np_per_blk = max(128 // page_size, 1)
+    np_per_blk = min(np_per_blk, P)
+    block_t = np_per_blk * page_size
+
+    q4 = q.reshape(B, Hkv, G, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Hkv, G, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # pool stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hkv, G, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
+            pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
+            pltpu.VMEM((Hkv, G, D), jnp.float32),
+            pltpu.VMEM((Hkv, G, 128), jnp.float32),
+            pltpu.VMEM((Hkv, G, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, np_per_blk)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _decode_kernel,
+        page_size=page_size,
+        block_t=block_t,
+        scale=scale,
+        sliding_window=sliding_window,
+        logit_cap=logit_cap,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray([layer_idx], dtype=jnp.int32).reshape(1),
+        page_tables,
+        seq_lens,
+        q4,
+        kv_pool,
+    )
+    return out.reshape(B, Hq, D)

@@ -22,24 +22,22 @@ def make_pallas_attention_backend():
     def backend(q, kv_pool, layer_idx, fb, page_size, scale, config):
         B, E, Hq, D = q.shape
         sliding_window = config.sliding_window or -1
-        if E == 1:
-            try:
-                from sglang_npu_tpu.ops.pallas.decode_kernel import (
-                    paged_decode_attention,
-                )
+        if E == 1 and D % 128 == 0:
+            from sglang_npu_tpu.ops.pallas.decode_kernel import (
+                paged_decode_attention,
+            )
 
-                return paged_decode_attention(
-                    q[:, 0],
-                    kv_pool,
-                    layer_idx,
-                    fb.page_tables,
-                    fb.seq_lens,
-                    page_size,
-                    scale,
-                    sliding_window=sliding_window,
-                )[:, None]
-            except ImportError:
-                pass
+            return paged_decode_attention(
+                q[:, 0],
+                kv_pool,
+                layer_idx,
+                fb.page_tables,
+                fb.seq_lens,
+                page_size,
+                scale,
+                sliding_window=sliding_window,
+                logit_cap=getattr(config, "logit_cap", 0.0) or 0.0,
+            )[:, None]
         return paged_attention_xla(
             q,
             kv_pool,

@@ -9,13 +9,15 @@ Unified code path: new-token KV is scattered into the pool *before*
 attention, so both extend and decode read everything through the page table.
 Decode is just extend with E=1.
 
-KV pool layout (token-major): [L, 2, S, H_kv, D] where S = num_pages *
-page_size token slots.  The pool is threaded through the layer scan as a
-single carried buffer; reads and writes address it with combined
-(layer, k/v, slot) indices so XLA touches only the needed rows instead of
-copying per-layer slabs (critical: slab copies scale with pool size, not
-batch size).  Slots 0..page_size-1 are the reserved garbage page for padded
-writes.
+KV pool layout (paged, head-major): [L, 2, H_kv, num_pages, page_size, D].
+A page is an explicit dimension so the Pallas kernels DMA full trailing
+[page_size, D] tiles (Mosaic requires sliced memrefs to keep whole trailing
+tiles), and per-(layer, head) pages are contiguous slabs.  The pool is
+threaded through the layer scan as a single carried buffer; reads and
+writes address it with combined (layer, k/v, page, offset) indices so XLA
+touches only the needed rows instead of copying per-layer slabs (critical:
+slab copies scale with pool size, not batch size).  Page 0 is the reserved
+garbage page for padded writes.
 
 Performance notes (TPU):
   * all matmuls take bf16 inputs with preferred_element_type=f32 — no
@@ -32,24 +34,31 @@ NEG_INF = -1e9
 
 
 def write_kv(
-    kv_pool: jax.Array,  # [L, 2, S, H_kv, D]
+    kv_pool: jax.Array,  # [L, 2, H_kv, num_pages, ps, D]
     layer_idx: jax.Array,  # scalar int32 (traced)
     new_k: jax.Array,  # [B, E, H_kv, D]
     new_v: jax.Array,
-    out_slots: jax.Array,  # [B, E] int32
+    out_slots: jax.Array,  # [B, E] int32 (token slot = page*ps + off)
 ) -> jax.Array:
-    """Scatter new K/V rows into the pool at (layer_idx, {0,1}, slots)."""
+    """Scatter new K/V rows into the pool at (layer, {0,1}, :, page, off).
+
+    Note: layer_idx/pages/offs are advanced indices separated from the `:`
+    slice, so result dims come FIRST: the update value has shape [T, H, D].
+    """
+    ps = kv_pool.shape[4]
     flat_slots = out_slots.reshape(-1)
+    pages = flat_slots // ps
+    offs = flat_slots % ps
     nk = new_k.reshape(-1, *new_k.shape[2:]).astype(kv_pool.dtype)
     nv = new_v.reshape(-1, *new_v.shape[2:]).astype(kv_pool.dtype)
-    kv_pool = kv_pool.at[layer_idx, 0, flat_slots].set(nk, mode="drop")
-    kv_pool = kv_pool.at[layer_idx, 1, flat_slots].set(nv, mode="drop")
+    kv_pool = kv_pool.at[layer_idx, 0, :, pages, offs].set(nk, mode="drop")
+    kv_pool = kv_pool.at[layer_idx, 1, :, pages, offs].set(nv, mode="drop")
     return kv_pool
 
 
 def paged_attention_xla(
     q: jax.Array,  # [B, E, H_q, D]
-    kv_pool: jax.Array,  # [L, 2, S, H_kv, D]
+    kv_pool: jax.Array,  # [L, 2, H_kv, S, D]
     layer_idx: jax.Array,  # scalar int32 (traced)
     page_tables: jax.Array,  # [B, P] int32
     seq_lens: jax.Array,  # [B] int32 (kv length incl. new tokens)
@@ -65,25 +74,21 @@ def paged_attention_xla(
     """
     B, E, Hq, D = q.shape
     P = page_tables.shape[1]
-    Hkv = kv_pool.shape[3]
+    Hkv = kv_pool.shape[2]
     Lkv = P * page_size
 
-    # [B, Lkv] token slot ids
-    offs = jnp.arange(page_size, dtype=jnp.int32)
-    slot_ids = (page_tables[:, :, None] * page_size + offs[None, None, :]).reshape(
-        B, Lkv
-    )
-
-    k = kv_pool[layer_idx, 0, slot_ids]  # [B, Lkv, Hkv, D] — row gather only
-    v = kv_pool[layer_idx, 1, slot_ids]
+    # advanced indices (layer_idx 0-d, page_tables [B, P]) around the `:`
+    # slice -> result dims first: [B, P, Hkv, ps, D]; page gather only.
+    k = kv_pool[layer_idx, 0, :, page_tables]
+    v = kv_pool[layer_idx, 1, :, page_tables]
 
     group = Hq // Hkv
     qg = q.reshape(B, E, Hkv, group, D)
 
     scores = (
         jnp.einsum(
-            "behgd,blhd->behgl", qg, k, preferred_element_type=jnp.float32
-        )
+            "behgd,bphsd->behgps", qg, k, preferred_element_type=jnp.float32
+        ).reshape(B, E, Hkv, group, Lkv)
         * scale
     )  # [B, E, Hkv, group, Lkv] f32
 
@@ -99,6 +104,9 @@ def paged_attention_xla(
 
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum(
-        "behgl,blhd->behgd", probs, v, preferred_element_type=jnp.float32
+        "behgps,bphsd->behgd",
+        probs.reshape(B, E, Hkv, group, P, page_size),
+        v,
+        preferred_element_type=jnp.float32,
     )
     return out.reshape(B, E, Hq, D).astype(q.dtype)
