@@ -78,6 +78,54 @@ def sample_full(logits: jax.Array, sampling: SamplingDevice, rng) -> jax.Array:
     return jnp.where(is_greedy, greedy, sampled).astype(jnp.int32)
 
 
+# ----------------------------------------------------------------------
+# Penalties (reference `sampling/penaltylib/`: frequency/presence
+# orchestrators keep [B, vocab] cumulative tensors on device; here the
+# counts are rebuilt from token history inside the jit and updated
+# on-device across fused decode steps).
+# ----------------------------------------------------------------------
+def build_penalty_counts(sampling: SamplingDevice, vocab: int):
+    """Returns (counts_out [B,V] f32, counts_all [B,V] f32)."""
+    hist = sampling.token_hist
+    B, H = hist.shape
+    b_idx = jnp.arange(B)[:, None]
+    safe = jnp.where(hist < 0, vocab, hist)  # OOB -> dropped
+    valid = (hist >= 0).astype(jnp.float32)
+    out_f = jnp.where(sampling.hist_is_output, valid, 0.0)
+    counts_out = jnp.zeros((B, vocab), jnp.float32).at[b_idx, safe].add(
+        out_f, mode="drop"
+    )
+    counts_all = jnp.zeros((B, vocab), jnp.float32).at[b_idx, safe].add(
+        valid, mode="drop"
+    )
+    return counts_out, counts_all
+
+
+def apply_penalties(
+    logits: jax.Array, sampling: SamplingDevice, counts_out, counts_all
+) -> jax.Array:
+    seen = counts_all > 0
+    rep = sampling.repetition_penalties[:, None]
+    pos = logits > 0
+    logits = jnp.where(seen, jnp.where(pos, logits / rep, logits * rep), logits)
+    logits = (
+        logits
+        - sampling.frequency_penalties[:, None] * counts_out
+        - sampling.presence_penalties[:, None] * (counts_out > 0)
+    )
+    return logits
+
+
+def update_penalty_counts(counts_out, counts_all, tokens, active):
+    """Account tokens sampled on-device within a fused decode window."""
+    B = tokens.shape[0]
+    b_idx = jnp.arange(B)
+    inc = active.astype(jnp.float32)
+    counts_out = counts_out.at[b_idx, tokens].add(inc, mode="drop")
+    counts_all = counts_all.at[b_idx, tokens].add(inc, mode="drop")
+    return counts_out, counts_all
+
+
 def compute_token_logprobs(logits: jax.Array, token_ids: jax.Array) -> jax.Array:
     """Log-softmax probability of chosen tokens; [B]."""
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

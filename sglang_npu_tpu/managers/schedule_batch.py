@@ -258,15 +258,26 @@ class ModelWorkerBatch:
 
 @dataclasses.dataclass
 class SamplingBatchNumpy:
-    """Tensorized per-request sampling knobs (host side)."""
+    """Tensorized per-request sampling knobs (host side).
+
+    Penalty state travels as padded token *history* (prompt+output ids) —
+    the device rebuilds count tensors with a scatter-add inside the jit
+    region, so multi-step decode windows can update them on-device per step
+    (reference `sampling/penaltylib/` keeps [B, vocab] cumulative tensors on
+    the GPU; transferring those per step is infeasible over narrow links).
+    """
 
     temperatures: np.ndarray  # [B]
     top_ps: np.ndarray  # [B]
     top_ks: np.ndarray  # [B]
     min_ps: np.ndarray  # [B]
     is_all_greedy: bool
-    frequency_penalties: Optional[np.ndarray] = None
-    presence_penalties: Optional[np.ndarray] = None
+    frequency_penalties: Optional[np.ndarray] = None  # [B]
+    presence_penalties: Optional[np.ndarray] = None  # [B]
+    repetition_penalties: Optional[np.ndarray] = None  # [B]
+    has_penalties: bool = False
+    token_hist: Optional[np.ndarray] = None  # [B, H] padded with -1
+    hist_is_output: Optional[np.ndarray] = None  # [B, H] bool
     vocab_mask: Optional[np.ndarray] = None  # [B, vocab] bool, grammar masking
 
     @classmethod
@@ -280,7 +291,37 @@ class SamplingBatchNumpy:
         )
         min_ps = np.array([r.sampling_params.min_p for r in reqs], dtype=np.float32)
         is_all_greedy = all(r.sampling_params.is_greedy for r in reqs)
-        return cls(temps, top_ps, top_ks, min_ps, is_all_greedy)
+        out = cls(temps, top_ps, top_ks, min_ps, is_all_greedy)
+
+        has_pen = any(
+            r.sampling_params.frequency_penalty != 0.0
+            or r.sampling_params.presence_penalty != 0.0
+            or r.sampling_params.repetition_penalty != 1.0
+            for r in reqs
+        )
+        if has_pen:
+            out.has_penalties = True
+            out.frequency_penalties = np.array(
+                [r.sampling_params.frequency_penalty for r in reqs], np.float32
+            )
+            out.presence_penalties = np.array(
+                [r.sampling_params.presence_penalty for r in reqs], np.float32
+            )
+            out.repetition_penalties = np.array(
+                [r.sampling_params.repetition_penalty for r in reqs], np.float32
+            )
+            H = max(len(r.fill_ids) for r in reqs)
+            H = max(1 << (H - 1).bit_length(), 16)
+            hist = np.full((len(reqs), H), -1, dtype=np.int32)
+            is_out = np.zeros((len(reqs), H), dtype=bool)
+            for i, r in enumerate(reqs):
+                n = len(r.fill_ids)
+                hist[i, :n] = r.fill_ids
+                n_in = len(r.origin_input_ids)
+                is_out[i, n_in:n] = True
+            out.token_hist = hist
+            out.hist_is_output = is_out
+        return out
 
 
 # ----------------------------------------------------------------------

@@ -50,6 +50,12 @@ class SamplingDevice:
     top_ks: jax.Array  # [B] int32
     top_ps: jax.Array  # [B]
     min_ps: jax.Array  # [B]
+    # penalties (None when no request in the batch uses them)
+    frequency_penalties: Optional[jax.Array] = None  # [B]
+    presence_penalties: Optional[jax.Array] = None  # [B]
+    repetition_penalties: Optional[jax.Array] = None  # [B]
+    token_hist: Optional[jax.Array] = None  # [B, H] int32, -1 padded
+    hist_is_output: Optional[jax.Array] = None  # [B, H] bool
 
 
 def pad_to(arr: np.ndarray, size: int, fill=0, axis: int = 0) -> np.ndarray:
@@ -113,9 +119,22 @@ def build_decode_forward_batch(
 
 def build_sampling_device(mwb: ModelWorkerBatch, bs_bucket: int) -> SamplingDevice:
     s = mwb.sampling_info
-    return SamplingDevice(
+    out = SamplingDevice(
         temperatures=jnp.asarray(pad_to(s.temperatures, bs_bucket, fill=1.0)),
         top_ks=jnp.asarray(pad_to(s.top_ks, bs_bucket, fill=1)),
         top_ps=jnp.asarray(pad_to(s.top_ps, bs_bucket, fill=1.0)),
         min_ps=jnp.asarray(pad_to(s.min_ps, bs_bucket, fill=0.0)),
     )
+    if s.has_penalties:
+        out.frequency_penalties = jnp.asarray(
+            pad_to(s.frequency_penalties, bs_bucket)
+        )
+        out.presence_penalties = jnp.asarray(
+            pad_to(s.presence_penalties, bs_bucket)
+        )
+        out.repetition_penalties = jnp.asarray(
+            pad_to(s.repetition_penalties, bs_bucket, fill=1.0)
+        )
+        out.token_hist = jnp.asarray(pad_to(s.token_hist, bs_bucket, fill=-1))
+        out.hist_is_output = jnp.asarray(pad_to(s.hist_is_output, bs_bucket))
+    return out

@@ -161,15 +161,24 @@ class ModelRunner:
         tp = tp_degree(self.mesh)
         if c.num_key_value_heads % tp == 0:
             kv_bytes_per_page //= tp
+        budget = 0
         try:
             stats = jax.devices()[0].memory_stats()
-            limit = stats["bytes_limit"]
-            in_use = stats.get("bytes_in_use", 0)
-            budget = int(limit * args.mem_fraction_static) - in_use
+            if stats:
+                limit = stats["bytes_limit"]
+                in_use = stats.get("bytes_in_use", 0)
+                budget = int(limit * args.mem_fraction_static) - in_use
         except Exception:
-            budget = 0
+            pass
+        if budget <= 0 and jax.default_backend() not in ("cpu",):
+            # Backend without memory_stats (e.g. tunneled PJRT): assume one
+            # v5e-class chip and budget = HBM*frac - weights - workspace.
+            hbm = 15.5e9
+            budget = int(hbm * args.mem_fraction_static) - self.param_bytes - int(
+                2.0e9
+            )
         if budget <= 0:
-            # CPU tests / unknown backend: small fixed pool.
+            # CPU tests: small fixed pool.
             return max(cdiv(64 * 1024, self.page_size), 2)
         pages = budget // kv_bytes_per_page
         return int(max(pages, 2))
@@ -202,11 +211,16 @@ class ModelRunner:
 
         def step(
             params, kv_pool, fb: ForwardBatch, sampling, rng, sample_mode,
-            return_logprob=False, top_logprobs_k=0,
+            return_logprob=False, top_logprobs_k=0, has_penalties=False,
         ):
             logits, kv_pool = model(params, kv_pool, fb, page_size)
             if sample_mode == "logits":
                 return logits, kv_pool
+            if has_penalties:
+                co, ca = sampler_ops.build_penalty_counts(
+                    sampling, logits.shape[-1]
+                )
+                logits = sampler_ops.apply_penalties(logits, sampling, co, ca)
             if sample_mode == "greedy":
                 toks = sampler_ops.sample_greedy(logits, sampling, rng)
             elif sample_mode == "simple":
@@ -226,7 +240,12 @@ class ModelRunner:
         return jax.jit(
             step,
             donate_argnums=(1,),
-            static_argnames=("sample_mode", "return_logprob", "top_logprobs_k"),
+            static_argnames=(
+                "sample_mode",
+                "return_logprob",
+                "top_logprobs_k",
+                "has_penalties",
+            ),
         )
 
     def _build_multi_step_fn(self):
@@ -250,9 +269,16 @@ class ModelRunner:
             sample_mode,
             return_logprob=False,
             top_logprobs_k=0,
+            has_penalties=False,
         ):
+            if has_penalties:
+                vocab = params["embed"].shape[0]
+                co0, ca0 = sampler_ops.build_penalty_counts(sampling, vocab)
+            else:
+                co0 = ca0 = jnp.zeros((), jnp.float32)
+
             def body(carry, k):
-                kv_pool, toks, lens = carry
+                kv_pool, toks, lens, co, ca = carry
                 active = lens < limits
                 pos = jnp.maximum(lens - 1, 0)
                 page = jnp.take_along_axis(
@@ -269,6 +295,8 @@ class ModelRunner:
                     extend_prefix_lens=None,
                 )
                 logits, kv_pool = model(params, kv_pool, fb, ps)
+                if has_penalties:
+                    logits = sampler_ops.apply_penalties(logits, sampling, co, ca)
                 krng = jax.random.fold_in(rng, k)
                 if sample_mode == "greedy":
                     nt = sampler_ops.sample_greedy(logits, sampling, krng)
@@ -278,6 +306,8 @@ class ModelRunner:
                     nt = sampler_ops.sample_full(logits, sampling, krng)
                 nt = jnp.where(active, nt, 0)
                 lens = jnp.where(active, lens + 1, lens)
+                if has_penalties:
+                    co, ca = sampler_ops.update_penalty_counts(co, ca, nt, active)
                 if return_logprob:
                     logprobs = jax.nn.log_softmax(
                         logits.astype(jnp.float32), axis=-1
@@ -290,10 +320,10 @@ class ModelRunner:
                     ys = (nt, chosen, tv, ti)
                 else:
                     ys = nt
-                return (kv_pool, nt, lens), ys
+                return (kv_pool, nt, lens, co, ca), ys
 
-            (kv_pool, _, _), ys = jax.lax.scan(
-                body, (kv_pool, tokens, seq_lens), jnp.arange(n_steps)
+            (kv_pool, _, _, _, _), ys = jax.lax.scan(
+                body, (kv_pool, tokens, seq_lens, co0, ca0), jnp.arange(n_steps)
             )
             if return_logprob:
                 toks, chosen, tv, ti = ys
@@ -308,7 +338,13 @@ class ModelRunner:
         return jax.jit(
             multi,
             donate_argnums=(1,),
-            static_argnames=("n_steps", "sample_mode", "return_logprob", "top_logprobs_k"),
+            static_argnames=(
+                "n_steps",
+                "sample_mode",
+                "return_logprob",
+                "top_logprobs_k",
+                "has_penalties",
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -361,6 +397,7 @@ class ModelRunner:
                 sample_mode=self._sample_mode(mwb),
                 return_logprob=rl,
                 top_logprobs_k=tk,
+                has_penalties=mwb.sampling_info.has_penalties,
             )
         else:
             # decode: fused multi-step window
@@ -383,6 +420,7 @@ class ModelRunner:
                 sample_mode=self._sample_mode(mwb),
                 return_logprob=rl,
                 top_logprobs_k=tk,
+                has_penalties=mwb.sampling_info.has_penalties,
             )
         n = mwb.real_bs
         if not rl:
