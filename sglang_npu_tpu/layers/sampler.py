@@ -130,3 +130,16 @@ def compute_token_logprobs(logits: jax.Array, token_ids: jax.Array) -> jax.Array
     """Log-softmax probability of chosen tokens; [B]."""
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return jnp.take_along_axis(logprobs, token_ids[:, None], axis=-1)[:, 0]
+
+
+def apply_packed_vocab_mask(logits: jax.Array, packed: jax.Array) -> jax.Array:
+    """Apply a packed uint32 allowed-token bitmask [B, ceil(V/32)] (grammar
+    constrained decoding — the one-op TPU version of the reference's
+    `apply_token_bitmask_inplace_cuda.cu`)."""
+    V = logits.shape[-1]
+    idx = jnp.arange(V, dtype=jnp.int32)
+    words = jnp.take_along_axis(
+        packed, jnp.broadcast_to(idx >> 5, (packed.shape[0], V)), axis=1
+    )
+    bits = (words >> (idx & 31).astype(jnp.uint32)) & 1
+    return jnp.where(bits.astype(bool), logits, NEG_INF)

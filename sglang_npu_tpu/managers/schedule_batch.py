@@ -169,6 +169,11 @@ class Req:
         self.extend_input_len = len(self.fill_ids) - self.prefix_len
 
     def reset_for_retract(self) -> None:
+        if self.grammar is not None:
+            # replayed tokens will be re-accepted during the re-prefill...
+            # actually re-prefill does not re-run accept_token; keep the FSM
+            # state as-is (it already reflects output_ids, which survive).
+            pass
         self.prefix_len = 0
         self.kv_slots = np.empty((0,), dtype=np.int32)
         self.pages = []
@@ -278,7 +283,9 @@ class SamplingBatchNumpy:
     has_penalties: bool = False
     token_hist: Optional[np.ndarray] = None  # [B, H] padded with -1
     hist_is_output: Optional[np.ndarray] = None  # [B, H] bool
-    vocab_mask: Optional[np.ndarray] = None  # [B, vocab] bool, grammar masking
+    # grammar: packed uint32 allowed-token bitmask [B, ceil(V/32)]
+    vocab_mask: Optional[np.ndarray] = None
+    has_grammar: bool = False
 
     @classmethod
     def from_reqs(cls, reqs: List[Req]) -> "SamplingBatchNumpy":

@@ -120,6 +120,20 @@ class Scheduler:
         self.watchdog_timeout = server_args.watchdog_timeout
         self.last_heartbeat = time.time()
 
+        # Async grammar compilation (reference grammar queue,
+        # `scheduler.py:2017 move_ready_grammar_requests`).
+        self.grammar_backend = None
+        self.grammar_queue: List[tuple] = []  # (req, future)
+
+    def _get_grammar_backend(self):
+        if self.grammar_backend is None:
+            from sglang_npu_tpu.constrained.grammar_backend import GrammarBackend
+
+            self.grammar_backend = GrammarBackend(
+                self.tokenizer, self.runner.model_config.vocab_size
+            )
+        return self.grammar_backend
+
     # ------------------------------------------------------------------
     # Event loop
     # ------------------------------------------------------------------
@@ -129,6 +143,8 @@ class Scheduler:
             self.recv_requests(block=not self._has_work())
             if not self._running:
                 break
+            if self.grammar_queue:
+                self.move_ready_grammar_requests()
             batch = self.get_next_batch_to_run()
             if batch is None:
                 continue
@@ -143,8 +159,11 @@ class Scheduler:
         self.input_queue.put(None)
 
     def _has_work(self) -> bool:
-        return bool(self.waiting_queue) or not self.running_batch.is_empty() or (
-            self.chunked_req is not None
+        return (
+            bool(self.waiting_queue)
+            or not self.running_batch.is_empty()
+            or self.chunked_req is not None
+            or bool(self.grammar_queue)
         )
 
     # ------------------------------------------------------------------
@@ -212,7 +231,43 @@ class Scheduler:
             req.sampling_params.max_new_tokens, max(room, 0)
         )
         self._rid_to_req[req.rid] = req
+
+        sp = req.sampling_params
+        if sp.regex or sp.json_schema:
+            if self.tokenizer is None:
+                req.finished_reason = FINISH_ABORT(
+                    "grammar-constrained decoding requires a tokenizer"
+                )
+                self._emit_finished_stub(req)
+                return
+            kind, spec = (
+                ("regex", sp.regex) if sp.regex else ("json", sp.json_schema)
+            )
+            try:
+                fut = self._get_grammar_backend().submit(kind, spec)
+            except Exception as e:
+                req.finished_reason = FINISH_ABORT(f"grammar compile error: {e}")
+                self._emit_finished_stub(req)
+                return
+            self.grammar_queue.append((req, fut))
+            return
         self.waiting_queue.append(req)
+
+    def move_ready_grammar_requests(self):
+        still = []
+        for req, fut in self.grammar_queue:
+            if fut.done():
+                try:
+                    req.grammar = fut.result()
+                    self.waiting_queue.append(req)
+                except Exception as e:
+                    req.finished_reason = FINISH_ABORT(
+                        f"grammar compile failed: {e}"
+                    )
+                    self._emit_finished_stub(req)
+            else:
+                still.append((req, fut))
+        self.grammar_queue = still
 
     def abort_request(self, a: AbortReq):
         if a.abort_all:
@@ -264,14 +319,32 @@ class Scheduler:
         prefill = self.get_new_batch_prefill()
         if prefill is not None:
             self.last_prefill_batch = prefill
-            return prefill.prepare_for_extend(), True
+            mwb = prefill.prepare_for_extend()
+            self._attach_grammar_masks(mwb, prefill.reqs)
+            return mwb, True
 
         if self.running_batch.is_empty():
             return None
         mwb = self.update_running_batch()
         if mwb is None:
             return None
+        self._attach_grammar_masks(mwb, self.running_batch.reqs)
         return mwb, False
+
+    def _attach_grammar_masks(self, mwb: ModelWorkerBatch, reqs: List[Req]):
+        """Fill the packed allowed-token bitmask rows for grammar requests
+        (vocab mask overlapped with forward in the reference,
+        `model_runner._preprocess_logits:1703`)."""
+        if not any(r.grammar is not None for r in reqs):
+            return
+        V = self.runner.model_config.vocab_size
+        nwords = (V + 31) // 32
+        mask = np.full((len(reqs), nwords), 0xFFFFFFFF, dtype=np.uint32)
+        for i, r in enumerate(reqs):
+            if r.grammar is not None and not r.grammar.finished:
+                mask[i] = r.grammar.vocab_mask()
+        mwb.sampling_info.vocab_mask = mask
+        mwb.sampling_info.has_grammar = True
 
     def get_new_batch_prefill(self) -> Optional[ScheduleBatch]:
         if not self.waiting_queue and self.chunked_req is None:
@@ -427,6 +500,14 @@ class Scheduler:
             return
         req.output_ids.append(token)
         req.fill_ids.append(token)
+        if req.grammar is not None:
+            req.grammar.accept_token(token)
+            if req.grammar.finished and req.finished_reason is None:
+                from sglang_npu_tpu.managers.schedule_batch import (
+                    FINISH_MATCHED_TOKEN,
+                )
+
+                req.finished_reason = FINISH_MATCHED_TOKEN(token)
         req.check_finished(self.tokenizer)
         if req.finished:
             self._rid_to_req.pop(req.rid, None)

@@ -56,6 +56,7 @@ class SamplingDevice:
     repetition_penalties: Optional[jax.Array] = None  # [B]
     token_hist: Optional[jax.Array] = None  # [B, H] int32, -1 padded
     hist_is_output: Optional[jax.Array] = None  # [B, H] bool
+    vocab_mask: Optional[jax.Array] = None  # [B, ceil(V/32)] uint32
 
 
 def pad_to(arr: np.ndarray, size: int, fill=0, axis: int = 0) -> np.ndarray:
@@ -137,4 +138,8 @@ def build_sampling_device(mwb: ModelWorkerBatch, bs_bucket: int) -> SamplingDevi
         )
         out.token_hist = jnp.asarray(pad_to(s.token_hist, bs_bucket, fill=-1))
         out.hist_is_output = jnp.asarray(pad_to(s.hist_is_output, bs_bucket))
+    if s.has_grammar and s.vocab_mask is not None:
+        out.vocab_mask = jnp.asarray(
+            pad_to(s.vocab_mask, bs_bucket, fill=np.uint32(0xFFFFFFFF))
+        )
     return out

@@ -221,6 +221,10 @@ class ModelRunner:
                     sampling, logits.shape[-1]
                 )
                 logits = sampler_ops.apply_penalties(logits, sampling, co, ca)
+            if sampling.vocab_mask is not None:
+                logits = sampler_ops.apply_packed_vocab_mask(
+                    logits, sampling.vocab_mask
+                )
             if sample_mode == "greedy":
                 toks = sampler_ops.sample_greedy(logits, sampling, rng)
             elif sample_mode == "simple":
@@ -297,6 +301,10 @@ class ModelRunner:
                 logits, kv_pool = model(params, kv_pool, fb, ps)
                 if has_penalties:
                     logits = sampler_ops.apply_penalties(logits, sampling, co, ca)
+                if sampling.vocab_mask is not None:
+                    logits = sampler_ops.apply_packed_vocab_mask(
+                        logits, sampling.vocab_mask
+                    )
                 krng = jax.random.fold_in(rng, k)
                 if sample_mode == "greedy":
                     nt = sampler_ops.sample_greedy(logits, sampling, krng)

@@ -186,8 +186,7 @@ class LlamaForCausalLM:
                 k = rms_norm(k, lp["k_norm"], eps)
             q, k = apply_rope(q, k, fb.positions, rope)
 
-            kv_pool = write_kv(kv_pool, l, k, v, fb.out_slots)
-            att = self._attention(q, kv_pool, l, fb, page_size)
+            att, kv_pool = self._attention(q, k, v, kv_pool, l, fb, page_size)
             x = x + jnp.einsum(
                 "beh,hd->bed", att.reshape(B, E, self.q_size), lp["wo"]
             )
@@ -229,12 +228,16 @@ class LlamaForCausalLM:
             )
         return logits, new_kv
 
-    def _attention(self, q, kv_pool, layer_idx, fb: ForwardBatch, page_size: int):
+    def _attention(self, q, k, v, kv_pool, layer_idx, fb: ForwardBatch, page_size: int):
+        """Write new K/V into the pool and attend; returns (out, pool).
+        The write happens inside the backend so Pallas backends can fuse it
+        in-place (XLA scatter would force pool relayout copies)."""
         if self.attn_backend is not None:
             return self.attn_backend(
-                q, kv_pool, layer_idx, fb, page_size, self.scale, self.config
+                q, k, v, kv_pool, layer_idx, fb, page_size, self.scale, self.config
             )
-        return paged_attention_xla(
+        kv_pool = write_kv(kv_pool, layer_idx, k, v, fb.out_slots)
+        out = paged_attention_xla(
             q,
             kv_pool,
             layer_idx,
@@ -245,6 +248,7 @@ class LlamaForCausalLM:
             self.scale,
             sliding_window=self.config.sliding_window or -1,
         )
+        return out, kv_pool
 
 
 # silu/swiglu note: gate/up are separate arrays so TP sharding of the fused

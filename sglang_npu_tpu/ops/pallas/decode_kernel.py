@@ -10,12 +10,16 @@ double-buffered async DMA.
 Design:
   * grid = (B,): one program per sequence; all KV heads processed together
     so each page DMA moves [ps, D] x H_kv slabs (head-major pool layout).
+  * **fused KV write**: the current token's K/V row is inserted into its
+    page via read-modify-write DMA inside the kernel, with the pool
+    aliased in-place (`input_output_aliases`).  This keeps the pool out of
+    XLA scatter-land entirely — an XLA scatter picks a scatter-friendly
+    layout and forces a full-pool relayout copy at every pallas call
+    boundary (observed: 10GB copy per layer).
   * KV pages are gathered in blocks of BLOCK_T tokens (BLOCK_T/ps pages per
     block, DMA'd concurrently, 128-lane aligned compute).
   * online softmax in f32 scratch; GQA groups handled as a batched
     dot_general over the H_kv batch axis.
-  * the pool stays in HBM (`memory_space=ANY`) — no gathered copy is ever
-    materialized, unlike the XLA fallback backend.
 """
 
 from __future__ import annotations
@@ -37,16 +41,21 @@ def _decode_kernel(
     seq_lens_ref,  # [B] int32
     # inputs
     q_ref,  # [1, Hkv, G, D] (VMEM block for this b)
-    pool_ref,  # [L, 2, Hkv, NP_total, ps, D] (HBM)
+    new_k_ref,  # [1, Hkv, 1, D] current token K (VMEM)
+    new_v_ref,  # [1, Hkv, 1, D]
+    pool_in_ref,  # [L, 2, Hkv, NP_total, ps, D] (HBM, aliased to pool_out)
     # outputs
     o_ref,  # [1, Hkv, G, D]
+    pool_ref,  # aliased pool (HBM)
     # scratch
     k_buf,  # [2, Hkv, NP, ps, D]
     v_buf,  # [2, Hkv, NP, ps, D]
+    page_buf,  # [2, Hkv, ps, D] read-modify-write staging (k, v)
     acc_ref,  # [Hkv, G, D] f32
     m_ref,  # [Hkv, G, 128] f32 (running max, broadcast over lanes)
     l_ref,  # [Hkv, G, 128] f32 (running denom)
     sems,  # DMA sems [2, 2, NP]
+    wsems,  # write-phase sems [2]
     *,
     page_size: int,
     block_t: int,
@@ -63,6 +72,58 @@ def _decode_kernel(
 
     Hkv, G, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
 
+    # ------------------------------------------------------------------
+    # Phase 1: insert the current token's K/V into its page (in-place
+    # read-modify-write of the last page).  seq_len counts the current
+    # token, so it lives at position seq_len-1.
+    # ------------------------------------------------------------------
+    @pl.when(seq_len > 0)
+    def _write_phase():
+        pos = seq_len - 1
+        page = page_tables_ref[b, pos // page_size]
+        off = pos % page_size
+        for kv in range(2):
+            pltpu.make_async_copy(
+                pool_ref.at[layer, kv, :, page],
+                page_buf.at[kv],
+                wsems.at[kv],
+            ).start()
+        for kv in range(2):
+            pltpu.make_async_copy(
+                pool_ref.at[layer, kv, :, page],
+                page_buf.at[kv],
+                wsems.at[kv],
+            ).wait()
+        # dynamic sublane-offset stores are not supported; insert the row
+        # with a masked select over the whole page
+        ps_, D_ = page_buf.shape[2], page_buf.shape[3]
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (Hkv, ps_, D_), 1)
+        row_mask = row_idx == off
+        nk = jnp.broadcast_to(
+            new_k_ref[0].astype(page_buf.dtype), (Hkv, ps_, D_)
+        )
+        nv = jnp.broadcast_to(
+            new_v_ref[0].astype(page_buf.dtype), (Hkv, ps_, D_)
+        )
+        page_buf[0] = jnp.where(row_mask, nk, page_buf[0])
+        page_buf[1] = jnp.where(row_mask, nv, page_buf[1])
+        for kv in range(2):
+            pltpu.make_async_copy(
+                page_buf.at[kv],
+                pool_ref.at[layer, kv, :, page],
+                wsems.at[kv],
+            ).start()
+        for kv in range(2):
+            pltpu.make_async_copy(
+                page_buf.at[kv],
+                pool_ref.at[layer, kv, :, page],
+                wsems.at[kv],
+            ).wait()
+
+    # ------------------------------------------------------------------
+    # Phase 2: flash attention over the paged KV (now including the
+    # current token).
+    # ------------------------------------------------------------------
     def start_dma(blk, slot):
         for j in range(np_per_blk):  # static unroll
             page_pos = blk * np_per_blk + j
@@ -117,51 +178,47 @@ def _decode_kernel(
 
         wait_dma(blk, slot)
 
-        def compute(slot_idx):
-            k = k_buf[slot_idx].reshape(Hkv, block_t, D).astype(jnp.float32)
-            v = v_buf[slot_idx].reshape(Hkv, block_t, D).astype(jnp.float32)
-            # zero out invalid token rows of v: p is 0 there, but 0 * garbage
-            # (uninitialized scratch can be NaN) would poison the pv matmul
-            valid_t = (
-                blk * block_t
-                + jax.lax.broadcasted_iota(jnp.int32, (1, block_t, 1), 1)
-            ) < seq_len
-            v = jnp.where(valid_t, v, 0.0)
-            # [Hkv, G, T] = batch-h (G, D) x (T, D)^T
-            s = jax.lax.dot_general(
-                q,
-                k,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            if logit_cap > 0:
-                s = logit_cap * jnp.tanh(s / logit_cap)
-            tok_idx = blk * block_t + jax.lax.broadcasted_iota(
-                jnp.int32, (Hkv, G, block_t), 2
-            )
-            mask = tok_idx < seq_len
-            if sliding_window > 0:
-                mask = jnp.logical_and(mask, tok_idx > seq_len - 1 - sliding_window)
-            s = jnp.where(mask, s, NEG_INF)
+        k = k_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
+        v = v_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
+        # zero out invalid token rows of v: p is 0 there, but 0 * garbage
+        # (uninitialized scratch can be NaN) would poison the pv matmul
+        valid_t = (
+            blk * block_t
+            + jax.lax.broadcasted_iota(jnp.int32, (1, block_t, 1), 1)
+        ) < seq_len
+        v = jnp.where(valid_t, v, 0.0)
+        # [Hkv, G, T] = batch-h (G, D) x (T, D)^T
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if logit_cap > 0:
+            s = logit_cap * jnp.tanh(s / logit_cap)
+        tok_idx = blk * block_t + jax.lax.broadcasted_iota(
+            jnp.int32, (Hkv, G, block_t), 2
+        )
+        mask = tok_idx < seq_len
+        if sliding_window > 0:
+            mask = jnp.logical_and(mask, tok_idx > seq_len - 1 - sliding_window)
+        s = jnp.where(mask, s, NEG_INF)
 
-            m_prev = m_ref[:, :, :1]  # [Hkv, G, 1]
-            m_cur = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)  # [Hkv, G, T]
-            l_new = l_ref[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            # [Hkv, G, D] += p @ v
-            pv = jax.lax.dot_general(
-                p,
-                v,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            acc_ref[...] = acc_ref[...] * alpha + pv
-            m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-            l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
-
-        compute(slot)
+        m_prev = m_ref[:, :, :1]  # [Hkv, G, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [Hkv, G, T]
+        l_new = l_ref[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p,
+            v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
         return 0
 
     jax.lax.fori_loop(0, num_blocks, body, 0)
@@ -175,19 +232,21 @@ def _decode_kernel(
     jax.jit,
     static_argnames=("page_size", "scale", "sliding_window", "logit_cap", "interpret"),
 )
-def paged_decode_attention(
+def paged_decode_attention_fused(
     q: jax.Array,  # [B, Hq, D]
+    new_k: jax.Array,  # [B, Hkv, D]
+    new_v: jax.Array,  # [B, Hkv, D]
     kv_pool: jax.Array,  # [L, 2, Hkv, NP_total, ps, D]
     layer_idx: jax.Array,  # scalar int32
     page_tables: jax.Array,  # [B, P] int32
-    seq_lens: jax.Array,  # [B] int32
+    seq_lens: jax.Array,  # [B] int32 (incl. current token)
     page_size: int,
     scale: float,
     sliding_window: int = -1,
     logit_cap: float = 0.0,
     interpret: bool = False,
-) -> jax.Array:
-    """Returns [B, Hq, D]."""
+):
+    """Fused write-KV + attention. Returns (out [B, Hq, D], kv_pool)."""
     B, Hq, D = q.shape
     Hkv = kv_pool.shape[2]
     G = Hq // Hkv
@@ -204,6 +263,8 @@ def paged_decode_attention(
     block_t = np_per_blk * page_size
 
     q4 = q.reshape(B, Hkv, G, D)
+    nk4 = new_k.reshape(B, Hkv, 1, D)
+    nv4 = new_v.reshape(B, Hkv, 1, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -212,18 +273,29 @@ def paged_decode_attention(
             pl.BlockSpec(
                 (1, Hkv, G, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                (1, Hkv, 1, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, Hkv, 1, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pl.ANY),  # pool stays in HBM
         ],
-        out_specs=pl.BlockSpec(
-            (1, Hkv, G, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (1, Hkv, G, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
             pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
+            pltpu.VMEM((2, Hkv, page_size, D), kv_pool.dtype),
             pltpu.VMEM((Hkv, G, D), jnp.float32),
             pltpu.VMEM((Hkv, G, 128), jnp.float32),
             pltpu.VMEM((Hkv, G, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2, np_per_blk)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -236,16 +308,62 @@ def paged_decode_attention(
         logit_cap=logit_cap,
     )
 
-    out = pl.pallas_call(
+    out, pool = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+            jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
+        ),
+        input_output_aliases={6: 1},  # pool (after 3 scalar-prefetch + 3 tensor args)
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         jnp.asarray([layer_idx], dtype=jnp.int32).reshape(1),
         page_tables,
         seq_lens,
         q4,
+        nk4,
+        nv4,
         kv_pool,
     )
-    return out.reshape(B, Hq, D)
+    return out.reshape(B, Hq, D), pool
+
+
+def paged_decode_attention(
+    q: jax.Array,
+    kv_pool: jax.Array,
+    layer_idx: jax.Array,
+    page_tables: jax.Array,
+    seq_lens: jax.Array,
+    page_size: int,
+    scale: float,
+    sliding_window: int = -1,
+    logit_cap: float = 0.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Attention-only variant (assumes the current token's KV is already in
+    the pool): fuses a no-op write by passing the existing row."""
+    B, Hq, D = q.shape
+    Hkv = kv_pool.shape[2]
+    # Re-read of the existing row: write the same values back.
+    pos = jnp.maximum(seq_lens - 1, 0)
+    page = jnp.take_along_axis(page_tables, (pos // page_size)[:, None], axis=1)[:, 0]
+    off = pos % page_size
+    cur_k = kv_pool[layer_idx, 0, :, page, off]  # [B, Hkv, D]
+    cur_v = kv_pool[layer_idx, 1, :, page, off]
+    out, _ = paged_decode_attention_fused(
+        q,
+        cur_k,
+        cur_v,
+        kv_pool,
+        layer_idx,
+        page_tables,
+        seq_lens,
+        page_size,
+        scale,
+        sliding_window,
+        logit_cap,
+        interpret,
+    )
+    return out

@@ -19,16 +19,18 @@ from sglang_npu_tpu.ops.xla_attention import paged_attention_xla
 
 
 def make_pallas_attention_backend():
-    def backend(q, kv_pool, layer_idx, fb, page_size, scale, config):
+    def backend(q, k, v, kv_pool, layer_idx, fb, page_size, scale, config):
         B, E, Hq, D = q.shape
         sliding_window = config.sliding_window or -1
         if E == 1 and D % 128 == 0:
             from sglang_npu_tpu.ops.pallas.decode_kernel import (
-                paged_decode_attention,
+                paged_decode_attention_fused,
             )
 
-            return paged_decode_attention(
+            out, kv_pool = paged_decode_attention_fused(
                 q[:, 0],
+                k[:, 0],
+                v[:, 0],
                 kv_pool,
                 layer_idx,
                 fb.page_tables,
@@ -37,8 +39,12 @@ def make_pallas_attention_backend():
                 scale,
                 sliding_window=sliding_window,
                 logit_cap=getattr(config, "logit_cap", 0.0) or 0.0,
-            )[:, None]
-        return paged_attention_xla(
+            )
+            return out[:, None], kv_pool
+        from sglang_npu_tpu.ops.xla_attention import write_kv
+
+        kv_pool = write_kv(kv_pool, layer_idx, k, v, fb.out_slots)
+        out = paged_attention_xla(
             q,
             kv_pool,
             layer_idx,
@@ -49,5 +55,6 @@ def make_pallas_attention_backend():
             scale,
             sliding_window=sliding_window,
         )
+        return out, kv_pool
 
     return backend

@@ -77,6 +77,44 @@ def test_decode_kernel_logit_cap():
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_fused_write_attention_matches_xla():
+    import jax
+
+    from sglang_npu_tpu.ops.pallas.decode_kernel import paged_decode_attention_fused
+    from sglang_npu_tpu.ops.xla_attention import write_kv
+
+    q, pool, pages, seq_lens = make_case(seed=7)
+    rng = np.random.default_rng(7)
+    B, Hq, D = q.shape
+    Hkv = pool.shape[2]
+    new_k = jnp.asarray(rng.standard_normal((B, Hkv, D)).astype(np.float32))
+    new_v = jnp.asarray(rng.standard_normal((B, Hkv, D)).astype(np.float32))
+    layer = jnp.int32(1)
+    ps = 16
+    # the new token sits at position seq_len-1 -> slot from the page table
+    pos = np.asarray(seq_lens) - 1
+    pt_np = np.asarray(pages)
+    slots = pt_np[np.arange(B), pos // ps] * ps + pos % ps
+    slots = jnp.asarray(slots[:, None], jnp.int32)
+
+    # XLA reference: scatter then attend
+    pool_ref = write_kv(pool, layer, new_k[:, None], new_v[:, None], slots)
+    ref = paged_attention_xla(
+        q[:, None], pool_ref, layer, pages, seq_lens,
+        (seq_lens - 1)[:, None], ps, 0.125,
+    )[:, 0]
+
+    out, pool_out = paged_decode_attention_fused(
+        q, new_k, new_v, pool, layer, pages, seq_lens,
+        page_size=ps, scale=0.125, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    # pool updated identically
+    np.testing.assert_allclose(
+        np.asarray(pool_out), np.asarray(pool_ref), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_decode_kernel_padded_rows():
     q, pool, pages, seq_lens = make_case(seed=4)
     # row 0 padded: seq_len 0 must not crash (output garbage is discarded)
