@@ -123,10 +123,14 @@ class ModelRunner:
         name = self.server_args.attention_backend
         if name is None:
             on_tpu = jax.default_backend() not in ("cpu",)
-            # the pallas decode kernel needs 128-lane-aligned head_dim
+            # the pallas decode kernel needs 128-lane-aligned head_dim;
+            # under TP the kernel needs a shard_map wrapper (pending), so
+            # fall back to the XLA backend for multi-chip meshes for now.
             name = (
                 "pallas"
-                if on_tpu and self.model_config.head_dim % 128 == 0
+                if on_tpu
+                and self.model_config.head_dim % 128 == 0
+                and tp_degree(self.mesh) == 1
                 else "xla"
             )
         self.attention_backend_name = name

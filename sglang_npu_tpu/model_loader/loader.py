@@ -89,14 +89,21 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                 if dest is None:
                     logger.debug("skipping unmapped weight %s", name)
                     continue
+                expert_idx = None
+                if ".__expert__" in dest:
+                    dest, e = dest.split(".__expert__")
+                    expert_idx = int(e)
                 tensor = f.get_tensor(name)
                 if transform == "transpose":
                     tensor = tensor.T
+                elif transform == "squeeze":
+                    tensor = tensor.reshape(-1)
                 target = _get_path(host, dest)
-                if layer_idx is None:
-                    np.copyto(target, tensor.astype(target.dtype))
-                else:
-                    np.copyto(target[layer_idx], tensor.astype(target.dtype))
+                if layer_idx is not None:
+                    target = target[layer_idx]
+                if expert_idx is not None:
+                    target = target[expert_idx]
+                np.copyto(target, tensor.astype(target.dtype))
                 loaded.add(name)
     logger.info("loaded %d tensors from %d files", len(loaded), len(files))
     return host

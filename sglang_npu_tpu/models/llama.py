@@ -192,10 +192,7 @@ class LlamaForCausalLM:
             )
 
             h = rms_norm(x, lp["post_norm"], eps)
-            gate = jnp.einsum("bed,df->bef", h, lp["w_gate"])
-            up = jnp.einsum("bed,df->bef", h, lp["w_up"])
-            act = jax.nn.silu(gate) * up  # stays shard-local under TP
-            x = x + jnp.einsum("bef,fd->bed", act, lp["w_down"])
+            x = x + self._mlp(h, lp)
             return (x, kv_pool, l + 1), None
 
         (x, new_kv, _), _ = jax.lax.scan(
@@ -227,6 +224,13 @@ class LlamaForCausalLM:
                 preferred_element_type=jnp.float32,
             )
         return logits, new_kv
+
+    def _mlp(self, h, lp):
+        """Dense SwiGLU MLP; overridden by MoE models."""
+        gate = jnp.einsum("bed,df->bef", h, lp["w_gate"])
+        up = jnp.einsum("bed,df->bef", h, lp["w_up"])
+        act = jax.nn.silu(gate) * up  # stays shard-local under TP
+        return jnp.einsum("bef,fd->bed", act, lp["w_down"])
 
     def _attention(self, q, k, v, kv_pool, layer_idx, fb: ForwardBatch, page_size: int):
         """Write new K/V into the pool and attend; returns (out, pool).

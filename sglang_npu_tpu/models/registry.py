@@ -14,6 +14,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "MistralForCausalLM": ("sglang_npu_tpu.models.llama", "LlamaForCausalLM"),
     "Qwen2ForCausalLM": ("sglang_npu_tpu.models.llama", "LlamaForCausalLM"),
     "Qwen3ForCausalLM": ("sglang_npu_tpu.models.llama", "LlamaForCausalLM"),
+    "Qwen2MoeForCausalLM": ("sglang_npu_tpu.models.qwen_moe", "QwenMoeForCausalLM"),
+    "Qwen3MoeForCausalLM": ("sglang_npu_tpu.models.qwen_moe", "QwenMoeForCausalLM"),
+    "MixtralForCausalLM": ("sglang_npu_tpu.models.qwen_moe", "QwenMoeForCausalLM"),
 }
 
 
