@@ -54,7 +54,7 @@ LLAMA_1B = LLAMA_3B  # back-compat alias for older scripts
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--num-requests", type=int, default=32)
+    p.add_argument("--num-requests", type=int, default=64)
     p.add_argument("--prompt-len", type=int, default=128)
     p.add_argument("--max-new", type=int, default=128)
     p.add_argument("--page-size", type=int, default=16)

@@ -317,7 +317,9 @@ def paged_decode_attention_fused(
         ),
         input_output_aliases={6: 1},  # pool (after 3 scalar-prefetch + 3 tensor args)
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(
         jnp.asarray([layer_idx], dtype=jnp.int32).reshape(1),
         page_tables,

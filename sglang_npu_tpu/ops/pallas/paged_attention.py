@@ -41,6 +41,31 @@ def make_pallas_attention_backend():
                 logit_cap=getattr(config, "logit_cap", 0.0) or 0.0,
             )
             return out[:, None], kv_pool
+        if (
+            E > 1
+            and D % 128 == 0
+            and fb.extend_prefix_lens is not None
+            and E % min(128, E) == 0
+            and min(128, E) % page_size == 0
+        ):
+            from sglang_npu_tpu.ops.pallas.prefill_kernel import (
+                paged_prefill_attention_fused,
+            )
+
+            return paged_prefill_attention_fused(
+                q,
+                k,
+                v,
+                kv_pool,
+                layer_idx,
+                fb.page_tables,
+                fb.seq_lens,
+                fb.extend_prefix_lens,
+                page_size,
+                scale,
+                sliding_window=sliding_window,
+                logit_cap=getattr(config, "logit_cap", 0.0) or 0.0,
+            )
         from sglang_npu_tpu.ops.xla_attention import write_kv
 
         kv_pool = write_kv(kv_pool, layer_idx, k, v, fb.out_slots)

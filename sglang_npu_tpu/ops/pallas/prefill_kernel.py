@@ -1,0 +1,357 @@
+"""Pallas paged prefill (extend) attention kernel with fused KV write.
+
+Replaces the reference's prefill attention kernels
+(`layers/attention/flashattention_backend.py` extend path, triton
+`extend_attention.py`, Ascend `_npu_flash_attention`) for the TPU engine:
+
+  * writes the new tokens' K/V into their (request-exclusive) pool pages by
+    whole-page DMA — the new-token region starts page-aligned (radix prefix
+    reuse is page-aligned by construction) and the partial tail page is
+    exclusively owned, so full-page writes need no read-modify-write;
+  * then runs blockwise causal flash attention of the query block against
+    all KV up to its position, streamed from the pool pages (prefix pages
+    written by earlier requests' programs or the radix cache, own pages
+    written by this / earlier blocks — the sequential TPU grid order makes
+    the write-before-read dependency hold);
+  * pool aliased in-place (`input_output_aliases`) — no XLA scatter, no
+    pool relayout copies (see decode_kernel.py).
+
+Grid: (B, num_q_blocks); query blocks of QB tokens.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _prefill_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    page_tables_ref,  # [B, P]
+    seq_lens_ref,  # [B] (prefix + extend)
+    prefix_lens_ref,  # [B] (page-aligned)
+    # inputs
+    q_ref,  # [1, Hkv, QB, G, D]
+    new_k_ref,  # [1, Hkv, QB, D]
+    new_v_ref,  # [1, Hkv, QB, D]
+    pool_in_ref,  # (HBM, aliased)
+    # outputs
+    o_ref,  # [1, Hkv, QB, G, D]
+    pool_ref,  # aliased pool (HBM)
+    # scratch
+    k_buf,  # [2, Hkv, NP, ps, D]
+    v_buf,  # [2, Hkv, NP, ps, D]
+    acc_ref,  # [Hkv, QB*G, D] f32
+    m_ref,  # [Hkv, QB*G, 128] f32
+    l_ref,  # [Hkv, QB*G, 128] f32
+    sems,  # [2, 2, NP]
+    wsems,  # [2, NPW] write sems
+    *,
+    page_size: int,
+    block_t: int,
+    q_block: int,
+    scale: float,
+    sliding_window: int,
+    logit_cap: float,
+):
+    b = pl.program_id(0)
+    qb = pl.program_id(1)
+    layer = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    prefix_len = prefix_lens_ref[b]
+    extend_len = seq_len - prefix_len
+
+    Hkv = q_ref.shape[1]
+    QB = q_ref.shape[2]
+    G = q_ref.shape[3]
+    D = q_ref.shape[4]
+    np_per_blk = block_t // page_size
+    npw = q_block // page_size  # pages written per q block
+
+    q_start = qb * QB  # within the extend region
+    block_active = q_start < extend_len
+
+    # ------------------------------------------------------------------
+    # Phase 1: write this block's K/V pages (full-page DMA).
+    # ------------------------------------------------------------------
+    @pl.when(block_active)
+    def _write():
+        base_page_pos = (prefix_len + q_start) // page_size
+        for j in range(npw):
+            page_pos = base_page_pos + j
+
+            @pl.when(page_pos * page_size < seq_len)
+            def _():
+                page = page_tables_ref[b, page_pos]
+                pltpu.make_async_copy(
+                    new_k_ref.at[0, :, pl.ds(j * page_size, page_size), :],
+                    pool_ref.at[layer, 0, :, page],
+                    wsems.at[0, j],
+                ).start()
+                pltpu.make_async_copy(
+                    new_v_ref.at[0, :, pl.ds(j * page_size, page_size), :],
+                    pool_ref.at[layer, 1, :, page],
+                    wsems.at[1, j],
+                ).start()
+
+        for j in range(npw):
+            page_pos = base_page_pos + j
+
+            @pl.when(page_pos * page_size < seq_len)
+            def _():
+                page = page_tables_ref[b, page_pos]
+                pltpu.make_async_copy(
+                    new_k_ref.at[0, :, pl.ds(j * page_size, page_size), :],
+                    pool_ref.at[layer, 0, :, page],
+                    wsems.at[0, j],
+                ).wait()
+                pltpu.make_async_copy(
+                    new_v_ref.at[0, :, pl.ds(j * page_size, page_size), :],
+                    pool_ref.at[layer, 1, :, page],
+                    wsems.at[1, j],
+                ).wait()
+
+    # ------------------------------------------------------------------
+    # Phase 2: causal flash attention over pool pages [0, kv_end).
+    # ------------------------------------------------------------------
+    kv_end = jnp.minimum(prefix_len + q_start + QB, seq_len)
+    num_pages = pl.cdiv(kv_end, page_size)
+    num_blocks = pl.cdiv(num_pages, np_per_blk)
+
+    def start_dma(blk, slot):
+        for j in range(np_per_blk):
+            page_pos = blk * np_per_blk + j
+
+            @pl.when(page_pos < num_pages)
+            def _():
+                page = page_tables_ref[b, page_pos]
+                pltpu.make_async_copy(
+                    pool_ref.at[layer, 0, :, page],
+                    k_buf.at[slot, :, j],
+                    sems.at[slot, 0, j],
+                ).start()
+                pltpu.make_async_copy(
+                    pool_ref.at[layer, 1, :, page],
+                    v_buf.at[slot, :, j],
+                    sems.at[slot, 1, j],
+                ).start()
+
+    def wait_dma(blk, slot):
+        for j in range(np_per_blk):
+            page_pos = blk * np_per_blk + j
+
+            @pl.when(page_pos < num_pages)
+            def _():
+                page = page_tables_ref[b, page_pos]
+                pltpu.make_async_copy(
+                    pool_ref.at[layer, 0, :, page],
+                    k_buf.at[slot, :, j],
+                    sems.at[slot, 0, j],
+                ).wait()
+                pltpu.make_async_copy(
+                    pool_ref.at[layer, 1, :, page],
+                    v_buf.at[slot, :, j],
+                    sems.at[slot, 1, j],
+                ).wait()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].reshape(Hkv, QB * G, D).astype(jnp.float32) * scale
+
+    @pl.when(block_active)
+    def _attend():
+        start_dma(0, 0)
+
+        def body(blk, _):
+            slot = jax.lax.rem(blk, 2)
+            next_slot = jax.lax.rem(blk + 1, 2)
+
+            @pl.when(blk + 1 < num_blocks)
+            def _():
+                start_dma(blk + 1, next_slot)
+
+            wait_dma(blk, slot)
+
+            k = k_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
+            v = v_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
+            valid_t = (
+                blk * block_t
+                + jax.lax.broadcasted_iota(jnp.int32, (1, block_t, 1), 1)
+            ) < kv_end
+            v = jnp.where(valid_t, v, 0.0)
+
+            s = jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [Hkv, QB*G, T]
+            if logit_cap > 0:
+                s = logit_cap * jnp.tanh(s / logit_cap)
+
+            # causal mask: q position = prefix + q_start + qi
+            qi = jax.lax.broadcasted_iota(
+                jnp.int32, (Hkv, QB * G, block_t), 1
+            ) // G
+            q_pos = prefix_len + q_start + qi
+            kv_pos = blk * block_t + jax.lax.broadcasted_iota(
+                jnp.int32, (Hkv, QB * G, block_t), 2
+            )
+            mask = (kv_pos <= q_pos) & (kv_pos < seq_len)
+            if sliding_window > 0:
+                mask = jnp.logical_and(mask, kv_pos > q_pos - sliding_window)
+            s = jnp.where(mask, s, NEG_INF)
+
+            m_prev = m_ref[:, :, :1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_ref[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p,
+                v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[...] = acc_ref[...] * alpha + pv
+            m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+            return 0
+
+        jax.lax.fori_loop(0, num_blocks, body, 0)
+
+    l = l_ref[:, :, :1]
+    l = jnp.where(l <= 0.0, 1.0, l)
+    o_ref[0] = (
+        (acc_ref[...] / l).reshape(Hkv, QB, G, D).astype(o_ref.dtype)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "page_size",
+        "scale",
+        "sliding_window",
+        "logit_cap",
+        "interpret",
+    ),
+)
+def paged_prefill_attention_fused(
+    q: jax.Array,  # [B, E, Hq, D]
+    new_k: jax.Array,  # [B, E, Hkv, D]
+    new_v: jax.Array,  # [B, E, Hkv, D]
+    kv_pool: jax.Array,  # [L, 2, Hkv, NP_total, ps, D]
+    layer_idx: jax.Array,
+    page_tables: jax.Array,  # [B, P]
+    seq_lens: jax.Array,  # [B]
+    prefix_lens: jax.Array,  # [B] page-aligned
+    page_size: int,
+    scale: float,
+    sliding_window: int = -1,
+    logit_cap: float = 0.0,
+    interpret: bool = False,
+):
+    """Fused extend write + causal attention. Returns (out, kv_pool)."""
+    B, E, Hq, D = q.shape
+    Hkv = kv_pool.shape[2]
+    G = Hq // Hkv
+    P = page_tables.shape[1]
+    if D % 128 != 0 and not interpret:
+        raise ValueError(f"pallas prefill kernel requires head_dim % 128 == 0, got {D}")
+    QB = min(128, E)
+    if E % QB != 0 or QB % page_size != 0:
+        raise ValueError(f"E={E} must be a multiple of QB={QB} and QB of page_size")
+    nqb = E // QB
+    np_per_blk = max(min(128 // page_size, P), 1)
+    block_t = np_per_blk * page_size
+
+    # head-major activations for straight DMA / batched dot
+    q5 = q.reshape(B, E, Hkv, G, D).transpose(0, 2, 1, 3, 4)  # [B, Hkv, E, G, D]
+    k4 = new_k.transpose(0, 2, 1, 3)  # [B, Hkv, E, D]
+    v4 = new_v.transpose(0, 2, 1, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, nqb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Hkv, QB, G, D),
+                lambda b, qb, *_: (b, 0, qb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, Hkv, QB, D),
+                lambda b, qb, *_: (b, 0, qb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, Hkv, QB, D),
+                lambda b, qb, *_: (b, 0, qb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, Hkv, QB, G, D),
+                lambda b, qb, *_: (b, 0, qb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
+            pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
+            pltpu.VMEM((Hkv, QB * G, D), jnp.float32),
+            pltpu.VMEM((Hkv, QB * G, 128), jnp.float32),
+            pltpu.VMEM((Hkv, QB * G, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, np_per_blk)),
+            pltpu.SemaphoreType.DMA((2, QB // page_size)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _prefill_kernel,
+        page_size=page_size,
+        block_t=block_t,
+        q_block=QB,
+        scale=scale,
+        sliding_window=sliding_window,
+        logit_cap=logit_cap,
+    )
+
+    out, pool = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hkv, E, G, D), q.dtype),
+            jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
+        ),
+        input_output_aliases={7: 1},  # 4 scalar prefetch + q, k, v -> pool
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(
+        jnp.asarray([layer_idx], dtype=jnp.int32).reshape(1),
+        page_tables,
+        seq_lens,
+        prefix_lens,
+        q5,
+        k4,
+        v4,
+        kv_pool,
+    )
+    out = out.transpose(0, 2, 1, 3, 4).reshape(B, E, Hq, D)
+    return out, pool
