@@ -147,6 +147,34 @@ class Engine:
     def abort_request(self, rid: str = "", abort_all: bool = False):
         self.tokenizer_manager.abort_request(rid, abort_all)
 
+    def encode(self, prompt=None, input_ids=None, rid=None):
+        """Compute embeddings (reference `Engine.encode`); requires
+        is_embedding=True."""
+        from sglang_npu_tpu.managers.io_struct import EmbeddingReqInput
+
+        obj = EmbeddingReqInput(text=prompt, input_ids=input_ids, rid=rid)
+        return self.tokenizer_manager.encode_sync(obj)
+
+    def update_weights_from_disk(self, model_path: str, load_format: str = None):
+        """Live weight reload (reference `Engine.update_weights_from_disk`)."""
+        from sglang_npu_tpu.managers.io_struct import UpdateWeightFromDiskReqInput
+
+        self._sched_in.put(
+            UpdateWeightFromDiskReqInput(model_path=model_path, load_format=load_format)
+        )
+        out = self.tokenizer_manager.control_mailbox.get(timeout=600)
+        return out.success, out.message
+
+    def release_memory_occupation(self):
+        from sglang_npu_tpu.managers.io_struct import ReleaseMemoryOccupationReqInput
+
+        self._sched_in.put(ReleaseMemoryOccupationReqInput())
+
+    def resume_memory_occupation(self):
+        from sglang_npu_tpu.managers.io_struct import ResumeMemoryOccupationReqInput
+
+        self._sched_in.put(ResumeMemoryOccupationReqInput())
+
     def shutdown(self):
         if self._shutdown:
             return

@@ -55,6 +55,11 @@ class HttpServer:
         r.add_post("/generate", self.generate)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
+        r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post("/release_memory_occupation", self.release_memory)
+        r.add_post("/resume_memory_occupation", self.resume_memory)
+        r.add_post("/encode", self.encode)
+        r.add_post("/v1/embeddings", self.v1_embeddings)
         r.add_get("/v1/models", self.models)
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat_completions)
@@ -179,6 +184,69 @@ class HttpServer:
             rid=body.get("rid", ""), abort_all=body.get("abort_all", False)
         )
         return web.Response(text="", status=200)
+
+    async def encode(self, request: web.Request) -> web.Response:
+        """Native embedding API (reference `/encode:406`)."""
+        if not self.engine.server_args.is_embedding:
+            return _json_error("server not launched with --is-embedding", 400)
+        body = await request.json()
+        try:
+            out = await asyncio.to_thread(
+                self.engine.encode,
+                body.get("text"),
+                body.get("input_ids"),
+                body.get("rid"),
+            )
+            return web.json_response(out)
+        except ValueError as e:
+            return _json_error(str(e))
+
+    async def v1_embeddings(self, request: web.Request) -> web.Response:
+        if not self.engine.server_args.is_embedding:
+            return _json_error("server not launched with --is-embedding", 400)
+        body = await request.json()
+        inp = body.get("input")
+        if inp is None:
+            return _json_error("you must provide an input")
+        try:
+            out = await asyncio.to_thread(self.engine.encode, inp)
+        except ValueError as e:
+            return _json_error(str(e))
+        outs = out if isinstance(out, list) else [out]
+        data = [
+            {"object": "embedding", "index": i, "embedding": o["embedding"]}
+            for i, o in enumerate(outs)
+        ]
+        total = sum(o["meta_info"]["prompt_tokens"] for o in outs)
+        return web.json_response(
+            {
+                "object": "list",
+                "data": data,
+                "model": body.get("model", "default"),
+                "usage": {"prompt_tokens": total, "total_tokens": total},
+            }
+        )
+
+    async def update_weights_from_disk(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        if "model_path" not in body:
+            return _json_error("model_path required")
+        ok, msg = await asyncio.to_thread(
+            self.engine.update_weights_from_disk,
+            body["model_path"],
+            body.get("load_format"),
+        )
+        return web.json_response(
+            {"success": ok, "message": msg}, status=200 if ok else 400
+        )
+
+    async def release_memory(self, request: web.Request) -> web.Response:
+        self.engine.release_memory_occupation()
+        return web.json_response({"success": True})
+
+    async def resume_memory(self, request: web.Request) -> web.Response:
+        self.engine.resume_memory_occupation()
+        return web.json_response({"success": True})
 
     # ------------------------------------------------------------------
     async def models(self, request: web.Request) -> web.Response:

@@ -36,7 +36,11 @@ from sglang_npu_tpu.managers.io_struct import (
     FlushCacheReqOutput,
     GetInternalStateReq,
     GetInternalStateReqOutput,
+    ReleaseMemoryOccupationReqInput,
+    ResumeMemoryOccupationReqInput,
     TokenizedGenerateReqInput,
+    UpdateWeightFromDiskReqInput,
+    UpdateWeightFromDiskReqOutput,
 )
 from sglang_npu_tpu.managers.schedule_batch import (
     FINISH_ABORT,
@@ -140,6 +144,7 @@ class Scheduler:
     def event_loop(self):
         """`event_loop_normal` (`scheduler.py:753`)."""
         while self._running:
+            self.last_heartbeat = time.time()
             self.recv_requests(block=not self._has_work())
             if not self._running:
                 break
@@ -150,6 +155,11 @@ class Scheduler:
                 continue
             self.last_heartbeat = time.time()
             mwb, is_prefill = batch
+            if self.server_args.is_embedding:
+                embeddings = self.runner.forward_embedding(mwb)
+                self.forward_ct += 1
+                self.process_embedding_result(embeddings)
+                continue
             next_tokens, logprob_info = self.runner.forward_and_sample(mwb)
             self.forward_ct += 1
             self.process_batch_result(mwb, next_tokens, is_prefill, logprob_info)
@@ -196,6 +206,21 @@ class Scheduler:
             self.output_queue.put(
                 GetInternalStateReqOutput(internal_state=self.get_internal_state())
             )
+        elif isinstance(item, UpdateWeightFromDiskReqInput):
+            try:
+                ok, msg = self.runner.update_weights_from_disk(
+                    item.model_path, item.load_format or "auto"
+                )
+            except Exception as e:
+                ok, msg = False, str(e)
+            self.output_queue.put(
+                UpdateWeightFromDiskReqOutput(success=ok, message=msg)
+            )
+        elif isinstance(item, ReleaseMemoryOccupationReqInput):
+            self.flush_cache()
+            self.runner.release_memory()
+        elif isinstance(item, ResumeMemoryOccupationReqInput):
+            self.runner.resume_memory()
         else:
             logger.warning("unknown scheduler input: %r", type(item))
 
@@ -478,6 +503,35 @@ class Scheduler:
             self.running_batch.filter_batch()
         self._maybe_log()
 
+    def process_embedding_result(self, embeddings: np.ndarray):
+        """Embedding-mode result handling (reference embedding batches
+        finish at prefill; `BatchEmbeddingOut`)."""
+        from sglang_npu_tpu.managers.io_struct import BatchEmbeddingOut
+        from sglang_npu_tpu.managers.schedule_batch import FINISH_LENGTH
+
+        batch = self.last_prefill_batch
+        self.last_prefill_batch = None
+        done, embs = [], []
+        for i, req in enumerate(batch.reqs):
+            if req.is_chunked > 0:
+                req.is_chunked -= 1
+                self.tree_cache.cache_unfinished_req(req)
+                continue
+            req.finished_reason = FINISH_LENGTH(0)
+            self._rid_to_req.pop(req.rid, None)
+            self.tree_cache.cache_finished_req(req)
+            done.append(req)
+            embs.append(embeddings[i].tolist())
+        if done:
+            self.output_queue.put(
+                BatchEmbeddingOut(
+                    rids=[r.rid for r in done],
+                    finished_reasons=[r.finished_reason.to_json() for r in done],
+                    embeddings=embs,
+                    prompt_tokens=[len(r.origin_input_ids) for r in done],
+                )
+            )
+
     def _attach_logprob(self, req: Req, info, i: int, k):
         chosen = info["chosen"][i] if k is None else info["chosen"][i, k]
         tok = req.output_ids[-1]
@@ -607,4 +661,26 @@ class Scheduler:
 def run_scheduler_thread(scheduler: Scheduler) -> threading.Thread:
     t = threading.Thread(target=scheduler.event_loop, daemon=True, name="scheduler")
     t.start()
+
+    def watchdog():
+        """Kill-switch for stuck forwards (reference watchdog thread,
+        `scheduler.py:2089`): if the event loop has work but has not made
+        progress within the timeout, dump state and abort in-flight work."""
+        while scheduler._running:
+            time.sleep(max(scheduler.watchdog_timeout / 10, 1.0))
+            if not scheduler._has_work():
+                continue
+            stuck_for = time.time() - scheduler.last_heartbeat
+            if stuck_for > scheduler.watchdog_timeout:
+                logger.error(
+                    "WATCHDOG: scheduler stuck for %.0fs; state=%s",
+                    stuck_for,
+                    scheduler.get_internal_state(),
+                )
+                for req in list(scheduler._rid_to_req.values()):
+                    req.to_abort = True
+                scheduler.last_heartbeat = time.time()
+
+    wt = threading.Thread(target=watchdog, daemon=True, name="sched-watchdog")
+    wt.start()
     return t

@@ -21,7 +21,9 @@ from typing import Any, AsyncGenerator, Dict, List, Optional
 
 from sglang_npu_tpu.managers.io_struct import (
     AbortReq,
+    BatchEmbeddingOut,
     BatchStrOut,
+    EmbeddingReqInput,
     FlushCacheReqOutput,
     GenerateReqInput,
     GetInternalStateReqOutput,
@@ -81,10 +83,28 @@ class TokenizerManager:
                 break
             if isinstance(item, BatchStrOut):
                 self._handle_batch_output(item)
-            elif isinstance(item, (FlushCacheReqOutput, GetInternalStateReqOutput)):
-                self.control_mailbox.put(item)
+            elif isinstance(item, BatchEmbeddingOut):
+                self._handle_embedding_output(item)
             else:
-                logger.warning("unroutable output %r", type(item))
+                # control RPC outputs (flush/state/weights/...)
+                self.control_mailbox.put(item)
+
+    def _handle_embedding_output(self, b: "BatchEmbeddingOut"):
+        for i, rid in enumerate(b.rids):
+            with self._lock:
+                state = self.rid_to_state.pop(rid, None)
+            if state is None:
+                continue
+            chunk = {
+                "embedding": b.embeddings[i],
+                "meta_info": {
+                    "id": rid,
+                    "finish_reason": b.finished_reasons[i],
+                    "prompt_tokens": b.prompt_tokens[i],
+                },
+            }
+            state.finished = True
+            state.mailbox.put((chunk, True))
 
     def _handle_batch_output(self, b: BatchStrOut):
         for i, rid in enumerate(b.rids):
@@ -203,6 +223,36 @@ class TokenizerManager:
             yield chunk
             if finished:
                 return
+
+    def encode_sync(self, obj: EmbeddingReqInput, timeout: float = 600.0):
+        """Blocking embedding computation (reference `Engine.encode`)."""
+        from sglang_npu_tpu.sampling.sampling_params import SamplingParams
+
+        obj.post_init()
+        n = 1 if obj.is_single else (
+            len(obj.text) if obj.text is not None else len(obj.input_ids)
+        )
+        states = []
+        for i in range(n):
+            idx = None if obj.is_single else i
+            text = obj.text if idx is None or not isinstance(obj.text, list) else obj.text[idx]
+            if obj.input_ids is not None:
+                ids = obj.input_ids if idx is None else obj.input_ids[idx]
+            else:
+                ids = self.tokenizer.encode(text)
+            rid = (obj.rid if isinstance(obj.rid, str) else None) or uuid.uuid4().hex
+            t = TokenizedGenerateReqInput(
+                rid=rid,
+                input_text=text if isinstance(text, str) else None,
+                input_ids=list(ids),
+                sampling_params=SamplingParams(max_new_tokens=1),
+            )
+            states.append((rid, self.submit(t)))
+        results = []
+        for rid, state in states:
+            chunk, _fin = state.mailbox.get(timeout=timeout)
+            results.append(chunk)
+        return results[0] if obj.is_single else results
 
     # ------------------------------------------------------------------
     # Async interface (HTTP server)

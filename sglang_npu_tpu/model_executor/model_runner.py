@@ -454,6 +454,24 @@ class ModelRunner:
             self._fold_fn = jax.jit(jax.random.fold_in)
         return self._fold_fn(self.rng_base, np.uint32(step % (1 << 31)))
 
+    def forward_embedding(self, mwb: ModelWorkerBatch) -> np.ndarray:
+        """Pooled embeddings for a prefill batch; [real_bs, hidden] f32."""
+        bs_bucket, pages_bucket = self._buckets(mwb)
+        extend_bucket = max(next_power_of_2(int(np.max(mwb.extend_seq_lens))), 16)
+        fb = build_extend_forward_batch(
+            mwb, bs_bucket, extend_bucket, pages_bucket, self.page_size
+        )
+        if not hasattr(self, "_embed_fn"):
+            model = self.model
+            ps = self.page_size
+
+            def step(params, kv_pool, fb):
+                return model.embed_forward(params, kv_pool, fb, ps)
+
+            self._embed_fn = jax.jit(step, donate_argnums=(1,))
+        emb, self.kv_pool = self._embed_fn(self.params, self.kv_pool, fb)
+        return np.asarray(jax.device_get(emb))[: mwb.real_bs]
+
     def forward_logits(self, mwb: ModelWorkerBatch) -> np.ndarray:
         """Run one step returning last-token logits [real_bs, vocab]
         (numerics tests, scoring, logprobs)."""
@@ -480,3 +498,29 @@ class ModelRunner:
         self.kv_pool = jax.device_put(
             jnp.zeros_like(self.kv_pool), self.kv_pool.sharding
         )
+
+    # ------------------------------------------------------------------
+    def update_weights_from_disk(self, model_path: str, load_format: str = "auto"):
+        """Live weight swap (reference `model_runner.py:731`
+        `update_weights_from_disk`, used for RL rollout weight sync)."""
+        from sglang_npu_tpu.model_loader.loader import load_model_weights
+
+        new_params = load_model_weights(
+            self.model, model_path, load_format, self.mesh,
+            seed=self.server_args.random_seed,
+        )
+        old = self.params
+        self.params = new_params
+        del old
+        self.server_args.model_path = model_path
+        return True, "weights updated"
+
+    def release_memory(self):
+        """Drop the KV pool to free HBM (reference
+        `release_memory_occupation`, RL colocation)."""
+        self._kv_shape = (self.kv_pool.shape, self.kv_pool.dtype, self.kv_pool.sharding)
+        self.kv_pool = None
+
+    def resume_memory(self):
+        shape, dtype, sharding = self._kv_shape
+        self.kv_pool = jax.device_put(jnp.zeros(shape, dtype=dtype), sharding)

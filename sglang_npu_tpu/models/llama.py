@@ -154,6 +154,33 @@ class LlamaForCausalLM:
         page_size: int,
     ):
         """Returns (logits [B, vocab], new_kv_pool)."""
+        last, new_kv = self.hidden_forward(params, kv_pool, fb, page_size)
+        # bf16 x bf16 matmul with f32 accumulation — never materialize an
+        # f32 copy of the vocab matrix.
+        if "lm_head" not in params:
+            logits = jnp.einsum(
+                "bd,vd->bv",
+                last,
+                params["embed"],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            logits = jnp.einsum(
+                "bd,dv->bv",
+                last,
+                params["lm_head"],
+                preferred_element_type=jnp.float32,
+            )
+        return logits, new_kv
+
+    def hidden_forward(
+        self,
+        params: Dict[str, Any],
+        kv_pool: jax.Array,
+        fb: ForwardBatch,
+        page_size: int,
+    ):
+        """Trunk forward; returns (last-token hidden [B, D], new_kv_pool)."""
         c = self.config
         B, E = fb.input_ids.shape
         x = params["embed"][fb.input_ids].astype(
@@ -206,24 +233,17 @@ class LlamaForCausalLM:
             last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]  # [B, D]
         else:
             last = x[:, 0]
+        return last, new_kv
 
-        # bf16 x bf16 matmul with f32 accumulation — never materialize an
-        # f32 copy of the vocab matrix.
-        if "lm_head" not in params:
-            logits = jnp.einsum(
-                "bd,vd->bv",
-                last,
-                params["embed"],
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            logits = jnp.einsum(
-                "bd,dv->bv",
-                last,
-                params["lm_head"],
-                preferred_element_type=jnp.float32,
-            )
-        return logits, new_kv
+    def embed_forward(self, params, kv_pool, fb: ForwardBatch, page_size: int):
+        """Pooled-embedding forward (reference `llama_embedding.py` +
+        `layers/pooler.py`): trunk hidden states, last-token pooling,
+        L2 normalization."""
+        last_hidden, kv_pool = self.hidden_forward(params, kv_pool, fb, page_size)
+        normed = last_hidden.astype(jnp.float32) / jnp.linalg.norm(
+            last_hidden.astype(jnp.float32), axis=-1, keepdims=True
+        ).clip(1e-9)
+        return normed, kv_pool
 
     def _mlp(self, h, lp):
         """Dense SwiGLU MLP; overridden by MoE models."""

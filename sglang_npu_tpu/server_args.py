@@ -40,6 +40,7 @@ class ServerArgs:
     model_impl: str = "auto"
     served_model_name: Optional[str] = None
     json_model_override_args: str = "{}"
+    is_embedding: bool = False  # serve as an embedding model (pooled hidden)
 
     # ------------------------------------------------------------------
     # HTTP server
