@@ -99,6 +99,7 @@ class Engine:
         input_ids: Optional[Union[List[int], List[List[int]]]] = None,
         return_logprob: bool = False,
         top_logprobs_num: int = 0,
+        logprob_start_len: int = -1,
         stream: bool = False,
         rid: Optional[Union[str, List[str]]] = None,
     ):
@@ -111,6 +112,7 @@ class Engine:
             sampling_params=sampling_params,
             return_logprob=return_logprob,
             top_logprobs_num=top_logprobs_num,
+            logprob_start_len=logprob_start_len,
             stream=stream,
             rid=rid,
         )

@@ -1,0 +1,270 @@
+"""Frontend structured-generation DSL.
+
+Counterpart of the reference's `python/sglang/lang/` + `api.py`
+(`@sgl.function`, `sgl.gen/select/system/user/assistant`,
+`SglFunction.run/run_batch`, interpreter, RuntimeEndpoint backend): programs
+compose chat turns and generation calls; consecutive calls share KV through
+the engine's radix prefix cache, which is what makes multi-call programs
+fast (the RadixAttention paper's motivating workload).
+
+Round-1 scope: sequential interpreter (no parallel forks), Engine and HTTP
+backends, token-length-normalized `select` scoring (reference
+`lang/choices.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Union
+
+_default_backend = None
+
+
+def set_default_backend(backend) -> None:
+    global _default_backend
+    _default_backend = backend
+
+
+# ----------------------------------------------------------------------
+# Primitives
+# ----------------------------------------------------------------------
+@dataclasses.dataclass
+class SglGen:
+    name: Optional[str] = None
+    max_tokens: int = 128
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = -1
+    stop: Optional[Union[str, List[str]]] = None
+    regex: Optional[str] = None
+    json_schema: Optional[str] = None
+    ignore_eos: bool = False
+
+
+@dataclasses.dataclass
+class SglSelect:
+    name: Optional[str]
+    choices: List[str]
+    method: str = "token_length_normalized"
+
+
+@dataclasses.dataclass
+class SglMessage:
+    role: str
+    parts: List[Any]
+
+
+def gen(name: Optional[str] = None, **kwargs) -> SglGen:
+    return SglGen(name=name, **kwargs)
+
+
+def select(name: Optional[str] = None, choices: List[str] = (), method="token_length_normalized") -> SglSelect:
+    return SglSelect(name=name, choices=list(choices), method=method)
+
+
+def system(*parts) -> SglMessage:
+    return SglMessage("system", list(parts))
+
+
+def user(*parts) -> SglMessage:
+    return SglMessage("user", list(parts))
+
+
+def assistant(*parts) -> SglMessage:
+    return SglMessage("assistant", list(parts))
+
+
+# ----------------------------------------------------------------------
+# Program state / interpreter
+# ----------------------------------------------------------------------
+class ProgramState:
+    def __init__(self, backend):
+        self.backend = backend
+        self.messages: List[Dict[str, str]] = []
+        self.text = ""  # completion-mode accumulation
+        self.chat_mode = False
+        self.variables: Dict[str, str] = {}
+        self._cur_role: Optional[str] = None
+
+    # s += <thing>
+    def __iadd__(self, other):
+        self.append(other)
+        return self
+
+    def append(self, other):
+        if isinstance(other, str):
+            self._append_text(other)
+        elif isinstance(other, SglGen):
+            self._run_gen(other)
+        elif isinstance(other, SglSelect):
+            self._run_select(other)
+        elif isinstance(other, SglMessage):
+            self.chat_mode = True
+            self._cur_role = other.role
+            self.messages.append({"role": other.role, "content": ""})
+            for part in other.parts:
+                self.append(part)
+            self._cur_role = None
+        else:
+            raise TypeError(f"cannot append {type(other)} to program state")
+
+    def _append_text(self, t: str):
+        if self.chat_mode and self.messages:
+            self.messages[-1]["content"] += t
+        else:
+            self.text += t
+
+    # ------------------------------------------------------------------
+    def _render_prompt(self) -> str:
+        if not self.chat_mode:
+            return self.text
+        from sglang_npu_tpu.entrypoints.openai.serving_chat import (
+            apply_chat_template,
+        )
+
+        # if mid-assistant turn, render with generation prompt + partial
+        msgs = self.messages
+        if msgs and msgs[-1]["role"] == "assistant":
+            prefix = apply_chat_template(
+                self.backend.tokenizer, msgs[:-1], add_generation_prompt=True
+            )
+            return prefix + msgs[-1]["content"]
+        return apply_chat_template(
+            self.backend.tokenizer, msgs, add_generation_prompt=True
+        )
+
+    def _run_gen(self, g: SglGen):
+        prompt = self._render_prompt()
+        out = self.backend.generate(
+            prompt,
+            {
+                "max_new_tokens": g.max_tokens,
+                "temperature": g.temperature,
+                "top_p": g.top_p,
+                "top_k": g.top_k,
+                "stop": g.stop,
+                "regex": g.regex,
+                "json_schema": g.json_schema,
+                "ignore_eos": g.ignore_eos,
+            },
+        )
+        if g.name:
+            self.variables[g.name] = out
+        self._append_text(out)
+
+    def _run_select(self, sel: SglSelect):
+        prompt = self._render_prompt()
+        scores = [
+            self.backend.score(prompt, choice) for choice in sel.choices
+        ]
+        if sel.method == "token_length_normalized":
+            best = max(range(len(scores)), key=lambda i: scores[i][0] / max(scores[i][1], 1))
+        else:  # greedy_token / sum
+            best = max(range(len(scores)), key=lambda i: scores[i][0])
+        choice = sel.choices[best]
+        if sel.name:
+            self.variables[sel.name] = choice
+        self._append_text(choice)
+
+    def __getitem__(self, name: str) -> str:
+        return self.variables[name]
+
+    def text_output(self) -> str:
+        return self.text if not self.chat_mode else str(self.messages)
+
+
+class SglFunction:
+    def __init__(self, fn):
+        self.fn = fn
+        functools.update_wrapper(self, fn)
+
+    def run(self, *args, backend=None, **kwargs) -> ProgramState:
+        backend = backend or _default_backend
+        if backend is None:
+            raise RuntimeError("no backend: pass backend= or set_default_backend()")
+        s = ProgramState(backend)
+        self.fn(s, *args, **kwargs)
+        return s
+
+    def run_batch(self, batch_kwargs: List[Dict[str, Any]], backend=None):
+        return [self.run(backend=backend, **kw) for kw in batch_kwargs]
+
+    def __call__(self, *args, **kwargs):
+        return self.run(*args, **kwargs)
+
+
+def function(fn) -> SglFunction:
+    return SglFunction(fn)
+
+
+# ----------------------------------------------------------------------
+# Backends
+# ----------------------------------------------------------------------
+class EngineBackend:
+    """In-process backend over `sglang_npu_tpu.Engine`."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self.tokenizer = engine.tokenizer
+
+    def generate(self, prompt: str, sampling_params: Dict[str, Any]) -> str:
+        out = self.engine.generate(prompt, sampling_params)
+        return out["text"]
+
+    def score(self, prompt: str, continuation: str):
+        """Returns (sum_logprob, num_tokens) of the continuation."""
+        ids_p = self.tokenizer.encode(prompt)
+        ids_full = self.tokenizer.encode(prompt + continuation)
+        out = self.engine.generate(
+            input_ids=ids_full,
+            sampling_params={"max_new_tokens": 0, "temperature": 0.0},
+            return_logprob=True,
+            logprob_start_len=len(ids_p),
+        )
+        entries = out["meta_info"].get("input_token_logprobs", [])
+        return sum(e[0] for e in entries), len(entries)
+
+
+class RuntimeEndpoint:
+    """HTTP backend against a running server (reference
+    `lang/backend/runtime_endpoint.py`)."""
+
+    def __init__(self, base_url: str, timeout: float = 600.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self.tokenizer = None  # server-side tokenization
+
+    def _post(self, path, payload):
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return _json.loads(resp.read())
+
+    def generate(self, prompt: str, sampling_params: Dict[str, Any]) -> str:
+        out = self._post(
+            "/generate", {"text": prompt, "sampling_params": sampling_params}
+        )
+        return out["text"]
+
+    def score(self, prompt: str, continuation: str):
+        out = self._post(
+            "/generate",
+            {
+                "text": prompt + continuation,
+                "sampling_params": {"max_new_tokens": 0, "temperature": 0.0},
+                "return_logprob": True,
+                "logprob_start_len": 0,
+            },
+        )
+        entries = out["meta_info"].get("input_token_logprobs", [])
+        # approximate: server-side tokenization of prompt alone unknown;
+        # score the full sequence (consistent across choices with shared
+        # prompt prefix lengths)
+        return sum(e[0] for e in entries), len(entries)

@@ -159,6 +159,11 @@ class Req:
         # logits), and keep the reused prefix page-aligned — a request's own
         # slots must always start at a page boundary (tree pages are full).
         max_prefix = (len(self.fill_ids) - 1) // page_size * page_size
+        if self.return_logprob and self.logprob_start_len >= 0:
+            # input-logprob positions must be recomputed, not cache-hit
+            max_prefix = min(
+                max_prefix, self.logprob_start_len // page_size * page_size
+            )
         matched = res.device_indices
         if len(matched) > max_prefix:
             matched = matched[:max_prefix]
@@ -255,6 +260,7 @@ class ModelWorkerBatch:
     # logprob plumbing
     return_logprob: bool = False
     top_logprobs_k: int = 0
+    return_input_logprob: bool = False
 
     @property
     def batch_size(self) -> int:
@@ -465,6 +471,9 @@ class ScheduleBatch:
             real_bs=len(self.reqs),
             return_logprob=any(r.return_logprob for r in self.reqs),
             top_logprobs_k=top_k,
+            return_input_logprob=any(
+                r.return_logprob and r.logprob_start_len >= 0 for r in self.reqs
+            ),
         )
 
     # ------------------------------------------------------------------

@@ -150,19 +150,29 @@ class Scheduler:
                 break
             if self.grammar_queue:
                 self.move_ready_grammar_requests()
-            batch = self.get_next_batch_to_run()
-            if batch is None:
-                continue
-            self.last_heartbeat = time.time()
-            mwb, is_prefill = batch
-            if self.server_args.is_embedding:
-                embeddings = self.runner.forward_embedding(mwb)
+            try:
+                batch = self.get_next_batch_to_run()
+                if batch is None:
+                    continue
+                self.last_heartbeat = time.time()
+                mwb, is_prefill = batch
+                if self.server_args.is_embedding:
+                    embeddings = self.runner.forward_embedding(mwb)
+                    self.forward_ct += 1
+                    self.process_embedding_result(embeddings)
+                    continue
+                next_tokens, logprob_info = self.runner.forward_and_sample(mwb)
                 self.forward_ct += 1
-                self.process_embedding_result(embeddings)
-                continue
-            next_tokens, logprob_info = self.runner.forward_and_sample(mwb)
-            self.forward_ct += 1
-            self.process_batch_result(mwb, next_tokens, is_prefill, logprob_info)
+                self.process_batch_result(
+                    mwb, next_tokens, is_prefill, logprob_info
+                )
+            except Exception:
+                # A scheduler-step failure must not kill the serving loop:
+                # abort every in-flight request with an error and keep going
+                # (reference: crash dump + process kill; here single-host
+                # threads let us degrade gracefully instead).
+                logger.exception("scheduler step failed; aborting in-flight work")
+                self._abort_all_inflight("internal scheduler error")
 
     def shutdown(self):
         self._running = False
@@ -309,6 +319,25 @@ class Scheduler:
             self._emit_finished_stub(req)
         else:
             req.to_abort = True  # picked up at next check_finished
+
+    def _abort_all_inflight(self, message: str):
+        for req in list(self._rid_to_req.values()):
+            req.finished_reason = FINISH_ABORT(message)
+            self._emit_finished_stub(req)
+        self._rid_to_req.clear()
+        self.waiting_queue.clear()
+        self.running_batch = ScheduleBatch.init_new(
+            [], self.allocator, self.tree_cache
+        )
+        self.chunked_req = None
+        self.last_prefill_batch = None
+        # drop all KV state: requests' slots are unrecoverable mid-error
+        self.tree_cache.reset()
+        self.allocator.clear()
+        try:
+            self.runner.flush_kv()
+        except Exception:
+            logger.exception("flush after error failed")
 
     def flush_cache(self) -> bool:
         if not self.running_batch.is_empty() or self.waiting_queue:
@@ -470,6 +499,15 @@ class Scheduler:
                     req.is_chunked -= 1
                     self.tree_cache.cache_unfinished_req(req)
                     continue
+                if (
+                    logprob_info is not None
+                    and req.return_logprob
+                    and logprob_info.get("input_logprobs") is not None
+                    and req.logprob_start_len >= 0
+                ):
+                    self._attach_input_logprobs(
+                        req, logprob_info["input_logprobs"][i]
+                    )
                 self._append_token(req, int(next_tokens[i]))
                 if logprob_info is not None and req.return_logprob:
                     self._attach_logprob(req, logprob_info, i, None)
@@ -532,7 +570,23 @@ class Scheduler:
                 )
             )
 
+    def _attach_input_logprobs(self, req: Req, row: np.ndarray):
+        """Teacher-forced prompt logprobs for the extend region (reference
+        input_token_logprobs; position j's entry is log p(fill[j]|fill[:j]))."""
+        if req.input_token_logprobs is None:
+            req.input_token_logprobs = []
+        prefix = req.prefix_len
+        ext = req.extend_input_len
+        for e in range(ext - 1):
+            abs_idx = prefix + e + 1
+            if abs_idx >= req.logprob_start_len and abs_idx < len(req.fill_ids):
+                req.input_token_logprobs.append(
+                    [float(row[e]), int(req.fill_ids[abs_idx]), None]
+                )
+
     def _attach_logprob(self, req: Req, info, i: int, k):
+        if not req.output_ids:
+            return  # max_new_tokens=0: no sampled token kept
         chosen = info["chosen"][i] if k is None else info["chosen"][i, k]
         tok = req.output_ids[-1]
         req.output_token_logprobs.append([float(chosen), int(tok), None])
@@ -612,6 +666,9 @@ class Scheduler:
                 if r.return_logprob and r.top_logprobs_num > 0
                 else None
                 for r in out_reqs
+            ],
+            input_token_logprobs=[
+                r.input_token_logprobs if r.finished else None for r in out_reqs
             ],
         )
         for r in out_reqs:

@@ -130,6 +130,8 @@ class TokenizerManager:
             if b.output_top_logprobs and b.output_top_logprobs[i] is not None:
                 state.output_top_logprobs.extend(b.output_top_logprobs[i])
                 meta["output_top_logprobs"] = list(state.output_top_logprobs)
+            if b.input_token_logprobs and b.input_token_logprobs[i] is not None:
+                meta["input_token_logprobs"] = b.input_token_logprobs[i]
             chunk = {
                 "text": state.text,
                 "output_ids": list(state.output_ids),

@@ -216,8 +216,35 @@ class ModelRunner:
         def step(
             params, kv_pool, fb: ForwardBatch, sampling, rng, sample_mode,
             return_logprob=False, top_logprobs_k=0, has_penalties=False,
+            return_input_logprob=False,
         ):
-            logits, kv_pool = model(params, kv_pool, fb, page_size)
+            if return_input_logprob:
+                # input-logprob mode (prompt scoring / echo): full-position
+                # backbone, teacher-forced target logprobs + normal sampling.
+                # target for position e is the next input token e+1.
+                x, kv_pool = model.backbone_forward(params, kv_pool, fb, page_size)
+                head = (
+                    params["embed"]
+                    if "lm_head" not in params
+                    else params["lm_head"].T
+                )
+                full_logits = jnp.einsum(
+                    "bed,vd->bev", x, head, preferred_element_type=jnp.float32
+                )
+                full_lp = jax.nn.log_softmax(full_logits, axis=-1)
+                targets = jnp.concatenate(
+                    [fb.input_ids[:, 1:], fb.input_ids[:, :1] * 0], axis=1
+                )
+                inp_lp = jnp.take_along_axis(
+                    full_lp, targets[:, :, None], axis=-1
+                )[:, :, 0]
+                idx = jnp.maximum(fb.extend_seq_lens - 1, 0)
+                logits = jnp.take_along_axis(
+                    full_logits, idx[:, None, None], axis=1
+                )[:, 0]
+            else:
+                logits, kv_pool = model(params, kv_pool, fb, page_size)
+                inp_lp = None
             if sample_mode == "logits":
                 return logits, kv_pool
             if has_penalties:
@@ -243,7 +270,7 @@ class ModelRunner:
                 top_vals, top_ids = jax.lax.top_k(logprobs, top_logprobs_k)
             else:
                 top_vals = top_ids = None
-            return (toks, chosen, top_vals, top_ids), kv_pool
+            return (toks, chosen, top_vals, top_ids, inp_lp), kv_pool
 
         return jax.jit(
             step,
@@ -253,6 +280,7 @@ class ModelRunner:
                 "return_logprob",
                 "top_logprobs_k",
                 "has_penalties",
+                "return_input_logprob",
             ),
         )
 
@@ -410,6 +438,7 @@ class ModelRunner:
                 return_logprob=rl,
                 top_logprobs_k=tk,
                 has_penalties=mwb.sampling_info.has_penalties,
+                return_input_logprob=mwb.return_input_logprob and rl,
             )
         else:
             # decode: fused multi-step window
@@ -437,11 +466,17 @@ class ModelRunner:
         n = mwb.real_bs
         if not rl:
             return np.asarray(jax.device_get(out))[:n], None
-        toks, chosen, tv, ti = jax.device_get(out)
+        got = jax.device_get(out)
+        if len(got) == 5:
+            toks, chosen, tv, ti, inp_lp = got
+        else:
+            toks, chosen, tv, ti = got
+            inp_lp = None
         info = {
             "chosen": np.asarray(chosen)[:n],
             "top_vals": np.asarray(tv)[:n] if tk > 0 else None,
             "top_ids": np.asarray(ti)[:n] if tk > 0 else None,
+            "input_logprobs": np.asarray(inp_lp)[:n] if inp_lp is not None else None,
         }
         return np.asarray(toks)[:n], info
 

@@ -181,6 +181,22 @@ class LlamaForCausalLM:
         page_size: int,
     ):
         """Trunk forward; returns (last-token hidden [B, D], new_kv_pool)."""
+        x, new_kv = self.backbone_forward(params, kv_pool, fb, page_size)
+        if fb.extend_seq_lens is not None:
+            idx = jnp.maximum(fb.extend_seq_lens - 1, 0)  # [B]
+            last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+        else:
+            last = x[:, 0]
+        return last, new_kv
+
+    def backbone_forward(
+        self,
+        params: Dict[str, Any],
+        kv_pool: jax.Array,
+        fb: ForwardBatch,
+        page_size: int,
+    ):
+        """Full trunk: returns (hidden [B, E, D], new_kv_pool)."""
         c = self.config
         B, E = fb.input_ids.shape
         x = params["embed"][fb.input_ids].astype(
@@ -226,14 +242,22 @@ class LlamaForCausalLM:
             layer_fn, (x, kv_pool, jnp.int32(0)), params["layers"]
         )
         x = rms_norm(x, params["final_norm"], eps)
+        return x, new_kv
 
-        # Last-token gather (reference LogitsProcessor last-token pruning).
-        if fb.extend_seq_lens is not None:
-            idx = jnp.maximum(fb.extend_seq_lens - 1, 0)  # [B]
-            last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]  # [B, D]
-        else:
-            last = x[:, 0]
-        return last, new_kv
+    def token_logprobs_forward(
+        self, params, kv_pool, fb: ForwardBatch, page_size: int, targets
+    ):
+        """log p(targets[b, e] | tokens up to position e) for each extend
+        position; targets[b, e] is the NEXT token after position e.
+        Returns ([B, E] f32, new_kv_pool)."""
+        x, new_kv = self.backbone_forward(params, kv_pool, fb, page_size)
+        head = params["embed"] if "lm_head" not in params else params["lm_head"].T
+        logits = jnp.einsum(
+            "bed,vd->bev", x, head, preferred_element_type=jnp.float32
+        )
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        out = jnp.take_along_axis(logprobs, targets[:, :, None], axis=-1)[:, :, 0]
+        return out, new_kv
 
     def embed_forward(self, params, kv_pool, fb: ForwardBatch, page_size: int):
         """Pooled-embedding forward (reference `llama_embedding.py` +

@@ -74,3 +74,34 @@ def test_output_logprobs_match_hf(engine):
     for (lp, tok, _), top in zip(lps, tops):
         assert top[0][1] == tok
         assert abs(top[0][0] - lp) < 1e-4
+
+
+def test_input_logprobs_match_hf(engine):
+    prompt = [5, 9, 11, 33, 7, 21, 14]
+    out = engine.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 2, "temperature": 0.0, "ignore_eos": True},
+        return_logprob=True,
+    )
+    # default logprob_start_len=-1 -> no input logprobs
+    assert "input_token_logprobs" not in out["meta_info"]
+
+    out = engine.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 2, "temperature": 0.0, "ignore_eos": True},
+        return_logprob=True,
+        logprob_start_len=0,
+    )
+    inp = out["meta_info"]["input_token_logprobs"]
+    # entries for positions 1..len-1 (first token has no context)
+    assert len(inp) == len(prompt) - 1
+    hf = engine._hf if hasattr(engine, "_hf") else None
+    with torch.no_grad():
+        logits = engine._hf(torch.tensor([prompt])).logits[0]
+    ref_lp = torch.log_softmax(logits.float(), -1)
+    for j, (lp, tok, _) in enumerate(inp):
+        pos = j  # predicts token at pos+1
+        assert tok == prompt[pos + 1]
+        np.testing.assert_allclose(
+            lp, float(ref_lp[pos, tok]), rtol=2e-3, atol=2e-3
+        )
