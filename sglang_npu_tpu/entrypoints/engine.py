@@ -69,6 +69,23 @@ class Engine:
 
         self.model_runner = ModelRunner(server_args, self.model_config)
 
+        # Speculative decoding: standalone draft model sharing the page
+        # allocator (same KV slot ids in a smaller parallel pool).
+        self.draft_runner = None
+        if server_args.speculative_draft_model_path:
+            draft_cfg = ModelConfig.from_model_path(
+                server_args.speculative_draft_model_path, dtype=server_args.dtype
+            )
+            if draft_cfg.vocab_size != self.model_config.vocab_size:
+                raise ValueError("draft model vocab size must match target")
+            self.draft_runner = ModelRunner(
+                server_args,
+                draft_cfg,
+                mesh=self.model_runner.mesh,
+                num_pages_override=self.model_runner.num_pages,
+                model_path_override=server_args.speculative_draft_model_path,
+            )
+
         self._sched_in: queue.Queue = queue.Queue()
         self._detok_in: queue.Queue = queue.Queue()
         self._detok_out: queue.Queue = queue.Queue()
@@ -79,6 +96,7 @@ class Engine:
             input_queue=self._sched_in,
             output_queue=self._detok_in,
             tokenizer=self.tokenizer,
+            draft_runner=self.draft_runner,
         )
         self.detokenizer = DetokenizerManager(
             self.tokenizer, self._detok_in, self._detok_out

@@ -257,6 +257,8 @@ class ModelWorkerBatch:
     # sampled tokens back on-device; [B] per-req fill-length limits.
     decode_steps: int = 1
     decode_limits: Optional[np.ndarray] = None
+    # speculative round: decode_steps = num_draft_tokens + 1
+    spec: bool = False
     # logprob plumbing
     return_logprob: bool = False
     top_logprobs_k: int = 0
@@ -427,14 +429,14 @@ class ScheduleBatch:
         input_ids = np.array([r.fill_ids[-1] for r in self.reqs], dtype=np.int32)
         positions = np.array([r.seq_len - 1 for r in self.reqs], dtype=np.int32)
         seq_lens = np.array([r.seq_len for r in self.reqs], dtype=np.int32)
-        out_slots = np.empty((len(self.reqs),), dtype=np.int32)
+        out_slots = np.zeros((len(self.reqs), decode_steps), dtype=np.int32)
         limits = np.empty((len(self.reqs),), dtype=np.int32)
         for i, req in enumerate(self.reqs):
             # KV covers seq_len-1 tokens; the window feeds tokens at
             # positions [seq_len-1, seq_len-1+K), so allocate K more slots.
             slots = self.alloc_extend_slots(req, req.seq_len - 1 + decode_steps)
             assert len(slots) == decode_steps
-            out_slots[i] = slots[0]
+            out_slots[i] = slots
             remaining = req.sampling_params.max_new_tokens - len(req.output_ids)
             limits[i] = req.seq_len + min(max(remaining, 0), decode_steps)
         mwb = self._finalize(input_ids, positions, seq_lens, out_slots, None, None)

@@ -82,9 +82,12 @@ class Scheduler:
         input_queue: "queue.Queue",
         output_queue: "queue.Queue",
         tokenizer=None,
+        draft_runner=None,
     ):
         self.server_args = server_args
         self.runner = model_runner
+        self.draft_runner = draft_runner
+        self.spec_steps = max(server_args.speculative_num_steps, 1)
         self.input_queue = input_queue
         self.output_queue = output_queue
         self.tokenizer = tokenizer
@@ -161,8 +164,15 @@ class Scheduler:
                     self.forward_ct += 1
                     self.process_embedding_result(embeddings)
                     continue
+                if mwb.spec and not is_prefill:
+                    self.run_spec_round(mwb)
+                    self.forward_ct += 1
+                    continue
                 next_tokens, logprob_info = self.runner.forward_and_sample(mwb)
                 self.forward_ct += 1
+                if is_prefill and self.draft_runner is not None:
+                    # keep the draft model's KV in lockstep (same slots)
+                    self.draft_runner.forward_and_sample(mwb)
                 self.process_batch_result(
                     mwb, next_tokens, is_prefill, logprob_info
                 )
@@ -453,10 +463,57 @@ class Scheduler:
         """Decode steps fused per dispatch; collapse to 1 when per-token
         host work is required (logprobs, grammar) — mirrors the reference
         disabling overlap for those paths."""
+        if self._spec_possible():
+            return self.spec_steps + 1
         K = max(self.server_args.decode_steps, 1)
         if any(r.grammar is not None for r in self.running_batch.reqs):
             return 1
         return K
+
+    def _spec_possible(self) -> bool:
+        """Speculative rounds: greedy-only, no grammar/logprob (v1)."""
+        return (
+            self.draft_runner is not None
+            and bool(self.running_batch.reqs)
+            and all(
+                r.sampling_params.is_greedy
+                and r.grammar is None
+                and not r.return_logprob
+                for r in self.running_batch.reqs
+            )
+        )
+
+    def run_spec_round(self, mwb: ModelWorkerBatch):
+        """One draft-then-verify round (reference
+        `forward_batch_speculative_generation`, `eagle_worker.py:325` —
+        here with a standalone draft model and greedy chain verify)."""
+        S = mwb.decode_steps - 1
+        draft_mwb = dataclasses.replace(
+            mwb,
+            decode_steps=S,
+            decode_limits=(mwb.seq_lens + S).astype(np.int32),
+            spec=False,
+        )
+        d_tokens, _ = self.draft_runner.forward_and_sample(draft_mwb)
+        preds = self.runner.forward_verify(mwb, d_tokens)
+        batch = self.running_batch
+        for i, req in enumerate(batch.reqs):
+            m = 0
+            while m < S and int(d_tokens[i, m]) == int(preds[i, m]):
+                m += 1
+            new_tokens = [int(t) for t in d_tokens[i, :m]] + [int(preds[i, m])]
+            for t in new_tokens:
+                if req.finished:
+                    break
+                self._append_token(req, t)
+                self.num_generated_tokens += 1
+            req.spec_accepted_tokens += m
+            self.allocator.shrink_req(req, len(req.fill_ids) - 1)
+            if req.finished:
+                self.tree_cache.cache_finished_req(req)
+        self._emit_outputs(batch.reqs)
+        batch.filter_batch()
+        self._maybe_log()
 
     def update_running_batch(self) -> Optional[ModelWorkerBatch]:
         batch = self.running_batch
@@ -477,7 +534,9 @@ class Scheduler:
                 )
             if batch.is_empty():
                 return None
-        return batch.prepare_for_decode(self._decode_window())
+        mwb = batch.prepare_for_decode(self._decode_window())
+        mwb.spec = self._spec_possible()
+        return mwb
 
     # ------------------------------------------------------------------
     # Result processing (reference scheduler_output_processor_mixin.py)

@@ -107,10 +107,11 @@ def build_decode_forward_batch(
 ) -> ForwardBatch:
     pt = pad_to(pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0)
     # decode is extend with E=1: rectangles [B, 1]
+    slots0 = mwb.out_slots[:, 0] if mwb.out_slots.ndim == 2 else mwb.out_slots
     return ForwardBatch(
         input_ids=jnp.asarray(pad_to(mwb.input_ids, bs_bucket)[:, None]),
         positions=jnp.asarray(pad_to(mwb.positions, bs_bucket)[:, None]),
-        out_slots=jnp.asarray(pad_to(mwb.out_slots, bs_bucket)[:, None]),
+        out_slots=jnp.asarray(pad_to(slots0, bs_bucket)[:, None]),
         page_tables=jnp.asarray(pt),
         seq_lens=jnp.asarray(pad_to(mwb.seq_lens, bs_bucket)),
         extend_seq_lens=None,

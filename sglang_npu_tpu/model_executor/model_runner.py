@@ -53,9 +53,13 @@ class ModelRunner:
         server_args: ServerArgs,
         model_config: ModelConfig,
         mesh=None,
+        num_pages_override: Optional[int] = None,
+        model_path_override: Optional[str] = None,
     ):
         self.server_args = server_args
         self.model_config = model_config
+        self._num_pages_override = num_pages_override
+        self._model_path = model_path_override or server_args.model_path
         self.page_size = server_args.page_size
         self.mesh = mesh if mesh is not None else build_mesh(
             tp_size=server_args.tp_size, dp_size=server_args.dp_size
@@ -69,7 +73,7 @@ class ModelRunner:
         t0 = time.time()
         self.params = load_model_weights(
             self.model,
-            server_args.model_path,
+            self._model_path,
             server_args.load_format,
             self.mesh,
             seed=server_args.random_seed,
@@ -149,6 +153,8 @@ class ModelRunner:
     def _profile_num_pages(self) -> int:
         """Size the KV pool from free device memory (reference
         `profile_max_num_token:965`)."""
+        if self._num_pages_override is not None:
+            return self._num_pages_override
         args = self.server_args
         if args.max_total_tokens is not None:
             return max(cdiv(args.max_total_tokens, self.page_size), 2)
@@ -488,6 +494,73 @@ class ModelRunner:
         if not hasattr(self, "_fold_fn"):
             self._fold_fn = jax.jit(jax.random.fold_in)
         return self._fold_fn(self.rng_base, np.uint32(step % (1 << 31)))
+
+    def forward_verify(self, mwb: ModelWorkerBatch, draft_tokens: np.ndarray):
+        """Target-verify forward for speculative decoding (reference
+        `TARGET_VERIFY` mode, `eagle_worker.verify:668`): feed
+        [last_token, d1..dS] as a small extend, return the target's greedy
+        prediction at every fed position ([real_bs, S+1])."""
+        B = mwb.real_bs
+        S = draft_tokens.shape[1]
+        K = S + 1
+        # pad fed width to a page multiple so the fused pallas prefill
+        # kernel handles the KV writes (and to keep one bucket)
+        E = max(
+            ((K + self.page_size - 1) // self.page_size) * self.page_size, 16
+        )
+        bs_bucket, pages_bucket = self._buckets(mwb)
+
+        rect_ids = np.zeros((bs_bucket, E), dtype=np.int32)
+        rect_pos = np.zeros((bs_bucket, E), dtype=np.int32)
+        rect_slots = np.zeros((bs_bucket, E), dtype=np.int32)
+        fed = np.concatenate([mwb.input_ids[:, None], draft_tokens], axis=1)
+        rect_ids[:B, :K] = fed
+        for i in range(B):
+            L = int(mwb.seq_lens[i])
+            rect_pos[i, :E] = (L - 1) + np.arange(E)
+            rect_slots[i, :K] = mwb.out_slots[i, :K]
+        pt = self._pad_pt(mwb, bs_bucket, pages_bucket)
+        seq_pad = np.zeros(bs_bucket, np.int32)
+        seq_pad[:B] = mwb.seq_lens + S
+        ext_pad = np.zeros(bs_bucket, np.int32)
+        ext_pad[:B] = K
+        pre_pad = np.zeros(bs_bucket, np.int32)
+        pre_pad[:B] = mwb.seq_lens - 1
+        fb = ForwardBatch(
+            input_ids=jnp.asarray(rect_ids),
+            positions=jnp.asarray(rect_pos),
+            out_slots=jnp.asarray(rect_slots),
+            page_tables=jnp.asarray(pt),
+            seq_lens=jnp.asarray(seq_pad),
+            extend_seq_lens=jnp.asarray(ext_pad),
+            extend_prefix_lens=jnp.asarray(pre_pad),
+        )
+        if not hasattr(self, "_verify_fn"):
+            model = self.model
+            ps = self.page_size
+
+            def vf(params, kv_pool, fb):
+                x, kv_pool = model.backbone_forward(params, kv_pool, fb, ps)
+                head = (
+                    params["embed"]
+                    if "lm_head" not in params
+                    else params["lm_head"].T
+                )
+                logits = jnp.einsum(
+                    "bed,vd->bev", x, head, preferred_element_type=jnp.float32
+                )
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv_pool
+
+            self._verify_fn = jax.jit(vf, donate_argnums=(1,))
+        preds, self.kv_pool = self._verify_fn(self.params, self.kv_pool, fb)
+        return np.asarray(jax.device_get(preds))[:B, :K]
+
+    def _pad_pt(self, mwb, bs_bucket, pages_bucket):
+        from sglang_npu_tpu.model_executor.forward_batch_info import pad_to
+
+        return pad_to(
+            pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0
+        )
 
     def forward_embedding(self, mwb: ModelWorkerBatch) -> np.ndarray:
         """Pooled embeddings for a prefill batch; [real_bs, hidden] f32."""

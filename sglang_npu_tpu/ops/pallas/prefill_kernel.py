@@ -48,11 +48,12 @@ def _prefill_kernel(
     # scratch
     k_buf,  # [2, Hkv, NP, ps, D]
     v_buf,  # [2, Hkv, NP, ps, D]
+    pbuf,  # [2, Hkv, ps, D] page RMW staging
     acc_ref,  # [Hkv, QB*G, D] f32
     m_ref,  # [Hkv, QB*G, 128] f32
     l_ref,  # [Hkv, QB*G, 128] f32
     sems,  # [2, 2, NP]
-    wsems,  # [2, NPW] write sems
+    wsems,  # [2, 1] write sems
     *,
     page_size: int,
     block_t: int,
@@ -79,44 +80,65 @@ def _prefill_kernel(
     block_active = q_start < extend_len
 
     # ------------------------------------------------------------------
-    # Phase 1: write this block's K/V pages (full-page DMA).
+    # Phase 1: write this block's K/V into pool pages.  The region may
+    # start mid-page (speculative verify; chunk boundaries): roll the
+    # block so rows line up with the page grid, then read-modify-write
+    # each touched page with a row-validity mask.
     # ------------------------------------------------------------------
     @pl.when(block_active)
     def _write():
-        base_page_pos = (prefix_len + q_start) // page_size
-        for j in range(npw):
-            page_pos = base_page_pos + j
+        region_start = prefix_len + q_start  # global pos of block row 0
+        region_end = jnp.minimum(region_start + QB, seq_len)
+        off0 = jax.lax.rem(region_start, page_size)
+        base_page = region_start // page_size
+        # rolled[j*ps + r (mod QB)] = block[(j*ps + r - off0) mod QB]
+        rolled_k = pltpu.roll(new_k_ref[0], off0, 1)
+        rolled_v = pltpu.roll(new_v_ref[0], off0, 1)
+        for j in range(npw + 1):
+            page_pos = base_page + j
+            p_start = page_pos * page_size
 
-            @pl.when(page_pos * page_size < seq_len)
-            def _():
+            @pl.when(
+                jnp.logical_and(p_start < region_end,
+                                p_start + page_size > region_start)
+            )
+            def _(j=j, page_pos=page_pos, p_start=p_start):
                 page = page_tables_ref[b, page_pos]
-                pltpu.make_async_copy(
-                    new_k_ref.at[0, :, pl.ds(j * page_size, page_size), :],
-                    pool_ref.at[layer, 0, :, page],
-                    wsems.at[0, j],
-                ).start()
-                pltpu.make_async_copy(
-                    new_v_ref.at[0, :, pl.ds(j * page_size, page_size), :],
-                    pool_ref.at[layer, 1, :, page],
-                    wsems.at[1, j],
-                ).start()
-
-        for j in range(npw):
-            page_pos = base_page_pos + j
-
-            @pl.when(page_pos * page_size < seq_len)
-            def _():
-                page = page_tables_ref[b, page_pos]
-                pltpu.make_async_copy(
-                    new_k_ref.at[0, :, pl.ds(j * page_size, page_size), :],
-                    pool_ref.at[layer, 0, :, page],
-                    wsems.at[0, j],
-                ).wait()
-                pltpu.make_async_copy(
-                    new_v_ref.at[0, :, pl.ds(j * page_size, page_size), :],
-                    pool_ref.at[layer, 1, :, page],
-                    wsems.at[1, j],
-                ).wait()
+                # read current page content (both k and v)
+                for kv in range(2):
+                    pltpu.make_async_copy(
+                        pool_ref.at[layer, kv, :, page],
+                        pbuf.at[kv],
+                        wsems.at[kv, 0],
+                    ).start()
+                for kv in range(2):
+                    pltpu.make_async_copy(
+                        pool_ref.at[layer, kv, :, page],
+                        pbuf.at[kv],
+                        wsems.at[kv, 0],
+                    ).wait()
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (Hkv, page_size, D), 1
+                )
+                gpos = p_start + row
+                valid = jnp.logical_and(gpos >= region_start, gpos < region_end)
+                src_lo = (j * page_size) % QB
+                sk = rolled_k[:, src_lo : src_lo + page_size, :]
+                sv = rolled_v[:, src_lo : src_lo + page_size, :]
+                pbuf[0] = jnp.where(valid, sk.astype(pbuf.dtype), pbuf[0])
+                pbuf[1] = jnp.where(valid, sv.astype(pbuf.dtype), pbuf[1])
+                for kv in range(2):
+                    pltpu.make_async_copy(
+                        pbuf.at[kv],
+                        pool_ref.at[layer, kv, :, page],
+                        wsems.at[kv, 0],
+                    ).start()
+                for kv in range(2):
+                    pltpu.make_async_copy(
+                        pbuf.at[kv],
+                        pool_ref.at[layer, kv, :, page],
+                        wsems.at[kv, 0],
+                    ).wait()
 
     # ------------------------------------------------------------------
     # Phase 2: causal flash attention over pool pages [0, kv_end).
@@ -313,11 +335,12 @@ def paged_prefill_attention_fused(
         scratch_shapes=[
             pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
             pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
+            pltpu.VMEM((2, Hkv, page_size, D), kv_pool.dtype),
             pltpu.VMEM((Hkv, QB * G, D), jnp.float32),
             pltpu.VMEM((Hkv, QB * G, 128), jnp.float32),
             pltpu.VMEM((Hkv, QB * G, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2, np_per_blk)),
-            pltpu.SemaphoreType.DMA((2, QB // page_size)),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
     )
 

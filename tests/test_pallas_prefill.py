@@ -79,6 +79,49 @@ def test_prefill_kernel_matches_xla(seed):
         np.testing.assert_allclose(got_k, want_k, rtol=1e-6, atol=1e-6)
 
 
+def test_prefill_kernel_unaligned_prefix():
+    """Mid-page region start (speculative verify path): RMW + roll write."""
+    (q, nk, nv, pool, pages, seq_lens, prefix_lens, positions, out_slots,
+     extend_lens) = make_case(seed=11, E=32)
+    # force unaligned prefixes
+    prefix_np = np.array([5, 9], np.int32)
+    extend_np = np.array([29, 23], np.int32)
+    B, E = q.shape[:2]
+    seq_np = prefix_np + extend_np
+    positions = np.zeros((B, E), np.int32)
+    out_slots = np.zeros((B, E), np.int32)
+    pt_np = np.asarray(pages)
+    for b in range(B):
+        for i in range(E):
+            pos = min(prefix_np[b] + i, pt_np.shape[1] * PS - 1)
+            positions[b, i] = prefix_np[b] + i
+            out_slots[b, i] = pt_np[b][pos // PS] * PS + pos % PS
+    layer = jnp.int32(1)
+    scale = 0.125
+
+    mask_slots = out_slots.copy()
+    for b in range(B):
+        mask_slots[b, extend_np[b]:] = 0
+    pool_ref = write_kv(pool, layer, nk, nv, jnp.asarray(mask_slots))
+    ref = paged_attention_xla(
+        q, pool_ref, layer, pages, jnp.asarray(seq_np),
+        jnp.asarray(positions), PS, scale,
+    )
+    out, pool_out = paged_prefill_attention_fused(
+        q, nk, nv, pool, layer, pages, jnp.asarray(seq_np),
+        jnp.asarray(prefix_np), page_size=PS, scale=scale, interpret=True,
+    )
+    for b in range(B):
+        n = int(extend_np[b])
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :n], np.asarray(ref)[b, :n], rtol=2e-4, atol=2e-4
+        )
+        slots = out_slots[b, :n]
+        got = np.asarray(pool_out)[1, 0, :, slots // PS, slots % PS]
+        want = np.asarray(pool_ref)[1, 0, :, slots // PS, slots % PS]
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_prefill_kernel_reads_prefix():
     """Output must actually attend to pre-existing prefix KV."""
     (q, nk, nv, pool, pages, seq_lens, prefix_lens, positions, out_slots,
