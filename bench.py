@@ -86,6 +86,7 @@ def main():
             max_prefill_tokens=8192,
             chunked_prefill_size=4096,
             decode_log_interval=1000000,
+            watchdog_timeout=3600.0,  # first compiles can take minutes
         )
     )
 

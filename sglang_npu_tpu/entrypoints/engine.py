@@ -120,6 +120,7 @@ class Engine:
         logprob_start_len: int = -1,
         stream: bool = False,
         rid: Optional[Union[str, List[str]]] = None,
+        session_params: Optional[Dict] = None,
     ):
         """Reference `Engine.generate` (`engine.py:138`): returns a dict for
         single prompts, a list of dicts for batches, or an iterator when
@@ -133,6 +134,7 @@ class Engine:
             logprob_start_len=logprob_start_len,
             stream=stream,
             rid=rid,
+            session_params=session_params,
         )
         if stream:
             return self.tokenizer_manager.stream_sync(obj)
@@ -166,6 +168,22 @@ class Engine:
 
     def abort_request(self, rid: str = "", abort_all: bool = False):
         self.tokenizer_manager.abort_request(rid, abort_all)
+
+    def open_session(self, session_id=None, capacity_of_str_len: int = 0):
+        from sglang_npu_tpu.managers.io_struct import OpenSessionReqInput
+
+        self._sched_in.put(
+            OpenSessionReqInput(
+                capacity_of_str_len=capacity_of_str_len, session_id=session_id
+            )
+        )
+        out = self.tokenizer_manager.control_mailbox.get(timeout=30)
+        return out.session_id
+
+    def close_session(self, session_id: str):
+        from sglang_npu_tpu.managers.io_struct import CloseSessionReqInput
+
+        self._sched_in.put(CloseSessionReqInput(session_id=session_id))
 
     def encode(self, prompt=None, input_ids=None, rid=None):
         """Compute embeddings (reference `Engine.encode`); requires

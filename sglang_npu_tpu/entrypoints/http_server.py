@@ -56,6 +56,8 @@ class HttpServer:
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post("/open_session", self.open_session)
+        r.add_post("/close_session", self.close_session)
         r.add_post("/release_memory_occupation", self.release_memory)
         r.add_post("/resume_memory_occupation", self.resume_memory)
         r.add_post("/encode", self.encode)
@@ -132,6 +134,7 @@ class HttpServer:
                 top_logprobs_num=body.get("top_logprobs_num", 0),
                 stream=body.get("stream", False),
                 lora_path=body.get("lora_path"),
+                session_params=body.get("session_params"),
             )
             obj.post_init()
         except ValueError as e:
@@ -239,6 +242,20 @@ class HttpServer:
         return web.json_response(
             {"success": ok, "message": msg}, status=200 if ok else 400
         )
+
+    async def open_session(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        sid = await asyncio.to_thread(
+            self.engine.open_session,
+            body.get("session_id"),
+            body.get("capacity_of_str_len", 0),
+        )
+        return web.json_response({"session_id": sid})
+
+    async def close_session(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        self.engine.close_session(body["session_id"])
+        return web.Response(status=200)
 
     async def release_memory(self, request: web.Request) -> web.Response:
         self.engine.release_memory_occupation()

@@ -36,6 +36,9 @@ from sglang_npu_tpu.managers.io_struct import (
     FlushCacheReqOutput,
     GetInternalStateReq,
     GetInternalStateReqOutput,
+    CloseSessionReqInput,
+    OpenSessionReqInput,
+    OpenSessionReqOutput,
     ReleaseMemoryOccupationReqInput,
     ResumeMemoryOccupationReqInput,
     TokenizedGenerateReqInput,
@@ -131,6 +134,11 @@ class Scheduler:
         # `scheduler.py:2017 move_ready_grammar_requests`).
         self.grammar_backend = None
         self.grammar_queue: List[tuple] = []  # (req, future)
+
+        # Multi-turn sessions (reference session_controller.py)
+        from sglang_npu_tpu.managers.session_controller import SessionController
+
+        self.sessions = SessionController()
 
     def _get_grammar_backend(self):
         if self.grammar_backend is None:
@@ -241,11 +249,19 @@ class Scheduler:
             self.runner.release_memory()
         elif isinstance(item, ResumeMemoryOccupationReqInput):
             self.runner.resume_memory()
+        elif isinstance(item, OpenSessionReqInput):
+            sid = self.sessions.open(item.session_id, item.capacity_of_str_len)
+            self.output_queue.put(OpenSessionReqOutput(session_id=sid, success=True))
+        elif isinstance(item, CloseSessionReqInput):
+            self.sessions.close(item.session_id)
         else:
             logger.warning("unknown scheduler input: %r", type(item))
 
     def handle_generate_request(self, t: TokenizedGenerateReqInput):
         eos_ids = set(self.runner.model_config.eos_token_ids)
+        if t.session_params and t.session_params.get("id"):
+            sid = t.session_params["id"]
+            t.input_ids = self.sessions.prepare_input(sid, t.input_ids)
         req = Req(
             rid=t.rid,
             origin_input_text=t.input_text,
@@ -257,6 +273,9 @@ class Scheduler:
             top_logprobs_num=t.top_logprobs_num,
             logprob_start_len=t.logprob_start_len,
             lora_path=t.lora_path,
+        )
+        req.session_id = (
+            t.session_params.get("id") if t.session_params else None
         )
         req.queue_time = time.time()
         if len(req.origin_input_ids) == 0:
@@ -678,6 +697,11 @@ class Scheduler:
         req.check_finished(self.tokenizer)
         if req.finished:
             self._rid_to_req.pop(req.rid, None)
+            sid = getattr(req, "session_id", None)
+            if sid:
+                self.sessions.record_turn(
+                    sid, req.origin_input_ids, req.output_ids
+                )
 
     # ------------------------------------------------------------------
     def _emit_outputs(self, reqs: List[Req]):
@@ -780,22 +804,29 @@ def run_scheduler_thread(scheduler: Scheduler) -> threading.Thread:
 
     def watchdog():
         """Kill-switch for stuck forwards (reference watchdog thread,
-        `scheduler.py:2089`): if the event loop has work but has not made
-        progress within the timeout, dump state and abort in-flight work."""
+        `scheduler.py:2089`): warn at the timeout, abort in-flight work only
+        at 3x (first compiles of new shapes can legitimately take minutes
+        on remote-compile backends)."""
         while scheduler._running:
             time.sleep(max(scheduler.watchdog_timeout / 10, 1.0))
             if not scheduler._has_work():
                 continue
             stuck_for = time.time() - scheduler.last_heartbeat
-            if stuck_for > scheduler.watchdog_timeout:
+            if stuck_for > 3 * scheduler.watchdog_timeout:
                 logger.error(
-                    "WATCHDOG: scheduler stuck for %.0fs; state=%s",
+                    "WATCHDOG: scheduler stuck for %.0fs; aborting in-flight "
+                    "requests; state=%s",
                     stuck_for,
                     scheduler.get_internal_state(),
                 )
                 for req in list(scheduler._rid_to_req.values()):
                     req.to_abort = True
                 scheduler.last_heartbeat = time.time()
+            elif stuck_for > scheduler.watchdog_timeout:
+                logger.warning(
+                    "watchdog: no scheduler progress for %.0fs (long compile?)",
+                    stuck_for,
+                )
 
     wt = threading.Thread(target=watchdog, daemon=True, name="sched-watchdog")
     wt.start()

@@ -178,6 +178,7 @@ class TokenizerManager:
             top_logprobs_num=obj.top_logprobs_num,
             stream=obj.stream,
             lora_path=obj.lora_path if not isinstance(obj.lora_path, list) else None,
+            session_params=obj.session_params,
         )
 
     def submit(self, tokenized: TokenizedGenerateReqInput) -> ReqState:

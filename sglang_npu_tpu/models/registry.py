@@ -17,6 +17,7 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen2MoeForCausalLM": ("sglang_npu_tpu.models.qwen_moe", "QwenMoeForCausalLM"),
     "Qwen3MoeForCausalLM": ("sglang_npu_tpu.models.qwen_moe", "QwenMoeForCausalLM"),
     "MixtralForCausalLM": ("sglang_npu_tpu.models.qwen_moe", "QwenMoeForCausalLM"),
+    "Gemma2ForCausalLM": ("sglang_npu_tpu.models.gemma2", "Gemma2ForCausalLM"),
 }
 
 

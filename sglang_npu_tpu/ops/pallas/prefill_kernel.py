@@ -92,8 +92,13 @@ def _prefill_kernel(
         off0 = jax.lax.rem(region_start, page_size)
         base_page = region_start // page_size
         # rolled[j*ps + r (mod QB)] = block[(j*ps + r - off0) mod QB]
-        rolled_k = pltpu.roll(new_k_ref[0], off0, 1)
-        rolled_v = pltpu.roll(new_v_ref[0], off0, 1)
+        # (dynamic rotate only supports 32-bit data -> roll in f32)
+        rolled_k = pltpu.roll(
+            new_k_ref[0].astype(jnp.float32), off0, 1
+        )
+        rolled_v = pltpu.roll(
+            new_v_ref[0].astype(jnp.float32), off0, 1
+        )
         for j in range(npw + 1):
             page_pos = base_page + j
             p_start = page_pos * page_size

@@ -98,7 +98,11 @@ def paged_attention_xla(
     kv_pos = jnp.arange(Lkv, dtype=jnp.int32)[None, None, :]  # [1,1,Lkv]
     qp = q_positions[:, :, None]  # [B,E,1]
     mask = (kv_pos <= qp) & (kv_pos < seq_lens[:, None, None])
-    if sliding_window > 0:
+    if isinstance(sliding_window, (int, float)):
+        if sliding_window > 0:
+            mask = mask & (kv_pos > qp - sliding_window)
+    else:
+        # traced per-layer window (e.g. Gemma-2 alternating layers)
         mask = mask & (kv_pos > qp - sliding_window)
     scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)
 
