@@ -125,16 +125,16 @@ class ModelRunner:
         """Pick the attention backend (reference
         `_get_attention_backend_from_str:1384`)."""
         name = self.server_args.attention_backend
+        tp = tp_degree(self.mesh)
         if name is None:
             on_tpu = jax.default_backend() not in ("cpu",)
-            # the pallas decode kernel needs 128-lane-aligned head_dim;
-            # under TP the kernel needs a shard_map wrapper (pending), so
-            # fall back to the XLA backend for multi-chip meshes for now.
+            # pallas kernels need 128-lane-aligned head_dim and (under TP)
+            # evenly sharded KV heads (shard_map over the model axis).
             name = (
                 "pallas"
                 if on_tpu
                 and self.model_config.head_dim % 128 == 0
-                and tp_degree(self.mesh) == 1
+                and (tp == 1 or self.model_config.num_key_value_heads % tp == 0)
                 else "xla"
             )
         self.attention_backend_name = name
@@ -145,7 +145,9 @@ class ModelRunner:
                 make_pallas_attention_backend,
             )
 
-            self.model.attn_backend = make_pallas_attention_backend()
+            self.model.attn_backend = make_pallas_attention_backend(
+                mesh=self.mesh if tp > 1 else None
+            )
         else:
             raise ValueError(f"unknown attention backend {name}")
 

@@ -2,48 +2,85 @@
 
 Replaces the reference's CUDA attention backends
 (`layers/attention/flashattention_backend.py`, `ascend_backend.py:642`) with
-a TPU kernel family over the token-major paged KV pool.
+the TPU kernel family over the paged KV pool, including the KV writes
+(fused in-kernel with `input_output_aliases` — see decode_kernel.py for why
+XLA scatter must not touch the pool).
 
-Status: the decode kernel is implemented in `decode_kernel.py`; extend
-(ragged prefill) currently falls back to the XLA path while the Pallas
-ragged-prefill kernel lands.  `make_pallas_attention_backend()` returns a
-callable with the model-facing signature
-``(q, kv_l, fb, page_size, scale, config) -> out``.
+Under tensor parallelism the kernels are wrapped in `shard_map` over the
+"model" mesh axis: each shard runs the kernel on its local KV heads (the
+reference's per-rank attention, without processes).
+
+`SGLANG_TPU_PALLAS_INTERPRET=1` forces interpreter mode (CPU tests).
 """
 
 from __future__ import annotations
 
+import os
+
 import jax
+from jax.sharding import PartitionSpec as P
 
-from sglang_npu_tpu.ops.xla_attention import paged_attention_xla
+from sglang_npu_tpu.ops.xla_attention import paged_attention_xla, write_kv
 
 
-def make_pallas_attention_backend():
+def _interpret() -> bool:
+    return os.environ.get("SGLANG_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def make_pallas_attention_backend(mesh=None):
+    from sglang_npu_tpu.parallel.mesh import MODEL_AXIS
+
+    tp = mesh.shape[MODEL_AXIS] if mesh is not None else 1
+
     def backend(q, k, v, kv_pool, layer_idx, fb, page_size, scale, config):
         B, E, Hq, D = q.shape
         sliding_window = config.sliding_window or -1
-        if E == 1 and D % 128 == 0:
+        logit_cap = getattr(config, "logit_cap", 0.0) or 0.0
+        interp = _interpret()
+        kernel_ok = (D % 128 == 0) or interp
+
+        if E == 1 and kernel_ok:
             from sglang_npu_tpu.ops.pallas.decode_kernel import (
                 paged_decode_attention_fused,
             )
 
-            out, kv_pool = paged_decode_attention_fused(
-                q[:, 0],
-                k[:, 0],
-                v[:, 0],
-                kv_pool,
-                layer_idx,
-                fb.page_tables,
-                fb.seq_lens,
-                page_size,
-                scale,
-                sliding_window=sliding_window,
-                logit_cap=getattr(config, "logit_cap", 0.0) or 0.0,
+            def call(q_, k_, v_, pool_, pt_, seq_, li_):
+                return paged_decode_attention_fused(
+                    q_, k_, v_, pool_, li_, pt_, seq_,
+                    page_size, scale,
+                    sliding_window=sliding_window,
+                    logit_cap=logit_cap,
+                    interpret=interp,
+                )
+
+            if tp > 1:
+                call = jax.shard_map(
+                    call,
+                    mesh=mesh,
+                    in_specs=(
+                        P(None, MODEL_AXIS, None),
+                        P(None, MODEL_AXIS, None),
+                        P(None, MODEL_AXIS, None),
+                        P(None, None, MODEL_AXIS, None, None, None),
+                        P(None, None),
+                        P(None),
+                        P(),
+                    ),
+                    out_specs=(
+                        P(None, MODEL_AXIS, None),
+                        P(None, None, MODEL_AXIS, None, None, None),
+                    ),
+                    check_vma=False,
+                )
+            out, kv_pool = call(
+                q[:, 0], k[:, 0], v[:, 0], kv_pool,
+                fb.page_tables, fb.seq_lens, layer_idx,
             )
             return out[:, None], kv_pool
+
         if (
             E > 1
-            and D % 128 == 0
+            and kernel_ok
             and fb.extend_prefix_lens is not None
             and E % min(128, E) == 0
             and min(128, E) % page_size == 0
@@ -52,21 +89,40 @@ def make_pallas_attention_backend():
                 paged_prefill_attention_fused,
             )
 
-            return paged_prefill_attention_fused(
-                q,
-                k,
-                v,
-                kv_pool,
-                layer_idx,
-                fb.page_tables,
-                fb.seq_lens,
-                fb.extend_prefix_lens,
-                page_size,
-                scale,
-                sliding_window=sliding_window,
-                logit_cap=getattr(config, "logit_cap", 0.0) or 0.0,
+            def pcall(q_, k_, v_, pool_, pt_, seq_, pre_, li_):
+                return paged_prefill_attention_fused(
+                    q_, k_, v_, pool_, li_, pt_, seq_, pre_,
+                    page_size, scale,
+                    sliding_window=sliding_window,
+                    logit_cap=logit_cap,
+                    interpret=interp,
+                )
+
+            if tp > 1:
+                pcall = jax.shard_map(
+                    pcall,
+                    mesh=mesh,
+                    in_specs=(
+                        P(None, None, MODEL_AXIS, None),
+                        P(None, None, MODEL_AXIS, None),
+                        P(None, None, MODEL_AXIS, None),
+                        P(None, None, MODEL_AXIS, None, None, None),
+                        P(None, None),
+                        P(None),
+                        P(None),
+                        P(),
+                    ),
+                    out_specs=(
+                        P(None, None, MODEL_AXIS, None),
+                        P(None, None, MODEL_AXIS, None, None, None),
+                    ),
+                    check_vma=False,
+                )
+            out, kv_pool = pcall(
+                q, k, v, kv_pool,
+                fb.page_tables, fb.seq_lens, fb.extend_prefix_lens, layer_idx,
             )
-        from sglang_npu_tpu.ops.xla_attention import write_kv
+            return out, kv_pool
 
         kv_pool = write_kv(kv_pool, layer_idx, k, v, fb.out_slots)
         out = paged_attention_xla(
