@@ -59,6 +59,7 @@ def main():
     p.add_argument("--max-new", type=int, default=128)
     p.add_argument("--page-size", type=int, default=16)
     p.add_argument("--attention-backend", type=str, default=None)
+    p.add_argument("--quantization", type=str, default=None)
     p.add_argument("--quick", action="store_true", help="small smoke run")
     args = p.parse_args()
     if args.quick:
@@ -82,6 +83,7 @@ def main():
             page_size=args.page_size,
             skip_tokenizer_init=True,
             attention_backend=args.attention_backend,
+            quantization=args.quantization,
             random_seed=0,
             max_prefill_tokens=8192,
             chunked_prefill_size=4096,

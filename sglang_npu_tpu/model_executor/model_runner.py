@@ -78,6 +78,10 @@ class ModelRunner:
             self.mesh,
             seed=server_args.random_seed,
         )
+        if server_args.quantization in ("int8", "w8a16_int8"):
+            from sglang_npu_tpu.layers.quantization import quantize_params_int8
+
+            self.params = quantize_params_int8(self.params)
         self.param_bytes = sum(
             x.nbytes for x in jax.tree_util.tree_leaves(self.params)
         )
@@ -90,12 +94,15 @@ class ModelRunner:
         self.num_pages = self._profile_num_pages()
         self.max_total_tokens = self.num_pages * self.page_size
         self.kv_pool = self._alloc_kv_pool()
+        pool_bytes = sum(
+            x.nbytes for x in jax.tree_util.tree_leaves(self.kv_pool)
+        )
         logger.info(
             "KV pool: %d pages x %d = %d tokens (%.2f GB)",
             self.num_pages,
             self.page_size,
             self.max_total_tokens,
-            self.kv_pool.nbytes / 1e9,
+            pool_bytes / 1e9,
         )
 
         # RNG for sampling
@@ -135,6 +142,7 @@ class ModelRunner:
                 if on_tpu
                 and self.model_config.head_dim % 128 == 0
                 and (tp == 1 or self.model_config.num_key_value_heads % tp == 0)
+                and self.kv_dtype not in (jnp.int8, jnp.float8_e4m3fn)
                 else "xla"
             )
         self.attention_backend_name = name
@@ -214,6 +222,19 @@ class ModelRunner:
             else P()
         )
         sharding = NamedSharding(self.mesh, spec)
+        if self.kv_dtype in (jnp.int8, jnp.float8_e4m3fn):
+            from sglang_npu_tpu.ops.xla_attention import QuantKVPool
+
+            scale_spec = P(*spec[:-1]) if len(spec) else P()
+            return QuantKVPool(
+                data=jax.device_put(
+                    jnp.zeros(shape, dtype=jnp.int8), sharding
+                ),
+                scale=jax.device_put(
+                    jnp.zeros(shape[:-1], dtype=jnp.float32),
+                    NamedSharding(self.mesh, scale_spec),
+                ),
+            )
         return jax.device_put(jnp.zeros(shape, dtype=self.kv_dtype), sharding)
 
     # ------------------------------------------------------------------
@@ -605,8 +626,9 @@ class ModelRunner:
     # ------------------------------------------------------------------
     def flush_kv(self):
         """Zero out the pool (used by /flush_cache)."""
-        self.kv_pool = jax.device_put(
-            jnp.zeros_like(self.kv_pool), self.kv_pool.sharding
+        self.kv_pool = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.zeros_like(x), x.sharding),
+            self.kv_pool,
         )
 
     # ------------------------------------------------------------------
@@ -628,9 +650,16 @@ class ModelRunner:
     def release_memory(self):
         """Drop the KV pool to free HBM (reference
         `release_memory_occupation`, RL colocation)."""
-        self._kv_shape = (self.kv_pool.shape, self.kv_pool.dtype, self.kv_pool.sharding)
+        self._kv_spec = jax.tree_util.tree_map(
+            lambda x: (x.shape, x.dtype, x.sharding), self.kv_pool
+        )
         self.kv_pool = None
 
     def resume_memory(self):
-        shape, dtype, sharding = self._kv_shape
-        self.kv_pool = jax.device_put(jnp.zeros(shape, dtype=dtype), sharding)
+        self.kv_pool = jax.tree_util.tree_map(
+            lambda spec: jax.device_put(
+                jnp.zeros(spec[0], dtype=spec[1]), spec[2]
+            ),
+            self._kv_spec,
+            is_leaf=lambda x: isinstance(x, tuple) and len(x) == 3,
+        )

@@ -23,6 +23,7 @@ from jax.sharding import PartitionSpec as P
 
 from sglang_npu_tpu.configs.model_config import ModelConfig
 from sglang_npu_tpu.layers.ops import apply_rope, make_rope_tables
+from sglang_npu_tpu.layers.quantization import matmul as qmm
 from sglang_npu_tpu.model_executor.forward_batch_info import ForwardBatch
 from sglang_npu_tpu.models.llama import LlamaForCausalLM
 from sglang_npu_tpu.ops.xla_attention import paged_attention_xla, write_kv
@@ -87,13 +88,13 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         def layer_fn(carry, lp):
             x, kv_pool, l = carry
             h = gemma_rms_norm(x, lp["input_norm"], eps)
-            q = jnp.einsum("bed,dh->beh", h, lp["wq"]).reshape(
+            q = qmm(h, lp["wq"], "bed,dh->beh").reshape(
                 B, E, c.num_attention_heads, c.head_dim
             )
-            k = jnp.einsum("bed,dh->beh", h, lp["wk"]).reshape(
+            k = qmm(h, lp["wk"], "bed,dh->beh").reshape(
                 B, E, c.num_key_value_heads, c.head_dim
             )
-            v = jnp.einsum("bed,dh->beh", h, lp["wv"]).reshape(
+            v = qmm(h, lp["wv"], "bed,dh->beh").reshape(
                 B, E, c.num_key_value_heads, c.head_dim
             )
             q, k = apply_rope(q, k, fb.positions, rope)
@@ -114,18 +115,16 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
                 logit_cap=self.attn_logit_softcap,
                 sliding_window=window,
             )
-            att = jnp.einsum(
-                "beh,hd->bed", att.reshape(B, E, self.q_size), lp["wo"]
-            )
+            att = qmm(att.reshape(B, E, self.q_size), lp["wo"], "beh,hd->bed")
             x = x + gemma_rms_norm(att, lp["post_norm"], eps)
 
             h2 = gemma_rms_norm(x, lp["pre_ffw_norm"], eps)
-            gate = jnp.einsum("bed,df->bef", h2, lp["w_gate"])
-            up = jnp.einsum("bed,df->bef", h2, lp["w_up"])
+            gate = qmm(h2, lp["w_gate"], "bed,df->bef")
+            up = qmm(h2, lp["w_up"], "bed,df->bef")
             act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(
                 up.dtype
             ) * up
-            mlp_out = jnp.einsum("bef,fd->bed", act, lp["w_down"])
+            mlp_out = qmm(act, lp["w_down"], "bef,fd->bed")
             x = x + gemma_rms_norm(mlp_out, lp["post_ffw_norm"], eps)
             return (x, kv_pool, l + 1), None
 

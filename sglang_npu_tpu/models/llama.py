@@ -27,6 +27,7 @@ from sglang_npu_tpu.layers.ops import (
     rms_norm,
     silu_and_mul,
 )
+from sglang_npu_tpu.layers.quantization import matmul as qmm
 from sglang_npu_tpu.model_executor.forward_batch_info import ForwardBatch
 from sglang_npu_tpu.ops.xla_attention import paged_attention_xla, write_kv
 
@@ -214,9 +215,9 @@ class LlamaForCausalLM:
         def layer_fn(carry, lp):
             x, kv_pool, l = carry
             h = rms_norm(x, lp["input_norm"], eps)
-            q = jnp.einsum("bed,dh->beh", h, lp["wq"])
-            k = jnp.einsum("bed,dh->beh", h, lp["wk"])
-            v = jnp.einsum("bed,dh->beh", h, lp["wv"])
+            q = qmm(h, lp["wq"], "bed,dh->beh")
+            k = qmm(h, lp["wk"], "bed,dh->beh")
+            v = qmm(h, lp["wv"], "bed,dh->beh")
             if "bq" in lp:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
@@ -230,9 +231,7 @@ class LlamaForCausalLM:
             q, k = apply_rope(q, k, fb.positions, rope)
 
             att, kv_pool = self._attention(q, k, v, kv_pool, l, fb, page_size)
-            x = x + jnp.einsum(
-                "beh,hd->bed", att.reshape(B, E, self.q_size), lp["wo"]
-            )
+            x = x + qmm(att.reshape(B, E, self.q_size), lp["wo"], "beh,hd->bed")
 
             h = rms_norm(x, lp["post_norm"], eps)
             x = x + self._mlp(h, lp)
@@ -271,10 +270,10 @@ class LlamaForCausalLM:
 
     def _mlp(self, h, lp):
         """Dense SwiGLU MLP; overridden by MoE models."""
-        gate = jnp.einsum("bed,df->bef", h, lp["w_gate"])
-        up = jnp.einsum("bed,df->bef", h, lp["w_up"])
+        gate = qmm(h, lp["w_gate"], "bed,df->bef")
+        up = qmm(h, lp["w_up"], "bed,df->bef")
         act = jax.nn.silu(gate) * up  # stays shard-local under TP
-        return jnp.einsum("bef,fd->bed", act, lp["w_down"])
+        return qmm(act, lp["w_down"], "bef,fd->bed")
 
     def _attention(self, q, k, v, kv_pool, layer_idx, fb: ForwardBatch, page_size: int):
         """Write new K/V into the pool and attend; returns (out, pool).

@@ -36,8 +36,12 @@ def make_pallas_attention_backend(mesh=None):
         B, E, Hq, D = q.shape
         sliding_window = config.sliding_window or -1
         logit_cap = getattr(config, "logit_cap", 0.0) or 0.0
+        from sglang_npu_tpu.ops.xla_attention import QuantKVPool
+
         interp = _interpret()
-        kernel_ok = (D % 128 == 0) or interp
+        kernel_ok = ((D % 128 == 0) or interp) and not isinstance(
+            kv_pool, QuantKVPool
+        )
 
         if E == 1 and kernel_ok:
             from sglang_npu_tpu.ops.pallas.decode_kernel import (

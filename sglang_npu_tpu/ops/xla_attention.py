@@ -27,10 +27,29 @@ Performance notes (TPU):
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e9
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantKVPool:
+    """Quantized KV pool: int8 (or fp8) data + per-(token, head) scales
+    (reference fp8/int8 KV cache, `memory_pool.py set_kv_buffer` scale/cast
+    and `layers/quantization/kv_cache.py`)."""
+
+    data: jax.Array  # [L, 2, H, NP, ps, D] int8
+    scale: jax.Array  # [L, 2, H, NP, ps] f32
+
+
+def pool_num_heads(kv_pool) -> int:
+    if isinstance(kv_pool, QuantKVPool):
+        return kv_pool.data.shape[2]
+    return kv_pool.shape[2]
 
 
 def write_kv(
@@ -45,6 +64,8 @@ def write_kv(
     Note: layer_idx/pages/offs are advanced indices separated from the `:`
     slice, so result dims come FIRST: the update value has shape [T, H, D].
     """
+    if isinstance(kv_pool, QuantKVPool):
+        return _write_kv_quant(kv_pool, layer_idx, new_k, new_v, out_slots)
     ps = kv_pool.shape[4]
     flat_slots = out_slots.reshape(-1)
     pages = flat_slots // ps
@@ -54,6 +75,27 @@ def write_kv(
     kv_pool = kv_pool.at[layer_idx, 0, :, pages, offs].set(nk, mode="drop")
     kv_pool = kv_pool.at[layer_idx, 1, :, pages, offs].set(nv, mode="drop")
     return kv_pool
+
+
+def _write_kv_quant(
+    pool: QuantKVPool, layer_idx, new_k, new_v, out_slots
+) -> QuantKVPool:
+    """Per-(token, head) symmetric int8 quantization on write."""
+    ps = pool.data.shape[4]
+    flat_slots = out_slots.reshape(-1)
+    pages = flat_slots // ps
+    offs = flat_slots % ps
+    data, scale = pool.data, pool.scale
+    for idx, new in ((0, new_k), (1, new_v)):
+        t = new.reshape(-1, *new.shape[2:]).astype(jnp.float32)  # [T, H, D]
+        s = jnp.max(jnp.abs(t), axis=-1) / 127.0  # [T, H]
+        s = jnp.maximum(s, 1e-8)
+        q = jnp.clip(jnp.round(t / s[:, :, None]), -127, 127).astype(jnp.int8)
+        data = data.at[layer_idx, idx, :, pages, offs].set(q, mode="drop")
+        scale = scale.at[layer_idx, idx, :, pages, offs].set(
+            s.astype(jnp.float32), mode="drop"
+        )
+    return QuantKVPool(data, scale)
 
 
 def paged_attention_xla(
@@ -74,13 +116,21 @@ def paged_attention_xla(
     """
     B, E, Hq, D = q.shape
     P = page_tables.shape[1]
-    Hkv = kv_pool.shape[2]
+    Hkv = pool_num_heads(kv_pool)
     Lkv = P * page_size
 
     # advanced indices (layer_idx 0-d, page_tables [B, P]) around the `:`
     # slice -> result dims first: [B, P, Hkv, ps, D]; page gather only.
-    k = kv_pool[layer_idx, 0, :, page_tables]
-    v = kv_pool[layer_idx, 1, :, page_tables]
+    if isinstance(kv_pool, QuantKVPool):
+        k = kv_pool.data[layer_idx, 0, :, page_tables].astype(jnp.float32)
+        v = kv_pool.data[layer_idx, 1, :, page_tables].astype(jnp.float32)
+        ks = kv_pool.scale[layer_idx, 0, :, page_tables]  # [B, P, H, ps]
+        vs = kv_pool.scale[layer_idx, 1, :, page_tables]
+        k = k * ks[..., None]
+        v = v * vs[..., None]
+    else:
+        k = kv_pool[layer_idx, 0, :, page_tables]
+        v = kv_pool[layer_idx, 1, :, page_tables]
 
     group = Hq // Hkv
     qg = q.reshape(B, E, Hkv, group, D)
