@@ -195,7 +195,7 @@ class ModelRunner:
             # v5e-class chip and budget = HBM*frac - weights - workspace.
             hbm = 15.5e9
             budget = int(hbm * args.mem_fraction_static) - self.param_bytes - int(
-                2.0e9
+                3.0e9
             )
         if budget <= 0:
             # CPU tests: small fixed pool.

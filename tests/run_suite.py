@@ -1,0 +1,71 @@
+"""Named test suites (reference `test/srt/run_suite.py` + CI runner
+mapping, SURVEY.md §4).
+
+Usage:
+    python tests/run_suite.py --suite per-commit-cpu
+    python tests/run_suite.py --suite per-commit-tpu   # needs the real chip
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+
+SUITES = {
+    # device-free unit + CPU-mesh e2e layers (every commit)
+    "per-commit-cpu": [
+        "test_allocator.py",
+        "test_radix_cache.py",
+        "test_schedule_batch.py",
+        "test_parsers.py",
+        "test_constrained.py",
+        "test_pallas_decode.py",
+        "test_pallas_prefill.py",
+        "test_model_numerics.py",
+        "test_engine.py",
+        "test_http_server.py",
+        "test_logprobs.py",
+        "test_penalties.py",
+        "test_moe_models.py",
+        "test_gemma2.py",
+        "test_embedding.py",
+        "test_speculative.py",
+        "test_sessions.py",
+        "test_lang.py",
+        "test_int8_kv.py",
+        "test_quantization.py",
+        "test_tensor_parallel.py",
+    ],
+    # real-chip smoke (driver/nightly): engine throughput floor
+    "per-commit-tpu": ["__bench_quick__"],
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--suite", default="per-commit-cpu", choices=sorted(SUITES))
+    p.add_argument("--timeout-per-file", type=int, default=600)
+    args = p.parse_args()
+
+    failed = []
+    for f in SUITES[args.suite]:
+        if f == "__bench_quick__":
+            cmd = [sys.executable, "bench.py", "--quick"]
+        else:
+            cmd = [sys.executable, "-m", "pytest", f"tests/{f}", "-q", "-x"]
+        print(f"=== {f} ===", flush=True)
+        try:
+            r = subprocess.run(cmd, timeout=args.timeout_per_file)
+            if r.returncode != 0:
+                failed.append(f)
+        except subprocess.TimeoutExpired:
+            failed.append(f + " (timeout)")
+    if failed:
+        print("FAILED:", failed)
+        sys.exit(1)
+    print("suite passed")
+
+
+if __name__ == "__main__":
+    main()
