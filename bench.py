@@ -113,7 +113,8 @@ def main():
     tput = total_out / dt
 
     result = {
-        "metric": "offline_output_tok_per_s_per_chip_llama3b_bf16",
+        "metric": "offline_output_tok_per_s_per_chip_llama3b_"
+        + ("int8w" if args.quantization else "bf16"),
         "value": round(tput, 2),
         "unit": "tok/s",
         "vs_baseline": round(tput / BASELINE_TOK_S, 2),

@@ -121,6 +121,7 @@ class Engine:
         stream: bool = False,
         rid: Optional[Union[str, List[str]]] = None,
         session_params: Optional[Dict] = None,
+        lora_path: Optional[Union[str, List[Optional[str]]]] = None,
     ):
         """Reference `Engine.generate` (`engine.py:138`): returns a dict for
         single prompts, a list of dicts for batches, or an iterator when
@@ -135,6 +136,7 @@ class Engine:
             stream=stream,
             rid=rid,
             session_params=session_params,
+            lora_path=lora_path,
         )
         if stream:
             return self.tokenizer_manager.stream_sync(obj)

@@ -154,7 +154,9 @@ class Req:
         """Refresh fill_ids and re-match the radix prefix before a prefill
         round (reference `Req.init_next_round_input`)."""
         self.fill_ids = self.origin_input_ids + self.output_ids
-        res = tree_cache.match_prefix(self.fill_ids)
+        res = tree_cache.match_prefix(
+            self.fill_ids, namespace=getattr(self, "lora_id", 0) or 0
+        )
         # Never reuse the *entire* input (we need >=1 token to compute
         # logits), and keep the reused prefix page-aligned — a request's own
         # slots must always start at a page boundary (tree pages are full).
@@ -263,6 +265,8 @@ class ModelWorkerBatch:
     return_logprob: bool = False
     top_logprobs_k: int = 0
     return_input_logprob: bool = False
+    # LoRA adapter slot per request (0 = no adapter); None when disabled
+    lora_ids: Optional[np.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -459,6 +463,11 @@ class ScheduleBatch:
         top_k = max((r.top_logprobs_num for r in self.reqs), default=0)
         if top_k > 0:
             top_k = 5 if top_k <= 5 else 20  # bucket to limit recompiles
+        lora_ids = None
+        if any(getattr(r, "lora_id", 0) for r in self.reqs):
+            lora_ids = np.array(
+                [getattr(r, "lora_id", 0) for r in self.reqs], dtype=np.int32
+            )
         return ModelWorkerBatch(
             forward_mode=self.forward_mode,
             input_ids=input_ids,
@@ -476,6 +485,7 @@ class ScheduleBatch:
             return_input_logprob=any(
                 r.return_logprob and r.logprob_start_len >= 0 for r in self.reqs
             ),
+            lora_ids=lora_ids,
         )
 
     # ------------------------------------------------------------------

@@ -277,6 +277,11 @@ class Scheduler:
         req.session_id = (
             t.session_params.get("id") if t.session_params else None
         )
+        req.lora_id = (
+            self.runner.lora_manager.lora_id(t.lora_path)
+            if getattr(self.runner, "lora_manager", None) is not None
+            else 0
+        )
         req.queue_time = time.time()
         if len(req.origin_input_ids) == 0:
             req.finished_reason = FINISH_ABORT("empty input not allowed")
@@ -498,6 +503,7 @@ class Scheduler:
                 r.sampling_params.is_greedy
                 and r.grammar is None
                 and not r.return_logprob
+                and getattr(r, "lora_id", 0) == 0
                 for r in self.running_batch.reqs
             )
         )

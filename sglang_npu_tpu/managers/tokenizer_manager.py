@@ -177,7 +177,7 @@ class TokenizerManager:
             logprob_start_len=obj.logprob_start_len,
             top_logprobs_num=obj.top_logprobs_num,
             stream=obj.stream,
-            lora_path=obj.lora_path if not isinstance(obj.lora_path, list) else None,
+            lora_path=pick("lora_path"),
             session_params=obj.session_params,
         )
 

@@ -34,6 +34,7 @@ class TreeNode:
         self.key: List[int] = []
         self.value: Optional[np.ndarray] = None  # KV slot ids, len == len(key)
         self.lock_ref = 0
+        self.is_root = False
         self.last_access_time = TreeNode.tick()
         self.id = TreeNode.counter
         TreeNode.counter += 1
@@ -101,11 +102,23 @@ class RadixCache(BasePrefixCache):
 
     # ------------------------------------------------------------------
     def reset(self):
-        self.root_node = TreeNode()
-        self.root_node.value = np.empty((0,), dtype=np.int32)
-        self.root_node.lock_ref = 1
+        # Namespaced roots: KV depends on the applied LoRA adapter, so each
+        # adapter id gets its own prefix tree (reference: lora-aware radix
+        # keys). Namespace 0 = no adapter.
+        self.roots: Dict[int, TreeNode] = {}
+        self.root_node = self._get_root(0)
         self.evictable_size_ = 0
         self.protected_size_ = 0
+
+    def _get_root(self, namespace: int) -> TreeNode:
+        root = self.roots.get(namespace)
+        if root is None:
+            root = TreeNode()
+            root.value = np.empty((0,), dtype=np.int32)
+            root.lock_ref = 1
+            root.is_root = True
+            self.roots[namespace] = root
+        return root
 
     # ------------------------------------------------------------------
     def _child_key(self, key: List[int]) -> Tuple[int, ...]:
@@ -121,14 +134,14 @@ class RadixCache(BasePrefixCache):
         return i // ps * ps
 
     # ------------------------------------------------------------------
-    def match_prefix(self, key: List[int]) -> MatchResult:
+    def match_prefix(self, key: List[int], namespace: int = 0) -> MatchResult:
         """Find the longest cached page-aligned prefix of ``key``.
 
         Returns tree-owned slot ids and the deepest matched node (to be
         lock-ref'd by the caller while the request is in flight).
         """
         key = key[: len(key) // self.page_size * self.page_size]
-        node = self.root_node
+        node = self._get_root(namespace)
         node.last_access_time = TreeNode.tick()
         values = []
         while key:
@@ -172,13 +185,13 @@ class RadixCache(BasePrefixCache):
         return new_node
 
     # ------------------------------------------------------------------
-    def insert(self, key: List[int], value: np.ndarray) -> int:
+    def insert(self, key: List[int], value: np.ndarray, namespace: int = 0) -> int:
         """Insert ``key`` -> ``value`` (slot ids). Returns the number of
         leading tokens that were already present in the tree (whose newly
         computed slots are therefore duplicates the caller should free)."""
         assert len(key) == len(value)
         assert len(key) % self.page_size == 0
-        node = self.root_node
+        node = self._get_root(namespace)
         node.last_access_time = TreeNode.tick()
         total_prefix = 0
         while key:
@@ -213,7 +226,10 @@ class RadixCache(BasePrefixCache):
         token_ids = req.fill_ids[: len(slots)]
         aligned = len(slots) // ps * ps
         old_prefix_len = min(req.prefix_len, aligned)
-        pre_existing = self.insert(token_ids[:aligned], slots[:aligned].copy())
+        ns = getattr(req, "lora_id", 0) or 0
+        pre_existing = self.insert(
+            token_ids[:aligned], slots[:aligned].copy(), namespace=ns
+        )
         # Slots this request allocated that duplicate content already in the
         # tree (another request inserted the same prefix concurrently).
         if pre_existing > old_prefix_len:
@@ -235,11 +251,14 @@ class RadixCache(BasePrefixCache):
         token_ids = req.fill_ids[: len(slots)]
         aligned = len(slots) // ps * ps
         old_prefix_len = min(req.prefix_len, aligned)
-        pre_existing = self.insert(token_ids[:aligned], slots[:aligned].copy())
+        ns = getattr(req, "lora_id", 0) or 0
+        pre_existing = self.insert(
+            token_ids[:aligned], slots[:aligned].copy(), namespace=ns
+        )
         if pre_existing > old_prefix_len:
             self.allocator.free_slots(slots[old_prefix_len:pre_existing])
 
-        res = self.match_prefix(token_ids[:aligned])
+        res = self.match_prefix(token_ids[:aligned], namespace=ns)
         assert len(res.device_indices) == aligned, (
             f"radix repoint mismatch {len(res.device_indices)} != {aligned}"
         )
@@ -258,9 +277,7 @@ class RadixCache(BasePrefixCache):
     # ------------------------------------------------------------------
     def evict(self, num_tokens: int) -> None:
         leaves = [
-            n
-            for n in self._collect_leaves()
-            if n.lock_ref == 0 and n is not self.root_node
+            n for n in self._collect_leaves() if n.lock_ref == 0 and not n.is_root
         ]
         heapq.heapify(leaves)
         evicted = 0
@@ -271,15 +288,11 @@ class RadixCache(BasePrefixCache):
             self.evictable_size_ -= len(node.value)
             parent = node.parent
             del parent.children[self._child_key(node.key)]
-            if (
-                parent is not self.root_node
-                and not parent.children
-                and parent.lock_ref == 0
-            ):
+            if not parent.is_root and not parent.children and parent.lock_ref == 0:
                 heapq.heappush(leaves, parent)
 
     def _collect_leaves(self) -> List[TreeNode]:
-        out, stack = [], [self.root_node]
+        out, stack = [], list(self.roots.values())
         while stack:
             n = stack.pop()
             if not n.children:
@@ -290,7 +303,7 @@ class RadixCache(BasePrefixCache):
 
     # ------------------------------------------------------------------
     def inc_lock_ref(self, node: TreeNode) -> None:
-        while node is not None and node is not self.root_node:
+        while node is not None and not node.is_root:
             if node.lock_ref == 0:
                 self.evictable_size_ -= len(node.key)
                 self.protected_size_ += len(node.key)
@@ -298,7 +311,7 @@ class RadixCache(BasePrefixCache):
             node = node.parent
 
     def dec_lock_ref(self, node: TreeNode) -> None:
-        while node is not None and node is not self.root_node:
+        while node is not None and not node.is_root:
             assert node.lock_ref > 0
             if node.lock_ref == 1:
                 self.evictable_size_ += len(node.key)
@@ -314,7 +327,7 @@ class RadixCache(BasePrefixCache):
         return self.protected_size_
 
     def total_size(self) -> int:
-        total, stack = 0, [self.root_node]
+        total, stack = 0, list(self.roots.values())
         while stack:
             n = stack.pop()
             total += len(n.key)
@@ -332,7 +345,9 @@ class RadixCache(BasePrefixCache):
             for c in node.children.values():
                 rec(c, depth + 1)
 
-        rec(self.root_node, 0)
+        for ns, root in self.roots.items():
+            lines.append(f"namespace {ns}:")
+            rec(root, 1)
         return "\n".join(lines)
 
 
@@ -348,7 +363,7 @@ class ChunkCache(BasePrefixCache):
     def reset(self):
         pass
 
-    def match_prefix(self, key: List[int]) -> MatchResult:
+    def match_prefix(self, key: List[int], namespace: int = 0) -> MatchResult:
         return MatchResult(np.empty((0,), dtype=np.int32), None)
 
     def cache_finished_req(self, req) -> None:

@@ -41,6 +41,7 @@ class ForwardBatch:
     seq_lens: jax.Array  # [B] int32 (0 = padded row)
     extend_seq_lens: Optional[jax.Array]  # [B] int32 or None (decode)
     extend_prefix_lens: Optional[jax.Array]  # [B] int32 or None
+    lora_ids: Optional[jax.Array] = None  # [B] int32 adapter slots (0 = none)
 
 
 @jax.tree_util.register_dataclass
@@ -97,6 +98,11 @@ def build_extend_forward_batch(
         seq_lens=jnp.asarray(pad_to(mwb.seq_lens, bs_bucket)),
         extend_seq_lens=jnp.asarray(pad_to(ext, bs_bucket)),
         extend_prefix_lens=jnp.asarray(pad_to(mwb.extend_prefix_lens, bs_bucket)),
+        lora_ids=(
+            jnp.asarray(pad_to(mwb.lora_ids, bs_bucket))
+            if mwb.lora_ids is not None
+            else None
+        ),
     )
 
 

@@ -82,6 +82,20 @@ class ModelRunner:
             from sglang_npu_tpu.layers.quantization import quantize_params_int8
 
             self.params = quantize_params_int8(self.params)
+
+        # Multi-LoRA adapters stacked into the param tree (slot 0 = none).
+        self.lora_manager = None
+        if server_args.lora_paths:
+            from sglang_npu_tpu.lora.lora_manager import LoRAManager
+
+            self.lora_manager = LoRAManager(
+                server_args.lora_paths, self.model, self.mesh
+            )
+            additions = self.lora_manager.build_params()
+            scaling = additions.pop("__scaling__")
+            self.params = dict(self.params)
+            self.params["layers"] = {**self.params["layers"], **additions}
+            self.params["lora_scaling"] = scaling
         self.param_bytes = sum(
             x.nbytes for x in jax.tree_util.tree_leaves(self.params)
         )
@@ -335,6 +349,7 @@ class ModelRunner:
             return_logprob=False,
             top_logprobs_k=0,
             has_penalties=False,
+            lora_ids=None,
         ):
             if has_penalties:
                 vocab = params["embed"].shape[0]
@@ -358,6 +373,7 @@ class ModelRunner:
                     seq_lens=lens,
                     extend_seq_lens=None,
                     extend_prefix_lens=None,
+                    lora_ids=lora_ids,
                 )
                 logits, kv_pool = model(params, kv_pool, fb, ps)
                 if has_penalties:
@@ -491,6 +507,11 @@ class ModelRunner:
                 return_logprob=rl,
                 top_logprobs_k=tk,
                 has_penalties=mwb.sampling_info.has_penalties,
+                lora_ids=(
+                    jnp.asarray(pad_to(mwb.lora_ids, bs_bucket))
+                    if mwb.lora_ids is not None
+                    else None
+                ),
             )
         n = mwb.real_bs
         if not rl:

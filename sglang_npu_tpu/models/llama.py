@@ -212,12 +212,25 @@ class LlamaForCausalLM:
         # touches only the accessed rows in place.  (Consuming the pool as
         # scan xs/ys instead would copy a full per-layer slab every
         # iteration: traffic proportional to pool size, not batch size.)
+        use_lora = fb.lora_ids is not None and "lora_scaling" in params
+        if use_lora:
+            from sglang_npu_tpu.lora.lora_manager import apply_lora
+
+            lora_scaling = params["lora_scaling"]
+            lora_ids = fb.lora_ids
+
+        def _proj(h, lp, wkey, eq):
+            out = qmm(h, lp[wkey], eq)
+            if use_lora and f"lora_{wkey}_a" in lp:
+                out = apply_lora(h, out, lp, wkey, lora_ids, lora_scaling)
+            return out
+
         def layer_fn(carry, lp):
             x, kv_pool, l = carry
             h = rms_norm(x, lp["input_norm"], eps)
-            q = qmm(h, lp["wq"], "bed,dh->beh")
-            k = qmm(h, lp["wk"], "bed,dh->beh")
-            v = qmm(h, lp["wv"], "bed,dh->beh")
+            q = _proj(h, lp, "wq", "bed,dh->beh")
+            k = _proj(h, lp, "wk", "bed,dh->beh")
+            v = _proj(h, lp, "wv", "bed,dh->beh")
             if "bq" in lp:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
@@ -231,10 +244,12 @@ class LlamaForCausalLM:
             q, k = apply_rope(q, k, fb.positions, rope)
 
             att, kv_pool = self._attention(q, k, v, kv_pool, l, fb, page_size)
-            x = x + qmm(att.reshape(B, E, self.q_size), lp["wo"], "beh,hd->bed")
+            x = x + _proj(
+                att.reshape(B, E, self.q_size), lp, "wo", "beh,hd->bed"
+            )
 
             h = rms_norm(x, lp["post_norm"], eps)
-            x = x + self._mlp(h, lp)
+            x = x + self._mlp(h, lp, _proj)
             return (x, kv_pool, l + 1), None
 
         (x, new_kv, _), _ = jax.lax.scan(
@@ -268,12 +283,14 @@ class LlamaForCausalLM:
         ).clip(1e-9)
         return normed, kv_pool
 
-    def _mlp(self, h, lp):
+    def _mlp(self, h, lp, proj=None):
         """Dense SwiGLU MLP; overridden by MoE models."""
-        gate = qmm(h, lp["w_gate"], "bed,df->bef")
-        up = qmm(h, lp["w_up"], "bed,df->bef")
+        if proj is None:
+            proj = lambda x, lp_, k, eq: qmm(x, lp_[k], eq)
+        gate = proj(h, lp, "w_gate", "bed,df->bef")
+        up = proj(h, lp, "w_up", "bed,df->bef")
         act = jax.nn.silu(gate) * up  # stays shard-local under TP
-        return qmm(act, lp["w_down"], "bef,fd->bed")
+        return proj(act, lp, "w_down", "bef,fd->bed")
 
     def _attention(self, q, k, v, kv_pool, layer_idx, fb: ForwardBatch, page_size: int):
         """Write new K/V into the pool and attend; returns (out, pool).

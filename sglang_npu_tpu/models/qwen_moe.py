@@ -130,7 +130,7 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
         return top, per_layer
 
     # ------------------------------------------------------------------
-    def _mlp(self, h, lp):
+    def _mlp(self, h, lp, proj=None):
         B, E_, Dm = h.shape
         flat = h.reshape(B * E_, Dm)
         out = moe_mlp(
