@@ -54,6 +54,13 @@ class ModelConfig:
     # raw HF dict for model-specific extras
     hf_config: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
+    # MLA (DeepSeek-V2/V3) geometry
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    kv_lora_rank: int = 0
+    q_lora_rank: Optional[int] = None
+
     @classmethod
     def from_hf_dict(
         cls,
@@ -64,6 +71,10 @@ class ModelConfig:
         heads = cfg["num_attention_heads"]
         kv_heads = cfg.get("num_key_value_heads", heads)
         head_dim = cfg.get("head_dim") or cfg["hidden_size"] // heads
+        if cfg.get("kv_lora_rank"):
+            # MLA: cache geometry is MHA-expanded for now (see deepseek_v2)
+            head_dim = cfg["qk_nope_head_dim"] + cfg["qk_rope_head_dim"]
+            kv_heads = heads
         eos = cfg.get("eos_token_id", [])
         if eos is None:
             eos = []
@@ -105,6 +116,14 @@ class ModelConfig:
             moe_intermediate_size=cfg.get("moe_intermediate_size", 0) or 0,
             num_shared_experts=cfg.get("shared_expert_intermediate_size", 0) or 0,
             qk_norm=model_type in ("qwen3", "qwen3_moe"),
+            qk_nope_head_dim=cfg.get("qk_nope_head_dim", 0) or 0,
+            qk_rope_head_dim=cfg.get("qk_rope_head_dim", 0) or 0,
+            v_head_dim=cfg.get("v_head_dim", 0) or 0,
+            kv_lora_rank=cfg.get("kv_lora_rank", 0) or 0,
+            q_lora_rank=cfg.get("q_lora_rank"),
+            attention_arch=(
+                AttentionArch.MLA if cfg.get("kv_lora_rank") else AttentionArch.MHA
+            ),
             hf_config=cfg,
         )
 

@@ -56,6 +56,8 @@ class HttpServer:
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post("/start_profile", self.start_profile)
+        r.add_post("/stop_profile", self.stop_profile)
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
         r.add_post("/release_memory_occupation", self.release_memory)
@@ -241,6 +243,34 @@ class HttpServer:
         )
         return web.json_response(
             {"success": ok, "message": msg}, status=200 if ok else 400
+        )
+
+    async def start_profile(self, request: web.Request) -> web.Response:
+        """jax.profiler trace capture (reference `/start_profile:441`,
+        torch.profiler RPC; traces are xplane/perfetto files)."""
+        try:
+            body = await request.json()
+        except Exception:
+            body = {}
+        out_dir = body.get("output_dir") or "/tmp/sglang_tpu_profile"
+        import jax
+
+        try:
+            jax.profiler.start_trace(out_dir)
+        except Exception as e:
+            return _json_error(f"profiler start failed: {e}", 500)
+        self._profile_dir = out_dir
+        return web.json_response({"success": True, "output_dir": out_dir})
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        import jax
+
+        try:
+            jax.profiler.stop_trace()
+        except Exception as e:
+            return _json_error(f"profiler stop failed: {e}", 500)
+        return web.json_response(
+            {"success": True, "output_dir": getattr(self, "_profile_dir", None)}
         )
 
     async def open_session(self, request: web.Request) -> web.Response:

@@ -1,0 +1,314 @@
+"""DeepSeek-V2 family: MLA attention + DeepSeek-MoE.
+
+Counterpart of the reference's `srt/models/deepseek_v2.py` (MLA latent
+attention, first-k-dense + shared-expert MoE, grouped top-k routing).
+
+Round-1 design notes:
+  * MLA runs in **MHA-expanded mode**: the latent kv (c_kv + k_pe) is
+    up-projected to per-head K/V and cached like MHA (k head_dim =
+    qk_nope + qk_rope; V padded to the same width).  Latent-cache mode with
+    absorbed matmuls (the reference's memory-saving MLA path,
+    `MLATokenToKVPool:708`) is the round-2 optimization.
+  * Layers are heterogeneous (dense MLP for the first
+    `first_k_dense_replace`, MoE after), so the model uses a Python loop
+    with per-layer param dicts (zero-padded string keys) instead of the
+    scan-over-stacked-layers trunk.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sglang_npu_tpu.configs.model_config import ModelConfig
+from sglang_npu_tpu.layers.moe import moe_mlp
+from sglang_npu_tpu.layers.ops import make_rope_tables, rms_norm
+from sglang_npu_tpu.model_executor.forward_batch_info import ForwardBatch
+from sglang_npu_tpu.models.llama import LlamaForCausalLM
+from sglang_npu_tpu.ops.xla_attention import paged_attention_xla, write_kv
+
+
+def _lk(i: int) -> str:
+    return f"layer_{i:03d}"
+
+
+class DeepseekV2ForCausalLM(LlamaForCausalLM):
+    def __init__(self, config: ModelConfig, attn_backend=None):
+        super().__init__(config, attn_backend)
+        hf = config.hf_config
+        c = config
+        self.qk_nope = c.qk_nope_head_dim
+        self.qk_rope = c.qk_rope_head_dim
+        self.v_dim = c.v_head_dim
+        self.kv_rank = c.kv_lora_rank
+        self.q_rank = c.q_lora_rank
+        self.k_dim = self.qk_nope + self.qk_rope  # cached K width (=head_dim)
+        self.scale = self.k_dim**-0.5
+        self.n_heads = c.num_attention_heads
+
+        self.first_dense = hf.get("first_k_dense_replace", 0)
+        self.n_experts = hf.get("n_routed_experts", 0) or 0
+        self.n_shared = hf.get("n_shared_experts", 0) or 0
+        self.top_k = hf.get("num_experts_per_tok", 0) or 0
+        self.moe_inter = hf.get("moe_intermediate_size", 0) or 0
+        self.routed_scaling = hf.get("routed_scaling_factor", 1.0)
+        self.norm_topk = hf.get("norm_topk_prob", False)
+
+        self.rope = make_rope_tables(
+            self.qk_rope,
+            max(c.context_length, c.max_position_embeddings),
+            c.rope_theta,
+            c.rope_scaling,
+        )
+
+    def _is_moe(self, i: int) -> bool:
+        return self.n_experts > 0 and i >= self.first_dense
+
+    # ------------------------------------------------------------------
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        D = c.hidden_size
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        shapes: Dict[str, Any] = {
+            "embed": ((c.vocab_size, D), dt),
+            "final_norm": ((D,), jnp.float32),
+        }
+        if not c.tie_word_embeddings:
+            shapes["lm_head"] = ((D, c.vocab_size), dt)
+        H, F = self.n_heads, c.intermediate_size
+        for i in range(c.num_hidden_layers):
+            lp: Dict[str, Any] = {
+                "input_norm": ((D,), jnp.float32),
+                "post_norm": ((D,), jnp.float32),
+                "kv_a": ((D, self.kv_rank + self.qk_rope), dt),
+                "kv_a_norm": ((self.kv_rank,), jnp.float32),
+                "kv_b": ((self.kv_rank, H * (self.qk_nope + self.v_dim)), dt),
+                "wo": ((H * self.v_dim, D), dt),
+            }
+            if self.q_rank:
+                lp["q_a"] = ((D, self.q_rank), dt)
+                lp["q_a_norm"] = ((self.q_rank,), jnp.float32)
+                lp["q_b"] = ((self.q_rank, H * self.k_dim), dt)
+            else:
+                lp["wq"] = ((D, H * self.k_dim), dt)
+            if self._is_moe(i):
+                E, Fm = self.n_experts, self.moe_inter
+                lp["router"] = ((D, E), jnp.float32)
+                lp["e_gate"] = ((E, D, Fm), dt)
+                lp["e_up"] = ((E, D, Fm), dt)
+                lp["e_down"] = ((E, Fm, D), dt)
+                if self.n_shared:
+                    Fs = self.moe_inter * self.n_shared
+                    lp["s_gate"] = ((D, Fs), dt)
+                    lp["s_up"] = ((D, Fs), dt)
+                    lp["s_down"] = ((Fs, D), dt)
+            else:
+                lp["w_gate"] = ((D, F), dt)
+                lp["w_up"] = ((D, F), dt)
+                lp["w_down"] = ((F, D), dt)
+            shapes[_lk(i)] = lp
+        return shapes
+
+    def param_shardings(self) -> Dict[str, Any]:
+        c = self.config
+        specs: Dict[str, Any] = {
+            "embed": P(None, "model"),
+            "final_norm": P(None),
+        }
+        if not c.tie_word_embeddings:
+            specs["lm_head"] = P(None, "model")
+        for i in range(c.num_hidden_layers):
+            lp = {
+                "input_norm": P(None),
+                "post_norm": P(None),
+                "kv_a": P(None, None),
+                "kv_a_norm": P(None),
+                "kv_b": P(None, "model"),
+                "wo": P("model", None),
+            }
+            if self.q_rank:
+                lp["q_a"] = P(None, None)
+                lp["q_a_norm"] = P(None)
+                lp["q_b"] = P(None, "model")
+            else:
+                lp["wq"] = P(None, "model")
+            if self._is_moe(i):
+                lp["router"] = P(None, None)
+                lp["e_gate"] = P(None, None, "model")
+                lp["e_up"] = P(None, None, "model")
+                lp["e_down"] = P(None, "model", None)
+                if self.n_shared:
+                    lp["s_gate"] = P(None, "model")
+                    lp["s_up"] = P(None, "model")
+                    lp["s_down"] = P("model", None)
+            else:
+                lp["w_gate"] = P(None, "model")
+                lp["w_up"] = P(None, "model")
+                lp["w_down"] = P("model", None)
+            specs[_lk(i)] = lp
+        return specs
+
+    def hf_weight_map(self):
+        c = self.config
+        m: Dict[str, tuple] = {
+            "model.embed_tokens.weight": ("embed", None),
+            "model.norm.weight": ("final_norm", None),
+        }
+        if not c.tie_word_embeddings:
+            m["lm_head.weight"] = ("lm_head", "transpose")
+        for i in range(c.num_hidden_layers):
+            pre = f"model.layers.{i}."
+            k = _lk(i)
+            m[pre + "input_layernorm.weight"] = (f"{k}.input_norm", None)
+            m[pre + "post_attention_layernorm.weight"] = (f"{k}.post_norm", None)
+            m[pre + "self_attn.kv_a_proj_with_mqa.weight"] = (f"{k}.kv_a", "transpose")
+            m[pre + "self_attn.kv_a_layernorm.weight"] = (f"{k}.kv_a_norm", None)
+            m[pre + "self_attn.kv_b_proj.weight"] = (f"{k}.kv_b", "transpose")
+            m[pre + "self_attn.o_proj.weight"] = (f"{k}.wo", "transpose")
+            if self.q_rank:
+                m[pre + "self_attn.q_a_proj.weight"] = (f"{k}.q_a", "transpose")
+                m[pre + "self_attn.q_a_layernorm.weight"] = (f"{k}.q_a_norm", None)
+                m[pre + "self_attn.q_b_proj.weight"] = (f"{k}.q_b", "transpose")
+            else:
+                m[pre + "self_attn.q_proj.weight"] = (f"{k}.wq", "transpose")
+            if self._is_moe(i):
+                m[pre + "mlp.gate.weight"] = (f"{k}.router", "transpose")
+                for e in range(self.n_experts):
+                    m[pre + f"mlp.experts.{e}.gate_proj.weight"] = (
+                        f"{k}.e_gate.__expert__{e}",
+                        "transpose",
+                    )
+                    m[pre + f"mlp.experts.{e}.up_proj.weight"] = (
+                        f"{k}.e_up.__expert__{e}",
+                        "transpose",
+                    )
+                    m[pre + f"mlp.experts.{e}.down_proj.weight"] = (
+                        f"{k}.e_down.__expert__{e}",
+                        "transpose",
+                    )
+                if self.n_shared:
+                    m[pre + "mlp.shared_experts.gate_proj.weight"] = (
+                        f"{k}.s_gate",
+                        "transpose",
+                    )
+                    m[pre + "mlp.shared_experts.up_proj.weight"] = (
+                        f"{k}.s_up",
+                        "transpose",
+                    )
+                    m[pre + "mlp.shared_experts.down_proj.weight"] = (
+                        f"{k}.s_down",
+                        "transpose",
+                    )
+            else:
+                m[pre + "mlp.gate_proj.weight"] = (f"{k}.w_gate", "transpose")
+                m[pre + "mlp.up_proj.weight"] = (f"{k}.w_up", "transpose")
+                m[pre + "mlp.down_proj.weight"] = (f"{k}.w_down", "transpose")
+        return m, {}
+
+    # ------------------------------------------------------------------
+    def _rope_interleaved(self, x, positions):
+        """DeepSeek rope: the HF checkpoint stores pe dims interleaved —
+        de-interleave, rotate (neox), matching HF's b/h permutation."""
+        B, E, H, R = x.shape
+        x = x.reshape(B, E, H, R // 2, 2)
+        x = jnp.concatenate([x[..., 0], x[..., 1]], axis=-1)  # de-interleave
+        cos = self.rope["cos"][positions][:, :, None, :]
+        sin = self.rope["sin"][positions][:, :, None, :]
+        x32 = x.astype(jnp.float32)
+        x1, x2 = jnp.split(x32, 2, axis=-1)
+        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+        return out.astype(x.dtype)
+
+    def backbone_forward(self, params, kv_pool, fb: ForwardBatch, page_size: int):
+        c = self.config
+        B, E = fb.input_ids.shape
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        x = params["embed"][fb.input_ids].astype(dt)
+        eps = c.rms_norm_eps
+        H = self.n_heads
+
+        for i in range(c.num_hidden_layers):
+            lp = params[_lk(i)]
+            h = rms_norm(x, lp["input_norm"], eps)
+
+            # ---- MLA q/k/v ----
+            if self.q_rank:
+                qa = jnp.einsum("bed,dr->ber", h, lp["q_a"])
+                qa = rms_norm(qa, lp["q_a_norm"], eps)
+                q = jnp.einsum("ber,rh->beh", qa, lp["q_b"])
+            else:
+                q = jnp.einsum("bed,dh->beh", h, lp["wq"])
+            q = q.reshape(B, E, H, self.k_dim)
+            q_nope, q_pe = q[..., : self.qk_nope], q[..., self.qk_nope :]
+
+            kv_a = jnp.einsum("bed,dr->ber", h, lp["kv_a"])
+            c_kv, k_pe = (
+                kv_a[..., : self.kv_rank],
+                kv_a[..., self.kv_rank :],
+            )
+            c_kv = rms_norm(c_kv, lp["kv_a_norm"], eps)
+            kv_b = jnp.einsum("ber,rh->beh", c_kv, lp["kv_b"]).reshape(
+                B, E, H, self.qk_nope + self.v_dim
+            )
+            k_nope = kv_b[..., : self.qk_nope]
+            v = kv_b[..., self.qk_nope :]
+
+            q_pe = self._rope_interleaved(q_pe, fb.positions)
+            k_pe = self._rope_interleaved(
+                k_pe[:, :, None, :], fb.positions
+            )  # [B, E, 1, rope]
+            k_pe = jnp.broadcast_to(k_pe, (B, E, H, self.qk_rope))
+
+            k = jnp.concatenate([k_nope, k_pe], axis=-1)  # [B, E, H, k_dim]
+            q = jnp.concatenate([q_nope, q_pe], axis=-1)
+            v_pad = jnp.pad(
+                v, ((0, 0), (0, 0), (0, 0), (0, self.k_dim - self.v_dim))
+            )
+
+            kv_pool = write_kv(kv_pool, jnp.int32(i), k, v_pad, fb.out_slots)
+            att = paged_attention_xla(
+                q,
+                kv_pool,
+                jnp.int32(i),
+                fb.page_tables,
+                fb.seq_lens,
+                fb.positions,
+                page_size,
+                self.scale,
+            )[..., : self.v_dim]
+            x = x + jnp.einsum(
+                "beh,hd->bed", att.reshape(B, E, H * self.v_dim), lp["wo"]
+            )
+
+            # ---- MLP / MoE ----
+            h2 = rms_norm(x, lp["post_norm"], eps)
+            if self._is_moe(i):
+                flat = h2.reshape(B * E, c.hidden_size)
+                out = moe_mlp(
+                    flat,
+                    lp["router"].astype(flat.dtype),
+                    lp["e_gate"],
+                    lp["e_up"],
+                    lp["e_down"],
+                    top_k=self.top_k,
+                    norm_topk_prob=self.norm_topk,
+                ) * jnp.asarray(self.routed_scaling, flat.dtype)
+                if self.n_shared:
+                    g = jnp.einsum("td,df->tf", flat, lp["s_gate"])
+                    u = jnp.einsum("td,df->tf", flat, lp["s_up"])
+                    out = out + jnp.einsum(
+                        "tf,fd->td", jax.nn.silu(g) * u, lp["s_down"]
+                    )
+                x = x + out.reshape(B, E, c.hidden_size)
+            else:
+                g = jnp.einsum("bed,df->bef", h2, lp["w_gate"])
+                u = jnp.einsum("bed,df->bef", h2, lp["w_up"])
+                x = x + jnp.einsum(
+                    "bef,fd->bed", jax.nn.silu(g) * u, lp["w_down"]
+                )
+
+        x = rms_norm(x, params["final_norm"], eps)
+        return x, kv_pool

@@ -1,0 +1,111 @@
+"""DeepSeek-V2 (MLA + DeepSeek-MoE) HF-diff numerics."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from sglang_npu_tpu.entrypoints.engine import Engine
+
+VOCAB = 128
+
+
+def test_deepseek_v2_lite_matches_hf(tmp_path_factory):
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=VOCAB,
+        hidden_size=64,
+        intermediate_size=96,
+        moe_intermediate_size=48,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        n_routed_experts=4,
+        n_shared_experts=1,
+        num_experts_per_tok=2,
+        first_k_dense_replace=1,
+        moe_layer_freq=1,
+        routed_scaling_factor=1.0,
+        norm_topk_prob=False,
+        topk_method="greedy",
+        n_group=1,
+        topk_group=1,
+        kv_lora_rank=32,
+        q_lora_rank=None,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        max_position_embeddings=256,
+        tie_word_embeddings=False,
+        torch_dtype="float32",
+        eos_token_id=2,
+        rope_scaling=None,
+        attention_bias=False,
+    )
+    torch.manual_seed(0)
+    hf = transformers.DeepseekV2ForCausalLM(cfg)
+    hf.eval()
+    d = tmp_path_factory.mktemp("dsv2")
+    hf.save_pretrained(d, safe_serialization=True)
+
+    e = Engine(
+        model_path=str(d), dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=4096, attention_backend="xla",
+        random_seed=0,
+    )
+    try:
+        rng = np.random.default_rng(0)
+        for n in (5, 21):
+            prompt = rng.integers(3, VOCAB, size=n).tolist()
+            out = e.generate(
+                input_ids=prompt,
+                sampling_params={"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True},
+            )
+            with torch.no_grad():
+                ref = hf.generate(
+                    torch.tensor([prompt]), max_new_tokens=6, do_sample=False
+                )[0][n:].tolist()
+            assert out["output_ids"] == ref, f"len {n}: {out['output_ids']} != {ref}"
+    finally:
+        e.shutdown()
+
+
+def test_deepseek_v2_q_lora_matches_hf(tmp_path_factory):
+    """Full-size V2 variant: q low-rank projection path."""
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        first_k_dense_replace=1, moe_layer_freq=1,
+        routed_scaling_factor=1.0, norm_topk_prob=False,
+        topk_method="greedy", n_group=1, topk_group=1,
+        kv_lora_rank=32, q_lora_rank=24,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        torch_dtype="float32", eos_token_id=2, rope_scaling=None,
+        attention_bias=False,
+    )
+    torch.manual_seed(1)
+    hf = transformers.DeepseekV2ForCausalLM(cfg)
+    hf.eval()
+    d = tmp_path_factory.mktemp("dsv2q")
+    hf.save_pretrained(d, safe_serialization=True)
+    e = Engine(
+        model_path=str(d), dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=2048, attention_backend="xla",
+        random_seed=0,
+    )
+    try:
+        prompt = list(np.random.default_rng(5).integers(3, VOCAB, size=13))
+        out = e.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": 5, "temperature": 0.0, "ignore_eos": True},
+        )
+        with torch.no_grad():
+            ref = hf.generate(
+                torch.tensor([prompt]), max_new_tokens=5, do_sample=False
+            )[0][13:].tolist()
+        assert out["output_ids"] == ref
+    finally:
+        e.shutdown()
