@@ -166,15 +166,18 @@ def _decode_kernel(
 
     q = q_ref[0].astype(jnp.float32) * scale  # [Hkv, G, D]
 
-    start_dma(0, 0)
+    NSLOT = 4
+    for w in range(NSLOT - 1):  # warm the pipeline 3 blocks deep
+        @pl.when(w < num_blocks)
+        def _(w=w):
+            start_dma(w, w % NSLOT)
 
     def body(blk, _):
-        slot = jax.lax.rem(blk, 2)
-        next_slot = jax.lax.rem(blk + 1, 2)
+        slot = jax.lax.rem(blk, NSLOT)
 
-        @pl.when(blk + 1 < num_blocks)
+        @pl.when(blk + (NSLOT - 1) < num_blocks)
         def _():
-            start_dma(blk + 1, next_slot)
+            start_dma(blk + (NSLOT - 1), jax.lax.rem(blk + (NSLOT - 1), NSLOT))
 
         wait_dma(blk, slot)
 
@@ -257,8 +260,9 @@ def paged_decode_attention_fused(
         # the XLA backend for such models (e.g. 1B-class with D=64).
         raise ValueError(f"pallas decode kernel requires head_dim % 128 == 0, got {D}")
 
-    # block = up to 128 tokens of pages
-    np_per_blk = max(128 // page_size, 1)
+    # block = up to 256 tokens of pages per flash iteration (deeper DMA
+    # pipelining: many small page DMAs in flight per wait)
+    np_per_blk = max(256 // page_size, 1)
     np_per_blk = min(np_per_blk, P)
     block_t = np_per_blk * page_size
 
@@ -288,13 +292,13 @@ def paged_decode_attention_fused(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
-            pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
+            pltpu.VMEM((4, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
+            pltpu.VMEM((4, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
             pltpu.VMEM((2, Hkv, page_size, D), kv_pool.dtype),
             pltpu.VMEM((Hkv, G, D), jnp.float32),
             pltpu.VMEM((Hkv, G, 128), jnp.float32),
             pltpu.VMEM((Hkv, G, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, np_per_blk)),
+            pltpu.SemaphoreType.DMA((4, 2, np_per_blk)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
