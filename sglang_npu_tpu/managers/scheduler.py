@@ -101,6 +101,15 @@ class Scheduler:
         )
         if server_args.disable_radix_cache:
             self.tree_cache = ChunkCache(self.allocator, self.page_size)
+        elif server_args.enable_hierarchical_cache:
+            from sglang_npu_tpu.mem_cache.hiradix_cache import HiRadixCache
+
+            self.tree_cache = HiRadixCache(
+                self.allocator,
+                self.page_size,
+                kv_io=model_runner,
+                host_bytes_budget=int(server_args.hicache_size_gb * (1 << 30)),
+            )
         else:
             self.tree_cache = RadixCache(self.allocator, self.page_size)
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)

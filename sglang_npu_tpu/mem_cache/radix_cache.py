@@ -146,7 +146,8 @@ class RadixCache(BasePrefixCache):
         values = []
         while key:
             child = node.children.get(self._child_key(key))
-            if child is None:
+            if child is None or child.value is None:
+                # absent or tombstoned (HiRadixCache host tier) -> miss
                 break
             child.last_access_time = TreeNode.tick()
             match_len = self._key_match(child.key, key)

@@ -653,6 +653,63 @@ class ModelRunner:
         )
 
     # ------------------------------------------------------------------
+    # KV page IO for the hierarchical cache (reference kvcacheio transfer
+    # kernels; here jitted gather/scatter over the paged pool)
+    # ------------------------------------------------------------------
+    @property
+    def kv_bytes_per_token(self) -> int:
+        return self.model_config.kv_bytes_per_token(
+            jnp.dtype(self.kv_dtype).itemsize
+        )
+
+    def _kv_io_fns(self):
+        if not hasattr(self, "_gather_fn"):
+            ps = self.page_size
+
+            @jax.jit
+            def g(pool, pages, offs):
+                return pool[:, :, :, pages, offs]  # [L, 2, H, n, D]
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def s(pool, pages, offs, vals):
+                return pool.at[:, :, :, pages, offs].set(vals, mode="drop")
+
+            self._gather_fn, self._scatter_fn = g, s
+        return self._gather_fn, self._scatter_fn
+
+    def gather_kv(self, slots: np.ndarray) -> np.ndarray:
+        """Device -> host copy of KV rows; [L, 2, H, n, D]."""
+        g, _ = self._kv_io_fns()
+        n = len(slots)
+        padded = next_power_of_2(max(n, 8))
+        sl = np.zeros(padded, np.int32)
+        sl[:n] = slots
+        out = g(
+            self.kv_pool,
+            jnp.asarray(sl // self.page_size),
+            jnp.asarray(sl % self.page_size),
+        )
+        return np.asarray(jax.device_get(out))[:, :, :, :n]
+
+    def scatter_kv(self, slots: np.ndarray, host_kv: np.ndarray) -> None:
+        """Host -> device restore of KV rows (layout from gather_kv)."""
+        _, s = self._kv_io_fns()
+        n = len(slots)
+        padded = next_power_of_2(max(n, 8))
+        sl = np.zeros(padded, np.int32)
+        sl[:n] = slots
+        vals = np.zeros(
+            host_kv.shape[:3] + (padded,) + host_kv.shape[4:], host_kv.dtype
+        )
+        vals[:, :, :, :n] = host_kv
+        self.kv_pool = s(
+            self.kv_pool,
+            jnp.asarray(sl // self.page_size),
+            jnp.asarray(sl % self.page_size),
+            jnp.asarray(vals),
+        )
+
+    # ------------------------------------------------------------------
     def update_weights_from_disk(self, model_path: str, load_format: str = "auto"):
         """Live weight swap (reference `model_runner.py:731`
         `update_weights_from_disk`, used for RL rollout weight sync)."""

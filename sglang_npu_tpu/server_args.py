@@ -63,6 +63,10 @@ class ServerArgs:
     stream_interval: int = 1
     stream_output: bool = False
     disable_radix_cache: bool = False
+    # hierarchical KV cache: evicted pages back up to host DRAM and restore
+    # on prefix match (reference --enable-hierarchical-cache / hicache)
+    enable_hierarchical_cache: bool = False
+    hicache_size_gb: float = 4.0
     max_queued_requests: Optional[int] = None
     retract_decode_steps: int = 20
 
