@@ -171,6 +171,62 @@ class Engine:
     def abort_request(self, rid: str = "", abort_all: bool = False):
         self.tokenizer_manager.abort_request(rid, abort_all)
 
+    # ------------------------------------------------------------------
+    # PD disaggregation (reference `disaggregation/`): prefill-side handoff
+    # and decode-side injection.
+    # ------------------------------------------------------------------
+    def prefill_only(self, input_ids, sampling_params=None):
+        """Run prefill + first token; returns the KV handoff payload.
+        Requires --disaggregation-mode prefill."""
+        assert self.server_args.disaggregation_mode == "prefill"
+        from sglang_npu_tpu.managers.io_struct import TokenizedGenerateReqInput
+        from sglang_npu_tpu.sampling.sampling_params import SamplingParams
+        import uuid as _uuid
+
+        t = TokenizedGenerateReqInput(
+            rid=_uuid.uuid4().hex,
+            input_text=None,
+            input_ids=list(input_ids),
+            sampling_params=SamplingParams.from_dict(sampling_params),
+        )
+        state = self.tokenizer_manager.submit(t)
+        chunk, _ = state.mailbox.get(timeout=600)
+        return chunk["kv_handoff"]
+
+    def inject_decode(self, handoff, sampling_params=None, stream=False):
+        """Enter a transferred request in decode state; returns the result
+        (or a stream iterator). Decode-mode servers only."""
+        from sglang_npu_tpu.managers.io_struct import InjectDecodeReqInput
+        from sglang_npu_tpu.managers.tokenizer_manager import ReqState
+        from sglang_npu_tpu.sampling.sampling_params import SamplingParams
+        import time as _time
+
+        sp = SamplingParams.from_dict(sampling_params)
+        item = InjectDecodeReqInput(
+            rid=handoff.rid,
+            input_ids=list(handoff.fill_ids),
+            first_token=handoff.first_token,
+            kv_data=handoff.kv_data,
+            sampling_params=sp,
+            stream=stream,
+        )
+        state = ReqState(created_time=_time.time())
+        with self.tokenizer_manager._lock:
+            self.tokenizer_manager.rid_to_state[item.rid] = state
+        self._sched_in.put(item)
+        if stream:
+            def gen():
+                while True:
+                    chunk, fin = state.mailbox.get(timeout=600)
+                    yield chunk
+                    if fin:
+                        return
+            return gen()
+        while True:
+            chunk, fin = state.mailbox.get(timeout=600)
+            if fin:
+                return chunk
+
     def open_session(self, session_id=None, capacity_of_str_len: int = 0):
         from sglang_npu_tpu.managers.io_struct import OpenSessionReqInput
 

@@ -56,6 +56,8 @@ class HttpServer:
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post("/prefill_only", self.prefill_only)
+        r.add_post("/receive_prefill", self.receive_prefill)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
         r.add_post("/open_session", self.open_session)
@@ -244,6 +246,72 @@ class HttpServer:
         return web.json_response(
             {"success": ok, "message": msg}, status=200 if ok else 400
         )
+
+    async def prefill_only(self, request: web.Request) -> web.Response:
+        """PD prefill-side: run prefill, return first token + KV pages as an
+        npz body (reference `send_kv_chunk` over RDMA; here DCN/HTTP)."""
+        if self.engine.server_args.disaggregation_mode != "prefill":
+            return _json_error("not a prefill server", 400)
+        body = await request.json()
+        try:
+            handoff = await asyncio.to_thread(
+                self.engine.prefill_only,
+                body["input_ids"],
+                body.get("sampling_params"),
+            )
+        except Exception as e:
+            return _json_error(str(e), 500)
+        import io as _io
+
+        import numpy as _np
+
+        kv = _np.ascontiguousarray(handoff.kv_data)
+        buf = _io.BytesIO()
+        # bf16 has no portable npz dtype: ship raw bytes + dtype/shape
+        _np.savez(
+            buf,
+            kv_bytes=kv.view(_np.uint8).reshape(-1),
+            kv_shape=_np.asarray(kv.shape, _np.int64),
+            fill_ids=_np.asarray(handoff.fill_ids, _np.int64),
+            first_token=_np.asarray([handoff.first_token]),
+        )
+        return web.Response(
+            body=buf.getvalue(),
+            content_type="application/octet-stream",
+            headers={"X-Rid": handoff.rid, "X-Kv-Dtype": str(kv.dtype)},
+        )
+
+    async def receive_prefill(self, request: web.Request) -> web.Response:
+        """PD decode-side: accept transferred KV (npz body) + sampling
+        params (headers) and decode to completion."""
+        import io as _io
+        import json as _json
+
+        import numpy as _np
+
+        raw = await request.read()
+        data = _np.load(_io.BytesIO(raw))
+        sp = _json.loads(request.headers.get("X-Sampling-Params", "{}"))
+        rid = request.headers.get("X-Rid", "") or None
+        dt_name = request.headers.get("X-Kv-Dtype", "bfloat16")
+        import ml_dtypes  # noqa: F401  (registers bfloat16 with numpy)
+
+        kv_dtype = _np.dtype(dt_name)
+        shape = tuple(data["kv_shape"].tolist())
+
+        class _H:
+            pass
+
+        h = _H()
+        h.rid = rid or __import__("uuid").uuid4().hex
+        h.fill_ids = data["fill_ids"].tolist()
+        h.first_token = int(data["first_token"][0])
+        h.kv_data = data["kv_bytes"].view(kv_dtype).reshape(shape)
+        try:
+            out = await asyncio.to_thread(self.engine.inject_decode, h, sp)
+            return web.json_response(out)
+        except Exception as e:
+            return _json_error(str(e), 500)
 
     async def start_profile(self, request: web.Request) -> web.Response:
         """jax.profiler trace capture (reference `/start_profile:441`,

@@ -242,3 +242,30 @@ class OpenSessionReqOutput:
 @dataclasses.dataclass
 class CloseSessionReqInput:
     session_id: str
+
+
+# ----------------------------------------------------------------------
+# PD disaggregation (reference `disaggregation/`): prefill servers hand the
+# computed KV + first token to decode servers.
+# ----------------------------------------------------------------------
+@dataclasses.dataclass
+class KvHandoffOut:
+    """Prefill-side result: first token + the KV pages for the prompt."""
+
+    rid: str
+    fill_ids: List[int]  # prompt tokens (KV computed for all of them)
+    first_token: int
+    kv_data: Any  # np.ndarray [L, 2, H, n, D]
+
+
+@dataclasses.dataclass
+class InjectDecodeReqInput:
+    """Decode-side: enter a request directly in decode state with
+    transferred KV (reference `DecodePreallocQueue`/`DecodeTransferQueue`)."""
+
+    rid: str
+    input_ids: List[int]
+    first_token: int
+    kv_data: Any
+    sampling_params: SamplingParams = None
+    stream: bool = False

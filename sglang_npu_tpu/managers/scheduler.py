@@ -37,6 +37,7 @@ from sglang_npu_tpu.managers.io_struct import (
     GetInternalStateReq,
     GetInternalStateReqOutput,
     CloseSessionReqInput,
+    InjectDecodeReqInput,
     OpenSessionReqInput,
     OpenSessionReqOutput,
     ReleaseMemoryOccupationReqInput,
@@ -165,7 +166,11 @@ class Scheduler:
         """`event_loop_normal` (`scheduler.py:753`)."""
         while self._running:
             self.last_heartbeat = time.time()
-            self.recv_requests(block=not self._has_work())
+            try:
+                self.recv_requests(block=not self._has_work())
+            except Exception:
+                logger.exception("recv/control handling failed")
+                continue
             if not self._running:
                 break
             if self.grammar_queue:
@@ -258,6 +263,19 @@ class Scheduler:
             self.runner.release_memory()
         elif isinstance(item, ResumeMemoryOccupationReqInput):
             self.runner.resume_memory()
+        elif isinstance(item, InjectDecodeReqInput):
+            try:
+                self.inject_decode_req(item)
+            except Exception as e:
+                logger.exception("decode injection failed")
+                stub = Req(
+                    rid=item.rid,
+                    origin_input_text=None,
+                    origin_input_ids=list(item.input_ids),
+                    sampling_params=item.sampling_params,
+                )
+                stub.finished_reason = FINISH_ABORT(f"kv transfer failed: {e}")
+                self._emit_finished_stub(stub)
         elif isinstance(item, OpenSessionReqInput):
             sid = self.sessions.open(item.session_id, item.capacity_of_str_len)
             self.output_queue.put(OpenSessionReqOutput(session_id=sid, success=True))
@@ -592,6 +610,12 @@ class Scheduler:
                     req.is_chunked -= 1
                     self.tree_cache.cache_unfinished_req(req)
                     continue
+                if self.server_args.disaggregation_mode == "prefill":
+                    # PD: hand off KV + first token, finish locally
+                    # (reference `event_loop_normal_disagg_prefill`,
+                    # `send_kv_chunk`)
+                    self._handoff_prefill(req, int(next_tokens[i]))
+                    continue
                 if (
                     logprob_info is not None
                     and req.return_logprob
@@ -662,6 +686,54 @@ class Scheduler:
                     prompt_tokens=[len(r.origin_input_ids) for r in done],
                 )
             )
+
+    def _handoff_prefill(self, req: Req, first_token: int):
+        from sglang_npu_tpu.managers.io_struct import KvHandoffOut
+        from sglang_npu_tpu.managers.schedule_batch import FINISH_LENGTH
+
+        kv_data = self.runner.gather_kv(req.kv_slots)
+        out = KvHandoffOut(
+            rid=req.rid,
+            fill_ids=list(req.fill_ids),
+            first_token=first_token,
+            kv_data=kv_data,
+        )
+        req.output_ids.append(first_token)
+        req.fill_ids.append(first_token)
+        req.finished_reason = FINISH_LENGTH(0)
+        self._rid_to_req.pop(req.rid, None)
+        self.tree_cache.cache_finished_req(req)
+        self.output_queue.put(out)
+
+    def inject_decode_req(self, item):
+        """Enter a transferred request directly in decode state."""
+        n = len(item.input_ids)
+        req = Req(
+            rid=item.rid,
+            origin_input_text=None,
+            origin_input_ids=list(item.input_ids),
+            sampling_params=item.sampling_params,
+            eos_token_ids=set(self.runner.model_config.eos_token_ids),
+            stream=item.stream,
+        )
+        self._rid_to_req[req.rid] = req
+        need_pages = self.allocator.pages_needed(0, n)
+        if (
+            self.allocator.available_pages() < need_pages
+            and not self.running_batch._evict_for(need_pages)
+        ):
+            req.finished_reason = FINISH_ABORT("decode server out of KV memory")
+            self._emit_finished_stub(req)
+            return
+        slots = self.allocator.alloc_extend(0, n, req.pages)
+        req.kv_slots = slots
+        self.runner.scatter_kv(slots, item.kv_data)
+        req.output_ids = [item.first_token]
+        req.fill_ids = list(item.input_ids) + [item.first_token]
+        req.prefix_len = 0
+        self.running_batch.merge_batch(
+            ScheduleBatch.init_new([req], self.allocator, self.tree_cache)
+        )
 
     def _attach_input_logprobs(self, req: Req, row: np.ndarray):
         """Teacher-forced prompt logprobs for the extend region (reference

@@ -85,6 +85,12 @@ class TokenizerManager:
                 self._handle_batch_output(item)
             elif isinstance(item, BatchEmbeddingOut):
                 self._handle_embedding_output(item)
+            elif type(item).__name__ == "KvHandoffOut":
+                with self._lock:
+                    state = self.rid_to_state.pop(item.rid, None)
+                if state is not None:
+                    state.finished = True
+                    state.mailbox.put(({"kv_handoff": item}, True))
             else:
                 # control RPC outputs (flush/state/weights/...)
                 self.control_mailbox.put(item)
