@@ -67,6 +67,7 @@ class HttpServer:
         r.add_post("/encode", self.encode)
         r.add_post("/v1/embeddings", self.v1_embeddings)
         r.add_get("/v1/models", self.models)
+        r.add_post("/v1/score", self.v1_score)
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat_completions)
         r.add_get("/metrics", self.metrics)
@@ -378,6 +379,36 @@ class HttpServer:
                     }
                 ],
             }
+        )
+
+    async def v1_score(self, request: web.Request) -> web.Response:
+        """Score items against a query (reference `/v1/score:838`): mean
+        per-token logprob of each item continuation after the query."""
+        body = await request.json()
+        query = body.get("query")
+        items = body.get("items")
+        if query is None or not isinstance(items, list):
+            return _json_error("query and items (list) required")
+        tok = self.tm.tokenizer
+        if tok is None:
+            return _json_error("scoring requires a tokenizer", 400)
+
+        def score_one(item: str):
+            ids_q = tok.encode(query)
+            ids_full = tok.encode(query + item)
+            out = self.engine.generate(
+                input_ids=ids_full,
+                sampling_params={"max_new_tokens": 0, "temperature": 0.0},
+                return_logprob=True,
+                logprob_start_len=len(ids_q),
+            )
+            entries = out["meta_info"].get("input_token_logprobs", [])
+            n = max(len(entries), 1)
+            return sum(e[0] for e in entries) / n
+
+        scores = await asyncio.to_thread(lambda: [score_one(i) for i in items])
+        return web.json_response(
+            {"object": "scoring", "model": body.get("model", "default"), "scores": scores}
         )
 
     async def v1_completions(self, request: web.Request) -> web.StreamResponse:

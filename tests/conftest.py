@@ -27,4 +27,19 @@ jax.config.update("jax_platforms", "cpu")
 # async test support for the HTTP layer (no pytest-asyncio in this image)
 pytest_plugins = ["aiohttp.pytest_plugin"]
 
+
+def pytest_sessionfinish(session, exitstatus):
+    session.config._exitstatus = int(exitstatus)
+
+
+def pytest_unconfigure(config):
+    # XLA/aiohttp worker threads can abort in C++ static destructors at
+    # interpreter exit (after all tests passed); skip that teardown entirely
+    # so the recorded exit status is the test result.
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(getattr(config, "_exitstatus", 0))
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -194,3 +194,19 @@ async def test_metrics(client):
     assert resp.status == 200
     text = await resp.text()
     assert "sglang:num_running_reqs" in text
+
+
+async def test_v1_score(client):
+    resp = await client.post(
+        "/v1/score",
+        json={"model": "m", "query": "abc", "items": ["de", "fg"]},
+    )
+    assert resp.status == 200
+    data = await resp.json()
+    assert len(data["scores"]) == 2
+    assert all(s <= 0 for s in data["scores"])  # logprobs
+
+
+async def test_v1_score_missing_fields(client):
+    resp = await client.post("/v1/score", json={"query": "abc"})
+    assert resp.status == 400
