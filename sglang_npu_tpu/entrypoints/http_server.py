@@ -68,6 +68,7 @@ class HttpServer:
         r.add_post("/v1/embeddings", self.v1_embeddings)
         r.add_get("/v1/models", self.models)
         r.add_post("/v1/score", self.v1_score)
+        r.add_post("/v1/rerank", self.v1_rerank)
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat_completions)
         r.add_get("/metrics", self.metrics)
@@ -409,6 +410,53 @@ class HttpServer:
         scores = await asyncio.to_thread(lambda: [score_one(i) for i in items])
         return web.json_response(
             {"object": "scoring", "model": body.get("model", "default"), "scores": scores}
+        )
+
+    async def v1_rerank(self, request: web.Request) -> web.Response:
+        """Rerank documents for a query (reference `/v1/rerank:847`):
+        embedding-mode servers use cosine similarity of pooled embeddings;
+        generation servers fall back to logprob scoring."""
+        body = await request.json()
+        query = body.get("query")
+        docs = body.get("documents")
+        if query is None or not isinstance(docs, list):
+            return _json_error("query and documents (list) required")
+        import numpy as _np
+
+        if self.engine.server_args.is_embedding:
+            outs = await asyncio.to_thread(self.engine.encode, [query] + docs)
+            embs = [_np.asarray(o["embedding"]) for o in outs]
+            qv = embs[0]
+            scores = [float(qv @ d) for d in embs[1:]]
+        else:
+            tok = self.tm.tokenizer
+            if tok is None:
+                return _json_error("rerank requires a tokenizer", 400)
+
+            def score_one(doc: str):
+                ids_q = tok.encode(query)
+                ids_full = tok.encode(query + " " + doc)
+                out = self.engine.generate(
+                    input_ids=ids_full,
+                    sampling_params={"max_new_tokens": 0, "temperature": 0.0},
+                    return_logprob=True,
+                    logprob_start_len=len(ids_q),
+                )
+                entries = out["meta_info"].get("input_token_logprobs", [])
+                return sum(e[0] for e in entries) / max(len(entries), 1)
+
+            scores = await asyncio.to_thread(
+                lambda: [score_one(d) for d in docs]
+            )
+        ranked = sorted(
+            (
+                {"index": i, "document": d, "relevance_score": s}
+                for i, (d, s) in enumerate(zip(docs, scores))
+            ),
+            key=lambda x: -x["relevance_score"],
+        )
+        return web.json_response(
+            {"object": "rerank", "model": body.get("model", "default"), "results": ranked}
         )
 
     async def v1_completions(self, request: web.Request) -> web.StreamResponse:

@@ -35,6 +35,13 @@ SUITES = {
         "test_lang.py",
         "test_int8_kv.py",
         "test_quantization.py",
+        "test_deepseek_v2.py",
+        "test_hicache.py",
+        "test_lora.py",
+        "test_pd_disaggregation.py",
+        "test_router.py",
+        "test_qwen2.py",
+        "test_qwen3.py",
         "test_tensor_parallel.py",
     ],
     # real-chip smoke (driver/nightly): engine throughput floor

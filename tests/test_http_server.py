@@ -210,3 +210,15 @@ async def test_v1_score(client):
 async def test_v1_score_missing_fields(client):
     resp = await client.post("/v1/score", json={"query": "abc"})
     assert resp.status == 400
+
+
+async def test_v1_rerank(client):
+    resp = await client.post(
+        "/v1/rerank",
+        json={"model": "m", "query": "abc", "documents": ["dd", "ee", "ff"]},
+    )
+    assert resp.status == 200
+    data = await resp.json()
+    assert len(data["results"]) == 3
+    scores = [r["relevance_score"] for r in data["results"]]
+    assert scores == sorted(scores, reverse=True)
