@@ -55,19 +55,31 @@ def main():
     p.add_argument("--timeout-per-file", type=int, default=600)
     args = p.parse_args()
 
+    files = SUITES[args.suite]
     failed = []
-    for f in SUITES[args.suite]:
-        if f == "__bench_quick__":
-            cmd = [sys.executable, "bench.py", "--quick"]
-        else:
-            cmd = [sys.executable, "-m", "pytest", f"tests/{f}", "-q", "-x"]
-        print(f"=== {f} ===", flush=True)
+    pytest_files = [f for f in files if not f.startswith("__")]
+    if pytest_files:
+        # one pytest process for the whole suite: per-file processes would
+        # pay the jax/torch import cost ~25s each
+        cmd = [sys.executable, "-m", "pytest", "-q"] + [
+            f"tests/{f}" for f in pytest_files
+        ]
         try:
-            r = subprocess.run(cmd, timeout=args.timeout_per_file)
+            r = subprocess.run(cmd, timeout=args.timeout_per_file * 4)
             if r.returncode != 0:
-                failed.append(f)
+                failed.append("pytest suite")
         except subprocess.TimeoutExpired:
-            failed.append(f + " (timeout)")
+            failed.append("pytest suite (timeout)")
+    if "__bench_quick__" in files:
+        try:
+            r = subprocess.run(
+                [sys.executable, "bench.py", "--quick"],
+                timeout=args.timeout_per_file * 4,
+            )
+            if r.returncode != 0:
+                failed.append("bench quick")
+        except subprocess.TimeoutExpired:
+            failed.append("bench quick (timeout)")
     if failed:
         print("FAILED:", failed)
         sys.exit(1)
