@@ -35,7 +35,9 @@ def popen_launch_server(
         port,
         *other_args,
     ]
-    proc = subprocess.Popen(cmd, env=env or os.environ.copy())
+    # own session/process-group: kill_process_tree uses killpg and must not
+    # take the parent (test) process down with the server
+    proc = subprocess.Popen(cmd, env=env or os.environ.copy(), start_new_session=True)
     deadline = time.time() + timeout
     while time.time() < deadline:
         try:

@@ -42,6 +42,7 @@ SUITES = {
         "test_router.py",
         "test_qwen2.py",
         "test_qwen3.py",
+        "test_launch_server.py",
         "test_tensor_parallel.py",
     ],
     # real-chip smoke (driver/nightly): engine throughput floor
