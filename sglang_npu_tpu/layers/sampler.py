@@ -126,6 +126,25 @@ def update_penalty_counts(counts_out, counts_all, tokens, active):
     return counts_out, counts_all
 
 
+def apply_min_new_tokens(
+    logits: jax.Array, sampling: SamplingDevice, step_idx
+) -> jax.Array:
+    """Mask EOS/stop-token logits for rows that have not yet produced
+    min_new_tokens outputs (reference `penaltylib/min_new_tokens.py`).
+    ``step_idx`` is the 0-based step within a fused decode window so the
+    mask lifts on-device as the window progresses."""
+    B, V = logits.shape
+    toks = sampling.stop_mask_tokens  # [B, S], -1 padded
+    active = step_idx < sampling.min_new_remaining  # [B]
+    safe = jnp.where(toks >= 0, toks, V)  # padding scatters out of bounds
+    hit = (
+        jnp.zeros((B, V), jnp.float32)
+        .at[jnp.arange(B)[:, None], safe]
+        .add(1.0, mode="drop")
+    ) > 0
+    return jnp.where(hit & active[:, None], NEG_INF, logits)
+
+
 def compute_token_logprobs(logits: jax.Array, token_ids: jax.Array) -> jax.Array:
     """Log-softmax probability of chosen tokens; [B]."""
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -125,6 +125,12 @@ class Req:
         self.output_token_logprobs: list = []
         self.output_top_logprobs: list = []
         self.input_top_logprobs: Optional[list] = None
+        # Next absolute position whose input logprob is still needed.
+        # Advances chunk by chunk so chunked prefill of a long logprob
+        # region makes progress (advisor: capping the prefix at
+        # logprob_start_len on every round livelocked /v1/score on prompts
+        # longer than chunked_prefill_size).
+        self.logprob_cursor: int = max(logprob_start_len, 0)
 
         # Status
         self.finished_reason: Optional[BaseFinishReason] = None
@@ -162,10 +168,15 @@ class Req:
         # slots must always start at a page boundary (tree pages are full).
         max_prefix = (len(self.fill_ids) - 1) // page_size * page_size
         if self.return_logprob and self.logprob_start_len >= 0:
-            # input-logprob positions must be recomputed, not cache-hit
-            max_prefix = min(
-                max_prefix, self.logprob_start_len // page_size * page_size
-            )
+            # Input-logprob positions must be recomputed, not cache-hit —
+            # but only those not yet accumulated by earlier chunks.  The
+            # cursor's logprob needs logits at cursor-1, so the reusable
+            # prefix may reach cursor-1 once past the first chunk.
+            if self.logprob_cursor > self.logprob_start_len:
+                cap = max(self.logprob_cursor - 1, 0)
+            else:
+                cap = self.logprob_start_len
+            max_prefix = min(max_prefix, cap // page_size * page_size)
         matched = res.device_indices
         if len(matched) > max_prefix:
             matched = matched[:max_prefix]
@@ -298,6 +309,12 @@ class SamplingBatchNumpy:
     # grammar: packed uint32 allowed-token bitmask [B, ceil(V/32)]
     vocab_mask: Optional[np.ndarray] = None
     has_grammar: bool = False
+    # min_new_tokens: EOS/stop-token logits are masked on device until the
+    # minimum is reached (reference penaltylib min_new_tokens; merely
+    # suppressing the finish check left premature EOS text in outputs).
+    min_new_remaining: Optional[np.ndarray] = None  # [B] int32
+    stop_mask_tokens: Optional[np.ndarray] = None  # [B, S] int32, -1 padded
+    has_min_new: bool = False
 
     @classmethod
     def from_reqs(cls, reqs: List[Req]) -> "SamplingBatchNumpy":
@@ -340,6 +357,30 @@ class SamplingBatchNumpy:
                 is_out[i, n_in:n] = True
             out.token_hist = hist
             out.hist_is_output = is_out
+
+        if any(
+            len(r.output_ids) < r.sampling_params.min_new_tokens for r in reqs
+        ):
+            out.has_min_new = True
+            remaining = np.array(
+                [
+                    max(r.sampling_params.min_new_tokens - len(r.output_ids), 0)
+                    for r in reqs
+                ],
+                dtype=np.int32,
+            )
+            per_req = []
+            for r in reqs:
+                toks = set(r.sampling_params.stop_token_ids)
+                if not r.sampling_params.ignore_eos:
+                    toks |= set(r.eos_token_ids)
+                per_req.append(sorted(toks))
+            S = max(max((len(t) for t in per_req), default=1), 1)
+            stop = np.full((len(reqs), S), -1, dtype=np.int32)
+            for i, t in enumerate(per_req):
+                stop[i, : len(t)] = t
+            out.min_new_remaining = remaining
+            out.stop_mask_tokens = stop
         return out
 
 

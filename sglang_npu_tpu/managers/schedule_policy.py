@@ -30,23 +30,41 @@ class SchedulePolicy:
     def __init__(self, policy: str, tree_cache: BasePrefixCache):
         self.policy = policy
         self.tree_cache = tree_cache
+        # What calc_priority actually ran last time: "lpm" falls back to
+        # "fcfs" on a non-radix cache, and the scheduler must know whether
+        # init_next_round_input already happened (advisor finding: gating on
+        # the *configured* string left extend_input_len==0 under
+        # `--schedule-policy lpm --disable-radix-cache`).
+        self.effective_policy = policy
 
-    def calc_priority(self, waiting_queue: List[Req], page_size: int = 1) -> None:
+    def calc_priority(self, waiting_queue: List[Req], page_size: int = 1) -> list:
+        """Sort the waiting queue in place. Returns the list of radix nodes
+        that received a temporary lock during matching (caller must
+        dec_lock_ref them after admission): matching req N+1 can trigger
+        evictions (HiRadixCache restore), which must not free req N's
+        matched-but-not-yet-admitted prefix."""
         policy = self.policy
         if policy == "lpm" and not isinstance(self.tree_cache, RadixCache):
             policy = "fcfs"
+        self.effective_policy = policy
         if policy == "fcfs":
-            return
+            return []
         if policy == "lpm":
             # Longest-prefix-match: refresh each request's radix match and
             # sort by matched prefix length descending (cache-aware).
+            temp_locked = []
             for r in waiting_queue:
                 r.init_next_round_input(self.tree_cache, page_size)
+                if r.last_node is not None and r.prefix_len > 0:
+                    self.tree_cache.inc_lock_ref(r.last_node)
+                    temp_locked.append(r.last_node)
             waiting_queue.sort(key=lambda r: -r.prefix_len)
+            return temp_locked
         elif policy == "lof":
             waiting_queue.sort(key=lambda r: -len(r.origin_input_ids))
         elif policy == "random":
             random.shuffle(waiting_queue)
+        return []
 
 
 class PrefillAdder:
@@ -80,6 +98,18 @@ class PrefillAdder:
         self.rem_chunk_tokens = chunked_prefill_size
 
     # ------------------------------------------------------------------
+    def _lock_req_prefix(self, req: Req) -> None:
+        """Pin the matched prefix the moment the request is admitted
+        (reference `PrefillAdder.add_one_req` inc_lock_ref,
+        schedule_policy.py:516,541): every batch member must be locked
+        BEFORE any member's extend allocation can evict."""
+        if req.locked_node is not req.last_node:
+            if req.locked_node is not None:
+                self.tree_cache.dec_lock_ref(req.locked_node)
+            if req.last_node is not None:
+                self.tree_cache.inc_lock_ref(req.last_node)
+            req.locked_node = req.last_node
+
     def _estimate_total_cost(self, req: Req) -> int:
         decode_est = min(
             req.sampling_params.max_new_tokens, CLIP_MAX_NEW_TOKENS_ESTIMATION
@@ -114,12 +144,14 @@ class PrefillAdder:
             req.is_chunked += 1
             self.new_chunked_req = req
             self.can_run_list.append(req)
+            self._lock_req_prefix(req)
             self.rem_chunk_tokens = 0
             self.rem_input_tokens -= trunc
             self.rem_total_tokens -= trunc
             return AddReqResult.OTHER
 
         self.can_run_list.append(req)
+        self._lock_req_prefix(req)
         self.rem_chunk_tokens -= extend_len
         self.rem_input_tokens -= extend_len
         self.rem_total_tokens -= self._estimate_total_cost(req)
@@ -129,6 +161,7 @@ class PrefillAdder:
         """Re-admit the in-progress chunked request first (it already owns
         KV and must continue before anything else)."""
         req.init_next_round_input(self.tree_cache, self.page_size)
+        self._lock_req_prefix(req)
         if req.extend_input_len > self.rem_chunk_tokens:
             trunc = self.rem_chunk_tokens // self.page_size * self.page_size
             req.extend_input_len = max(trunc, self.page_size if trunc == 0 else trunc)

@@ -136,6 +136,7 @@ class Scheduler:
         self.total_prompt_tokens = 0
 
         self._running = True
+        self._consecutive_failures = 0
         self._rid_to_req: Dict[str, Req] = {}
         self.watchdog_timeout = server_args.watchdog_timeout
         self.last_heartbeat = time.time()
@@ -185,10 +186,12 @@ class Scheduler:
                     embeddings = self.runner.forward_embedding(mwb)
                     self.forward_ct += 1
                     self.process_embedding_result(embeddings)
+                    self._consecutive_failures = 0
                     continue
                 if mwb.spec and not is_prefill:
                     self.run_spec_round(mwb)
                     self.forward_ct += 1
+                    self._consecutive_failures = 0
                     continue
                 next_tokens, logprob_info = self.runner.forward_and_sample(mwb)
                 self.forward_ct += 1
@@ -198,13 +201,26 @@ class Scheduler:
                 self.process_batch_result(
                     mwb, next_tokens, is_prefill, logprob_info
                 )
+                self._consecutive_failures = 0
             except Exception:
-                # A scheduler-step failure must not kill the serving loop:
-                # abort every in-flight request with an error and keep going
-                # (reference: crash dump + process kill; here single-host
-                # threads let us degrade gracefully instead).
-                logger.exception("scheduler step failed; aborting in-flight work")
-                self._abort_all_inflight("internal scheduler error")
+                # A scheduler-step failure must not kill the serving loop.
+                # First isolate the failure to the batch that ran (the
+                # reference isolates failures per-request — one poisoned
+                # request must not flush the whole radix cache); only after
+                # repeated consecutive failures (systemic breakage, e.g. a
+                # corrupted allocator) escalate to the full reset.
+                logger.exception("scheduler step failed; aborting current batch")
+                self._consecutive_failures = (
+                    getattr(self, "_consecutive_failures", 0) + 1
+                )
+                if self._consecutive_failures >= 3:
+                    logger.error(
+                        "3 consecutive step failures; resetting all state"
+                    )
+                    self._abort_all_inflight("internal scheduler error")
+                    self._consecutive_failures = 0
+                else:
+                    self._abort_current_batch("internal scheduler error")
 
     def shutdown(self):
         self._running = False
@@ -329,16 +345,21 @@ class Scheduler:
         self._rid_to_req[req.rid] = req
 
         sp = req.sampling_params
-        if sp.regex or sp.json_schema:
+        if sp.regex or sp.json_schema or sp.ebnf or sp.structural_tag:
             if self.tokenizer is None:
                 req.finished_reason = FINISH_ABORT(
                     "grammar-constrained decoding requires a tokenizer"
                 )
                 self._emit_finished_stub(req)
                 return
-            kind, spec = (
-                ("regex", sp.regex) if sp.regex else ("json", sp.json_schema)
-            )
+            if sp.regex:
+                kind, spec = "regex", sp.regex
+            elif sp.json_schema:
+                kind, spec = "json", sp.json_schema
+            elif sp.ebnf:
+                kind, spec = "ebnf", sp.ebnf
+            else:
+                kind, spec = "structural_tag", sp.structural_tag
             try:
                 fut = self._get_grammar_backend().submit(kind, spec)
             except Exception as e:
@@ -367,9 +388,21 @@ class Scheduler:
 
     def abort_request(self, a: AbortReq):
         if a.abort_all:
+            # Waiting/grammar-queue requests never ran: emit a finish record
+            # immediately (mirrors the single-rid path) so clients don't hang.
+            for req in self.waiting_queue:
+                req.finished_reason = FINISH_ABORT()
+                self._rid_to_req.pop(req.rid, None)
+                self._emit_finished_stub(req)
+            self.waiting_queue = []
+            for req, _fut in self.grammar_queue:
+                req.finished_reason = FINISH_ABORT()
+                self._rid_to_req.pop(req.rid, None)
+                self._emit_finished_stub(req)
+            self.grammar_queue = []
+            # Running requests get aborted at their next check_finished.
             for req in list(self._rid_to_req.values()):
                 req.to_abort = True
-            self.waiting_queue = [r for r in self.waiting_queue if not r.to_abort]
             return
         req = self._rid_to_req.get(a.rid)
         if req is None:
@@ -380,6 +413,37 @@ class Scheduler:
             self._emit_finished_stub(req)
         else:
             req.to_abort = True  # picked up at next check_finished
+
+    def _abort_current_batch(self, message: str):
+        """Abort only the requests in the failed step's batch, freeing their
+        exclusively-owned KV and prefix locks; the radix cache, waiting
+        queue, and other in-flight requests survive (reference: per-request
+        error isolation — a single poisoned request must not become a
+        cluster-visible cache flush)."""
+        victims: List[Req] = []
+        if self.last_prefill_batch is not None:
+            victims.extend(self.last_prefill_batch.reqs)
+            self.last_prefill_batch = None
+        victims.extend(self.running_batch.reqs)
+        if self.chunked_req is not None:
+            victims.append(self.chunked_req)
+            self.chunked_req = None
+        helper = self.running_batch  # for _release_req_kv
+        self.running_batch = ScheduleBatch.init_new(
+            [], self.allocator, self.tree_cache
+        )
+        seen = set()
+        for req in victims:
+            if id(req) in seen or req.finished:
+                continue
+            seen.add(id(req))
+            try:
+                helper._release_req_kv(req)
+            except Exception:
+                logger.exception("KV release during batch abort failed")
+            req.finished_reason = FINISH_ABORT(message)
+            self._rid_to_req.pop(req.rid, None)
+            self._emit_finished_stub(req)
 
     def _abort_all_inflight(self, message: str):
         for req in list(self._rid_to_req.values()):
@@ -487,16 +551,20 @@ class Scheduler:
             self.chunked_req = None
             adder.add_chunked_req(req)
 
-        self.policy.calc_priority(self.waiting_queue, self.page_size)
+        temp_locked = self.policy.calc_priority(self.waiting_queue, self.page_size)
         admitted = []
         for req in self.waiting_queue:
-            if self.policy.policy != "lpm":
+            if self.policy.effective_policy != "lpm":
                 req.init_next_round_input(self.tree_cache, self.page_size)
             res = adder.add_one_req(req)
             if req in adder.can_run_list:
                 admitted.append(req)
             if res != AddReqResult.CONTINUE:
                 break
+        # Admitted requests now own a real lock (taken in add_one_req);
+        # drop the temporary matching-time locks.
+        for node in temp_locked:
+            self.tree_cache.dec_lock_ref(node)
         for req in admitted:
             self.waiting_queue.remove(req)
         if adder.new_chunked_req is not None:
@@ -605,6 +673,18 @@ class Scheduler:
             self.last_prefill_batch = None
             new_running = []
             for i, req in enumerate(batch.reqs):
+                # Accumulate teacher-forced input logprobs chunk by chunk
+                # (reference accumulates per chunk in process_batch_result;
+                # deferring to the final chunk livelocked long regions).
+                if (
+                    logprob_info is not None
+                    and req.return_logprob
+                    and logprob_info.get("input_logprobs") is not None
+                    and req.logprob_start_len >= 0
+                ):
+                    self._attach_input_logprobs(
+                        req, logprob_info["input_logprobs"][i]
+                    )
                 if req.is_chunked > 0:
                     # mid-chunk: publish computed KV, no token sampled
                     req.is_chunked -= 1
@@ -616,15 +696,6 @@ class Scheduler:
                     # `send_kv_chunk`)
                     self._handoff_prefill(req, int(next_tokens[i]))
                     continue
-                if (
-                    logprob_info is not None
-                    and req.return_logprob
-                    and logprob_info.get("input_logprobs") is not None
-                    and req.logprob_start_len >= 0
-                ):
-                    self._attach_input_logprobs(
-                        req, logprob_info["input_logprobs"][i]
-                    )
                 self._append_token(req, int(next_tokens[i]))
                 if logprob_info is not None and req.return_logprob:
                     self._attach_logprob(req, logprob_info, i, None)
@@ -737,17 +808,22 @@ class Scheduler:
 
     def _attach_input_logprobs(self, req: Req, row: np.ndarray):
         """Teacher-forced prompt logprobs for the extend region (reference
-        input_token_logprobs; position j's entry is log p(fill[j]|fill[:j]))."""
+        input_token_logprobs; position j's entry is log p(fill[j]|fill[:j])).
+        Called once per prefill chunk; the cursor both dedups overlap from
+        page-aligned chunk prefixes and advances so the next chunk's prefix
+        cap moves forward."""
         if req.input_token_logprobs is None:
             req.input_token_logprobs = []
         prefix = req.prefix_len
         ext = req.extend_input_len
+        start = max(req.logprob_start_len, req.logprob_cursor)
         for e in range(ext - 1):
             abs_idx = prefix + e + 1
-            if abs_idx >= req.logprob_start_len and abs_idx < len(req.fill_ids):
+            if start <= abs_idx < len(req.fill_ids):
                 req.input_token_logprobs.append(
                     [float(row[e]), int(req.fill_ids[abs_idx]), None]
                 )
+        req.logprob_cursor = max(req.logprob_cursor, prefix + ext)
 
     def _attach_logprob(self, req: Req, info, i: int, k):
         if not req.output_ids:

@@ -58,6 +58,9 @@ class SamplingDevice:
     token_hist: Optional[jax.Array] = None  # [B, H] int32, -1 padded
     hist_is_output: Optional[jax.Array] = None  # [B, H] bool
     vocab_mask: Optional[jax.Array] = None  # [B, ceil(V/32)] uint32
+    # min_new_tokens EOS/stop suppression
+    min_new_remaining: Optional[jax.Array] = None  # [B] int32
+    stop_mask_tokens: Optional[jax.Array] = None  # [B, S] int32, -1 padded
 
 
 def pad_to(arr: np.ndarray, size: int, fill=0, axis: int = 0) -> np.ndarray:
@@ -148,5 +151,12 @@ def build_sampling_device(mwb: ModelWorkerBatch, bs_bucket: int) -> SamplingDevi
     if s.has_grammar and s.vocab_mask is not None:
         out.vocab_mask = jnp.asarray(
             pad_to(s.vocab_mask, bs_bucket, fill=np.uint32(0xFFFFFFFF))
+        )
+    if s.has_min_new:
+        out.min_new_remaining = jnp.asarray(
+            pad_to(s.min_new_remaining, bs_bucket)
+        )
+        out.stop_mask_tokens = jnp.asarray(
+            pad_to(s.stop_mask_tokens, bs_bucket, fill=-1)
         )
     return out

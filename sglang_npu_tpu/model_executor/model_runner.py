@@ -259,7 +259,7 @@ class ModelRunner:
         def step(
             params, kv_pool, fb: ForwardBatch, sampling, rng, sample_mode,
             return_logprob=False, top_logprobs_k=0, has_penalties=False,
-            return_input_logprob=False,
+            return_input_logprob=False, has_min_new=False,
         ):
             if return_input_logprob:
                 # input-logprob mode (prompt scoring / echo): full-position
@@ -299,6 +299,8 @@ class ModelRunner:
                 logits = sampler_ops.apply_packed_vocab_mask(
                     logits, sampling.vocab_mask
                 )
+            if has_min_new:
+                logits = sampler_ops.apply_min_new_tokens(logits, sampling, 0)
             if sample_mode == "greedy":
                 toks = sampler_ops.sample_greedy(logits, sampling, rng)
             elif sample_mode == "simple":
@@ -324,6 +326,7 @@ class ModelRunner:
                 "top_logprobs_k",
                 "has_penalties",
                 "return_input_logprob",
+                "has_min_new",
             ),
         )
 
@@ -349,6 +352,7 @@ class ModelRunner:
             return_logprob=False,
             top_logprobs_k=0,
             has_penalties=False,
+            has_min_new=False,
             lora_ids=None,
         ):
             if has_penalties:
@@ -382,6 +386,8 @@ class ModelRunner:
                     logits = sampler_ops.apply_packed_vocab_mask(
                         logits, sampling.vocab_mask
                     )
+                if has_min_new:
+                    logits = sampler_ops.apply_min_new_tokens(logits, sampling, k)
                 krng = jax.random.fold_in(rng, k)
                 if sample_mode == "greedy":
                     nt = sampler_ops.sample_greedy(logits, sampling, krng)
@@ -429,6 +435,7 @@ class ModelRunner:
                 "return_logprob",
                 "top_logprobs_k",
                 "has_penalties",
+                "has_min_new",
             ),
         )
 
@@ -484,6 +491,7 @@ class ModelRunner:
                 top_logprobs_k=tk,
                 has_penalties=mwb.sampling_info.has_penalties,
                 return_input_logprob=mwb.return_input_logprob and rl,
+                has_min_new=mwb.sampling_info.has_min_new,
             )
         else:
             # decode: fused multi-step window
@@ -507,6 +515,7 @@ class ModelRunner:
                 return_logprob=rl,
                 top_logprobs_k=tk,
                 has_penalties=mwb.sampling_info.has_penalties,
+                has_min_new=mwb.sampling_info.has_min_new,
                 lora_ids=(
                     jnp.asarray(pad_to(mwb.lora_ids, bs_bucket))
                     if mwb.lora_ids is not None
