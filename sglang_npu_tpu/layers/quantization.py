@@ -1,18 +1,29 @@
-"""Weight quantization.
+"""Weight quantization: INT8, W4A16 (AWQ/GPTQ), FP8.
 
-Counterpart of the reference's `layers/quantization/` stack (w8a8_int8,
-fp8, awq/gptq weight-only).  Round-1 scope: **weight-only INT8** with
-per-output-channel symmetric scales — on TPU the int8->bf16 dequant fuses
-into the matmul operand, so HBM weight traffic halves (decode is weight-
-bandwidth-bound; this nearly doubles decode throughput per byte) and 8B
-models fit one v5e chip.  W4 (AWQ/GPTQ ingestion) and activation quant are
-the next rounds.
+Counterpart of the reference's `layers/quantization/` stack
+(`w8a8_int8.py`, `awq.py:1-771`, `gptq.py`, `fp8.py:1-1205`) re-designed
+for TPU:
+
+  * INT8 weight-only: per-output-channel scales; int8->bf16 dequant fuses
+    into the XLA dot operand read, halving HBM weight traffic.
+  * W4A16: 4-bit weights with group-wise scales+zeros (AWQ/GPTQ layout).
+    Storage packs two nibbles per byte **within each group** (rows k and
+    k+g/2 of a group share a byte) so tensor-parallel sharding along K
+    stays group-aligned.  Matmul runs either through XLA (dequant fused)
+    or the Pallas dequant-matmul kernel (`ops/pallas/quant_matmul.py`).
+  * FP8 (e4m3) weight-only: per-output-channel scale, bf16 compute (v5e
+    has no fp8 MXU; the win is halved weight bandwidth like int8 but with
+    better dynamic range than int8 for outlier-heavy weights).
+
+Checkpoint ingestion for real AWQ (autoawq GEMM layout) and GPTQ
+checkpoints lives in `model_loader/quant_ingest.py`.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import logging
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,20 +41,115 @@ class QuantizedWeight:
     s: jax.Array  # f32  [..., 1, Out]
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedWeightFP8:
+    """fp8 e4m3 weight + per-output-channel scale ([..., In, Out])."""
+
+    q: jax.Array  # f8_e4m3 [..., In, Out]
+    s: jax.Array  # f32     [..., 1, Out]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedWeightW4:
+    """W4A16 grouped weight (AWQ/GPTQ class).
+
+    Logical weight W[K, N] with group size g along K:
+        W[k, n] = (q4[k, n] - z[k//g, n]) * s[k//g, n]
+    Stored packed: two nibbles per byte within each group —
+        packed[G, j, n] = q4[G*g + j] | (q4[G*g + j + g//2] << 4)
+    flattened to [..., K//2, N] uint8.  Unpacking a contiguous row range
+    that covers whole groups yields those same rows (TP-shard safe).
+
+    ``b`` pre-multiplies zeros by scales (dequant = q*s - b).
+    ``perm`` (optional) is a K-permutation applied to the *activation*
+    for GPTQ act-order (desc_act) checkpoints.
+    """
+
+    q: jax.Array  # uint8 [..., K//2, N]
+    s: jax.Array  # f32   [..., K//g, N]
+    b: jax.Array  # f32   [..., K//g, N]  (= z * s)
+    perm: Optional[jax.Array] = None  # int32 [..., K] or None
+
+    @property
+    def group_size(self) -> int:
+        K = 2 * self.q.shape[-2]
+        return K // self.s.shape[-2]
+
+
+def pack_w4(q4, group_size: int):
+    """[..., K, N] int 0..15 -> [..., K//2, N] uint8 (in-group packing)."""
+    K = q4.shape[-2]
+    g = group_size
+    assert K % g == 0 and g % 2 == 0, (K, g)
+    v = q4.astype(jnp.uint8).reshape(*q4.shape[:-2], K // g, g, q4.shape[-1])
+    lo = v[..., : g // 2, :]
+    hi = v[..., g // 2 :, :]
+    packed = lo | (hi << 4)
+    return packed.reshape(*q4.shape[:-2], K // 2, q4.shape[-1])
+
+
+def unpack_w4(packed, group_size: int):
+    """[..., K//2, N] uint8 -> [..., K, N] uint8 values 0..15."""
+    Kh = packed.shape[-2]
+    g = group_size
+    v = packed.reshape(*packed.shape[:-2], (2 * Kh) // g, g // 2, packed.shape[-1])
+    lo = v & 0xF
+    hi = v >> 4
+    full = jnp.concatenate([lo, hi], axis=-2)
+    return full.reshape(*packed.shape[:-2], 2 * Kh, packed.shape[-1])
+
+
 def dequant(w, dtype):
     if isinstance(w, QuantizedWeight):
-        return (w.q.astype(dtype) * w.s.astype(dtype))
+        return w.q.astype(dtype) * w.s.astype(dtype)
+    if isinstance(w, QuantizedWeightFP8):
+        return w.q.astype(dtype) * w.s.astype(dtype)
+    if isinstance(w, QuantizedWeightW4):
+        g = w.group_size
+        vals = unpack_w4(w.q, g).astype(dtype)  # [..., K, N]
+        K, N = vals.shape[-2], vals.shape[-1]
+        lead = vals.shape[:-2]
+        grouped = vals.reshape(*lead, K // g, g, N)
+        wd = grouped * w.s[..., :, None, :].astype(dtype) - w.b[
+            ..., :, None, :
+        ].astype(dtype)
+        wd = wd.reshape(*lead, K, N)
+        if w.perm is not None:
+            # inverse-permute rows back to activation order
+            inv = jnp.argsort(w.perm, axis=-1)
+            wd = jnp.take_along_axis(wd, inv[..., :, None], axis=-2)
+        return wd
     return w
 
 
 def matmul(x: jax.Array, w, eq: str) -> jax.Array:
-    """einsum that transparently dequantizes QuantizedWeight operands; the
-    convert+scale fuses into the dot's operand read."""
+    """einsum that transparently dequantizes quantized weight operands; the
+    convert+scale fuses into the dot's operand read (XLA path).  The
+    ModelRunner may substitute the Pallas dequant-matmul for W4 decode
+    GEMVs via `set_w4_backend`."""
+    if isinstance(w, QuantizedWeightW4) and _W4_BACKEND[0] == "pallas":
+        from sglang_npu_tpu.ops.pallas.quant_matmul import einsum_w4
+
+        return einsum_w4(x, w, eq)
     return jnp.einsum(eq, x, dequant(w, x.dtype))
 
 
-# weights quantized under --quantization int8 (weight-only)
-QUANT_LAYER_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_W4_BACKEND = ["xla"]
+
+
+def set_w4_backend(name: str):
+    assert name in ("xla", "pallas")
+    _W4_BACKEND[0] = name
+
+
+# weights quantized under --quantization int8/w4a16/fp8 (weight-only)
+QUANT_LAYER_KEYS = (
+    "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+    # MoE stacks (qwen-moe/mixtral/deepseek)
+    "w_gate_e", "w_up_e", "w_down_e", "ws_gate", "ws_up", "ws_down",
+)
 
 
 def quantize_params_int8(params: dict) -> dict:
@@ -69,3 +175,87 @@ def quantize_params_int8(params: dict) -> dict:
     out["layers"] = layers
     logger.info("weight-only int8: quantized %d stacked weights", n)
     return out
+
+
+def quantize_params_fp8(params: dict) -> dict:
+    """Weight-only FP8 e4m3 with per-output-channel scale (reference
+    `fp8.py` per-channel weight path)."""
+
+    @jax.jit
+    def qf8(w):
+        w32 = w.astype(jnp.float32)
+        s = jnp.max(jnp.abs(w32), axis=-2, keepdims=True) / 448.0
+        s = jnp.maximum(s, 1e-10)
+        q = (w32 / s).astype(jnp.float8_e4m3fn)
+        return q, s
+
+    layers = dict(params["layers"])
+    n = 0
+    for k in QUANT_LAYER_KEYS:
+        if k in layers and not isinstance(
+            layers[k], (QuantizedWeight, QuantizedWeightFP8)
+        ):
+            q, s = qf8(layers[k])
+            layers[k] = QuantizedWeightFP8(q=q, s=s)
+            n += 1
+    out = dict(params)
+    out["layers"] = layers
+    logger.info("weight-only fp8: quantized %d stacked weights", n)
+    return out
+
+
+def quantize_params_w4(params: dict, group_size: int = 128) -> dict:
+    """Round-to-nearest W4A16 grouped quantization of a bf16 param tree
+    (calibration-free; AWQ/GPTQ checkpoints carry their own calibrated
+    values and enter through `model_loader/quant_ingest.py`)."""
+
+    @jax.jit
+    def q4(w):
+        w32 = w.astype(jnp.float32)
+        K, N = w32.shape[-2], w32.shape[-1]
+        lead = w32.shape[:-2]
+        grp = w32.reshape(*lead, K // group_size, group_size, N)
+        wmax = jnp.max(grp, axis=-2, keepdims=True)
+        wmin = jnp.min(grp, axis=-2, keepdims=True)
+        s = jnp.maximum((wmax - wmin) / 15.0, 1e-10)
+        z = jnp.clip(jnp.round(-wmin / s), 0, 15)
+        q = jnp.clip(jnp.round(grp / s + z), 0, 15).astype(jnp.uint8)
+        q = q.reshape(*lead, K, N)
+        b = (z * s)[..., 0, :]
+        s = s[..., 0, :]
+        return pack_w4(q, group_size), s, b
+
+    layers = dict(params["layers"])
+    n = 0
+    for k in QUANT_LAYER_KEYS:
+        w = layers.get(k)
+        if w is None or isinstance(
+            w, (QuantizedWeight, QuantizedWeightFP8, QuantizedWeightW4)
+        ):
+            continue
+        if w.shape[-2] % group_size != 0:
+            logger.warning("skipping w4 for %s: K=%d not divisible by group", k, w.shape[-2])
+            continue
+        packed, s, b = q4(w)
+        layers[k] = QuantizedWeightW4(q=packed, s=s, b=b)
+        n += 1
+    out = dict(params)
+    out["layers"] = layers
+    logger.info("W4A16 RTN: quantized %d stacked weights (g=%d)", n, group_size)
+    return out
+
+
+def apply_quantization(params: dict, method: Optional[str], **kw) -> dict:
+    if method in (None, "", "none"):
+        return params
+    if method in ("int8", "w8a16_int8"):
+        return quantize_params_int8(params)
+    if method in ("fp8", "fp8_e4m3"):
+        return quantize_params_fp8(params)
+    if method in ("w4a16", "int4"):
+        return quantize_params_w4(params, kw.get("group_size", 128))
+    if method in ("awq", "gptq", "awq_marlin", "gptq_marlin"):
+        # checkpoint already carries quantized tensors; ingestion happened
+        # in the loader
+        return params
+    raise ValueError(f"unknown quantization method {method}")

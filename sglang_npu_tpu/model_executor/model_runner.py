@@ -78,10 +78,12 @@ class ModelRunner:
             self.mesh,
             seed=server_args.random_seed,
         )
-        if server_args.quantization in ("int8", "w8a16_int8"):
-            from sglang_npu_tpu.layers.quantization import quantize_params_int8
+        if server_args.quantization:
+            from sglang_npu_tpu.layers.quantization import apply_quantization
 
-            self.params = quantize_params_int8(self.params)
+            self.params = apply_quantization(
+                self.params, server_args.quantization
+            )
 
         # Multi-LoRA adapters stacked into the param tree (slot 0 = none).
         self.lora_manager = None

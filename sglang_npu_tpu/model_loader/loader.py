@@ -62,9 +62,31 @@ def allocate_host_params(model) -> Dict[str, Any]:
     return alloc(model.param_shapes())
 
 
+_QUANT_SUFFIXES = ("qweight", "qzeros", "scales", "g_idx")
+
+
 def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
-    """Read all *.safetensors under model_path into stacked host arrays."""
+    """Read all *.safetensors under model_path into stacked host arrays.
+
+    AWQ/GPTQ checkpoints (detected via quantization_config) route each
+    linear's qweight/qzeros/scales[/g_idx] set through
+    `quant_ingest.convert_quant_tensors` and store a stacked
+    `QuantizedWeightW4` in place of the dense weight."""
     from safetensors import safe_open
+
+    from sglang_npu_tpu.model_loader.quant_ingest import (
+        convert_quant_tensors,
+        detect_quant_config,
+        pack_w4_np,
+    )
+
+    qcfg = detect_quant_config(model_path)
+    if qcfg is not None and qcfg["bits"] != 4:
+        logger.warning(
+            "quantized checkpoint with bits=%d; only 4-bit ingestion is "
+            "implemented, loading dense tensors only", qcfg["bits"],
+        )
+        qcfg = None
 
     host = allocate_host_params(model)
     top_map, per_layer_map = model.hf_weight_map()
@@ -73,15 +95,23 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
         raise FileNotFoundError(f"no *.safetensors under {model_path}")
 
     loaded = set()
+    qcollect: Dict[tuple, Dict[str, np.ndarray]] = {}
     for fpath in files:
         with safe_open(fpath, framework="np") as f:
             for name in f.keys():
+                qsuffix = None
+                lookup = name
+                if qcfg is not None:
+                    tail = name.rsplit(".", 1)[-1]
+                    if tail in _QUANT_SUFFIXES:
+                        qsuffix = tail
+                        lookup = name[: -(len(tail) + 1)] + ".weight"
                 dest = None
                 layer_idx = None
-                if name in top_map:
-                    dest, transform = top_map[name]
-                elif name.startswith("model.layers."):
-                    parts = name.split(".")
+                if lookup in top_map:
+                    dest, transform = top_map[lookup]
+                elif lookup.startswith("model.layers."):
+                    parts = lookup.split(".")
                     layer_idx = int(parts[2])
                     suffix = ".".join(parts[3:])
                     if suffix in per_layer_map:
@@ -94,6 +124,12 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                     dest, e = dest.split(".__expert__")
                     expert_idx = int(e)
                 tensor = f.get_tensor(name)
+                if qsuffix is not None:
+                    qcollect.setdefault((dest, layer_idx, expert_idx), {})[
+                        qsuffix
+                    ] = tensor
+                    loaded.add(name)
+                    continue
                 if transform == "transpose":
                     tensor = tensor.T
                 elif transform == "squeeze":
@@ -105,8 +141,68 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                     target = target[expert_idx]
                 np.copyto(target, tensor.astype(target.dtype))
                 loaded.add(name)
+
+    if qcollect:
+        _assemble_w4_stacks(host, model, qcollect, qcfg, pack_w4_np,
+                            convert_quant_tensors)
     logger.info("loaded %d tensors from %d files", len(loaded), len(files))
     return host
+
+
+def _assemble_w4_stacks(host, model, qcollect, qcfg, pack_w4_np, convert):
+    """Replace dense host stacks with packed W4 stacks for every linear
+    that arrived quantized."""
+    shapes = model.param_shapes()
+    by_dest: Dict[str, Dict] = {}
+    for (dest, layer_idx, expert_idx), tensors in qcollect.items():
+        by_dest.setdefault(dest, {})[(layer_idx, expert_idx)] = tensors
+    method = qcfg["method"]
+    v2 = qcfg.get("checkpoint_format") == "gptq_v2"
+    for dest, entries in by_dest.items():
+        (L_shape, _dt) = _get_path(shapes, dest)
+        # dense logical shape [..., K, N] (possibly [L, K, N] or [L, E, K, N])
+        K, N = L_shape[-2], L_shape[-1]
+        sample = next(iter(entries.values()))
+        s_sample = sample["scales"]
+        G = s_sample.shape[0]
+        g = K // G
+        q_stack = np.zeros(L_shape[:-2] + (K // 2, N), dtype=np.uint8)
+        s_stack = np.zeros(L_shape[:-2] + (G, N), dtype=np.float32)
+        b_stack = np.zeros(L_shape[:-2] + (G, N), dtype=np.float32)
+        perm_stack = None
+        for (layer_idx, expert_idx), tensors in entries.items():
+            q4, s, b, perm = convert(method, tensors, v2=v2)
+            assert q4.shape == (K, N), (dest, q4.shape, (K, N))
+            packed = pack_w4_np(q4, g)
+            idx = ()
+            if layer_idx is not None:
+                idx = idx + (layer_idx,)
+            if expert_idx is not None:
+                idx = idx + (expert_idx,)
+            q_stack[idx] = packed
+            s_stack[idx] = s
+            b_stack[idx] = b
+            if perm is not None:
+                if perm_stack is None:
+                    perm_stack = np.tile(
+                        np.arange(K, dtype=np.int32), L_shape[:-2] + (1,)
+                    )
+                perm_stack[idx] = perm
+        _set_path(
+            host,
+            dest,
+            {
+                "__w4__": True,
+                "q": q_stack,
+                "s": s_stack,
+                "b": b_stack,
+                **({"perm": perm_stack} if perm_stack is not None else {}),
+            },
+        )
+        logger.info(
+            "ingested %s W4 stack for %s: K=%d N=%d g=%d act_order=%s",
+            method, dest, K, N, g, perm_stack is not None,
+        )
 
 
 def init_dummy_weights(model, seed: int = 0) -> Dict[str, Any]:
@@ -135,10 +231,34 @@ def device_put_params(host_params, model, mesh) -> Dict[str, Any]:
     """Transfer host params to devices with the model's TP shardings."""
     specs = model.param_shardings()
 
+    def put_w4(v, spec):
+        """W4 stack: q/s/b inherit the dense weight's spec (their K-ish
+        dim -2 shrinks but keeps orientation); perm is replicated."""
+        from sglang_npu_tpu.layers.quantization import QuantizedWeightW4
+
+        def put_one(arr):
+            sp = _validate_spec(arr.shape, spec, mesh)
+            return jax.device_put(arr, NamedSharding(mesh, sp))
+
+        perm = v.get("perm")
+        return QuantizedWeightW4(
+            q=put_one(v["q"]),
+            s=put_one(v["s"]),
+            b=put_one(v["b"]),
+            perm=(
+                jax.device_put(perm, NamedSharding(mesh, P()))
+                if perm is not None
+                else None
+            ),
+        )
+
     def put(node, spec_node):
         out = {}
         for k, v in node.items():
-            if isinstance(v, dict):
+            if isinstance(v, dict) and v.get("__w4__"):
+                spec = spec_node.get(k, P()) if isinstance(spec_node, dict) else P()
+                out[k] = put_w4(v, spec)
+            elif isinstance(v, dict):
                 out[k] = put(v, spec_node[k])
             else:
                 spec = spec_node.get(k, P()) if isinstance(spec_node, dict) else P()

@@ -168,6 +168,11 @@ class ServerArgs:
             raise ValueError(f"Unsupported dtype {self.dtype}")
         if self.kv_cache_dtype not in ("auto", "bfloat16", "float32", "int8", "fp8_e4m3"):
             raise ValueError(f"Unsupported kv_cache_dtype {self.kv_cache_dtype}")
+        if self.quantization not in (
+            None, "", "none", "int8", "w8a16_int8", "fp8", "fp8_e4m3",
+            "w4a16", "int4", "awq", "gptq", "awq_marlin", "gptq_marlin",
+        ):
+            raise ValueError(f"Unsupported quantization {self.quantization}")
         if self.disaggregation_mode not in ("null", "prefill", "decode"):
             raise ValueError(f"Bad disaggregation_mode {self.disaggregation_mode}")
         if self.schedule_policy not in ("fcfs", "lpm", "random", "lof", "dfs-weight"):
