@@ -147,7 +147,21 @@ class ModelConfig:
     def num_qo_heads(self) -> int:
         return self.num_attention_heads
 
+    @property
+    def is_mla(self) -> bool:
+        return self.attention_arch == AttentionArch.MLA
+
     def kv_bytes_per_token(self, kv_dtype_bytes: int = 2) -> int:
+        if self.is_mla:
+            # latent cache: kv_lora_rank + rope dims (padded to one
+            # 128-lane tile), shared across heads — see ops/mla_attention
+            from sglang_npu_tpu.ops.mla_attention import KPE_PAD
+
+            return (
+                self.num_hidden_layers
+                * (self.kv_lora_rank + KPE_PAD)
+                * kv_dtype_bytes
+            )
         return (
             2
             * self.num_hidden_layers

@@ -147,8 +147,8 @@ def set_w4_backend(name: str):
 # weights quantized under --quantization int8/w4a16/fp8 (weight-only)
 QUANT_LAYER_KEYS = (
     "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
-    # MoE stacks (qwen-moe/mixtral/deepseek)
-    "w_gate_e", "w_up_e", "w_down_e", "ws_gate", "ws_up", "ws_down",
+    # MoE stacks (qwen-moe/mixtral: routed experts + shared expert)
+    "e_gate", "e_up", "e_down", "s_gate", "s_up", "s_down",
 )
 
 

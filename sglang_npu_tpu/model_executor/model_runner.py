@@ -79,11 +79,18 @@ class ModelRunner:
             seed=server_args.random_seed,
         )
         if server_args.quantization:
-            from sglang_npu_tpu.layers.quantization import apply_quantization
+            from sglang_npu_tpu.layers.quantization import (
+                apply_quantization,
+                set_w4_backend,
+            )
 
             self.params = apply_quantization(
                 self.params, server_args.quantization
             )
+            if jax.default_backend() not in ("cpu",):
+                # the Pallas dequant-matmul beats the XLA dequant einsum on
+                # chip (XLA materializes the bf16 weight in HBM)
+                set_w4_backend("pallas")
 
         # Multi-LoRA adapters stacked into the param tree (slot 0 = none).
         self.lora_manager = None
@@ -149,16 +156,24 @@ class ModelRunner:
         `_get_attention_backend_from_str:1384`)."""
         name = self.server_args.attention_backend
         tp = tp_degree(self.mesh)
+        if self.model_config.is_mla:
+            # MLA models run their own absorbed latent attention
+            # (ops/mla_attention.py); the MHA kernel family does not apply
+            self.attention_backend_name = "mla"
+            self.model.attn_backend = None
+            return
         if name is None:
             on_tpu = jax.default_backend() not in ("cpu",)
             # pallas kernels need 128-lane-aligned head_dim and (under TP)
             # evenly sharded KV heads (shard_map over the model axis).
+            # int8 KV runs through the kernels' PagedQuantKV path; fp8 KV
+            # stays on XLA until its Mosaic casts are validated on-chip.
             name = (
                 "pallas"
                 if on_tpu
                 and self.model_config.head_dim % 128 == 0
                 and (tp == 1 or self.model_config.num_key_value_heads % tp == 0)
-                and self.kv_dtype not in (jnp.int8, jnp.float8_e4m3fn)
+                and self.kv_dtype != jnp.float8_e4m3fn
                 else "xla"
             )
         self.attention_backend_name = name
@@ -185,17 +200,13 @@ class ModelRunner:
         if args.max_total_tokens is not None:
             return max(cdiv(args.max_total_tokens, self.page_size), 2)
         c = self.model_config
-        kv_bytes_per_page = (
-            2
-            * c.num_hidden_layers
-            * c.num_key_value_heads
-            * c.head_dim
-            * self.page_size
-            * jnp.dtype(self.kv_dtype).itemsize
-        )
-        # KV heads are sharded over the model axis -> per-device bytes shrink
+        kv_bytes_per_page = c.kv_bytes_per_token(
+            jnp.dtype(self.kv_dtype).itemsize
+        ) * self.page_size
+        # KV heads are sharded over the model axis -> per-device bytes
+        # shrink (MLA latent is replicated: no division)
         tp = tp_degree(self.mesh)
-        if c.num_key_value_heads % tp == 0:
+        if not c.is_mla and c.num_key_value_heads % tp == 0:
             kv_bytes_per_page //= tp
         budget = 0
         try:
@@ -221,8 +232,44 @@ class ModelRunner:
 
     def _alloc_kv_pool(self) -> jax.Array:
         """Head-major paged pool [L, 2, H_kv, num_pages, ps, D], KV heads
-        sharded over the model axis (reference `MHATokenToKVPool:162`)."""
+        sharded over the model axis (reference `MHATokenToKVPool:162`).
+        MLA models get the latent pool instead (`MLATokenToKVPool:708`)."""
         c = self.model_config
+        if c.is_mla:
+            from sglang_npu_tpu.ops.mla_attention import KPE_PAD, MLALatentPool
+
+            dt = (
+                self.kv_dtype
+                if self.kv_dtype in (jnp.bfloat16, jnp.float32)
+                else jnp.bfloat16
+            )
+            rep = NamedSharding(self.mesh, P())
+            return MLALatentPool(
+                ckv=jax.device_put(
+                    jnp.zeros(
+                        (
+                            c.num_hidden_layers,
+                            self.num_pages,
+                            self.page_size,
+                            c.kv_lora_rank,
+                        ),
+                        dtype=dt,
+                    ),
+                    rep,
+                ),
+                kpe=jax.device_put(
+                    jnp.zeros(
+                        (
+                            c.num_hidden_layers,
+                            self.num_pages,
+                            self.page_size,
+                            KPE_PAD,
+                        ),
+                        dtype=dt,
+                    ),
+                    rep,
+                ),
+            )
         shape = (
             c.num_hidden_layers,
             2,
@@ -239,6 +286,30 @@ class ModelRunner:
         )
         sharding = NamedSharding(self.mesh, spec)
         if self.kv_dtype in (jnp.int8, jnp.float8_e4m3fn):
+            if self.attention_backend_name == "pallas":
+                # per-(head, page) scale slabs read/written by the kernels
+                from sglang_npu_tpu.ops.pallas.quant_kv import (
+                    PagedQuantKV,
+                    scale_shape,
+                )
+
+                sshape = scale_shape(
+                    c.num_hidden_layers, c.num_key_value_heads, self.num_pages
+                )
+                sspec = (
+                    P(None, None, None, "model", None)
+                    if c.num_key_value_heads % tp == 0
+                    else P()
+                )
+                return PagedQuantKV(
+                    data=jax.device_put(
+                        jnp.zeros(shape, dtype=self.kv_dtype), sharding
+                    ),
+                    scale=jax.device_put(
+                        jnp.zeros(sshape, dtype=jnp.float32),
+                        NamedSharding(self.mesh, sspec),
+                    ),
+                )
             from sglang_npu_tpu.ops.xla_attention import QuantKVPool
 
             scale_spec = P(*spec[:-1]) if len(spec) else P()
@@ -675,15 +746,62 @@ class ModelRunner:
 
     def _kv_io_fns(self):
         if not hasattr(self, "_gather_fn"):
-            ps = self.page_size
+            from sglang_npu_tpu.ops.mla_attention import MLALatentPool
+            from sglang_npu_tpu.ops.pallas.quant_kv import (
+                PagedQuantKV,
+                dequant_rows,
+                quant_store_rows,
+            )
 
-            @jax.jit
-            def g(pool, pages, offs):
-                return pool[:, :, :, pages, offs]  # [L, 2, H, n, D]
+            if isinstance(self.kv_pool, MLALatentPool):
+                # latent rows travel as [L, 1, 1, n, R+KPE_PAD] so the
+                # opaque HiCache/PD plumbing (axis 3 = token) still works
+                R = self.kv_pool.ckv.shape[-1]
 
-            @functools.partial(jax.jit, donate_argnums=(0,))
-            def s(pool, pages, offs, vals):
-                return pool.at[:, :, :, pages, offs].set(vals, mode="drop")
+                @jax.jit
+                def g(pool, pages, offs):
+                    rows = jnp.concatenate(
+                        [
+                            pool.ckv[:, pages, offs],
+                            pool.kpe[:, pages, offs],
+                        ],
+                        axis=-1,
+                    )  # [L, n, R+Rp]
+                    return rows[:, None, None]
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def s(pool, pages, offs, vals):
+                    rows = vals[:, 0, 0]  # [L, n, R+Rp]
+                    return MLALatentPool(
+                        ckv=pool.ckv.at[:, pages, offs].set(
+                            rows[..., :R].astype(pool.ckv.dtype), mode="drop"
+                        ),
+                        kpe=pool.kpe.at[:, pages, offs].set(
+                            rows[..., R:].astype(pool.kpe.dtype), mode="drop"
+                        ),
+                    )
+
+            elif isinstance(self.kv_pool, PagedQuantKV):
+                # quantized pallas pool: backup/handoff in dequantized f32,
+                # restore with fresh per-(head, page) scales (restored
+                # prefixes are page-aligned so the pages are wholly ours)
+                @jax.jit
+                def g(pool, pages, offs):
+                    return dequant_rows(pool, pages, offs).astype(jnp.bfloat16)
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def s(pool, pages, offs, vals):
+                    return quant_store_rows(pool, pages, offs, vals)
+
+            else:
+
+                @jax.jit
+                def g(pool, pages, offs):
+                    return pool[:, :, :, pages, offs]  # [L, 2, H, n, D]
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def s(pool, pages, offs, vals):
+                    return pool.at[:, :, :, pages, offs].set(vals, mode="drop")
 
             self._gather_fn, self._scatter_fn = g, s
         return self._gather_fn, self._scatter_fn

@@ -3,12 +3,13 @@
 Counterpart of the reference's `srt/models/deepseek_v2.py` (MLA latent
 attention, first-k-dense + shared-expert MoE, grouped top-k routing).
 
-Round-1 design notes:
-  * MLA runs in **MHA-expanded mode**: the latent kv (c_kv + k_pe) is
-    up-projected to per-head K/V and cached like MHA (k head_dim =
-    qk_nope + qk_rope; V padded to the same width).  Latent-cache mode with
-    absorbed matmuls (the reference's memory-saving MLA path,
-    `MLATokenToKVPool:708`) is the round-2 optimization.
+Design notes:
+  * MLA runs in **latent-cache mode with absorbed matmuls** (the
+    reference's memory-saving path, `MLATokenToKVPool:708` +
+    `flashmla_backend.py`): only (c_kv, k_pe) = kv_lora_rank + rope dims
+    are cached per token (~11x less KV than MHA-expanded for V2-Lite);
+    attention is MQA against the shared latent with per-head q
+    absorption (see `ops/mla_attention.py`).
   * Layers are heterogeneous (dense MLP for the first
     `first_k_dense_replace`, MoE after), so the model uses a Python loop
     with per-layer param dicts (zero-padded string keys) instead of the
@@ -28,7 +29,7 @@ from sglang_npu_tpu.layers.moe import moe_mlp
 from sglang_npu_tpu.layers.ops import make_rope_tables, rms_norm
 from sglang_npu_tpu.model_executor.forward_batch_info import ForwardBatch
 from sglang_npu_tpu.models.llama import LlamaForCausalLM
-from sglang_npu_tpu.ops.xla_attention import paged_attention_xla, write_kv
+from sglang_npu_tpu.ops.mla_attention import mla_attention_xla, write_latent
 
 
 def _lk(i: int) -> str:
@@ -250,27 +251,30 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 kv_a[..., self.kv_rank :],
             )
             c_kv = rms_norm(c_kv, lp["kv_a_norm"], eps)
-            kv_b = jnp.einsum("ber,rh->beh", c_kv, lp["kv_b"]).reshape(
-                B, E, H, self.qk_nope + self.v_dim
-            )
-            k_nope = kv_b[..., : self.qk_nope]
-            v = kv_b[..., self.qk_nope :]
 
             q_pe = self._rope_interleaved(q_pe, fb.positions)
             k_pe = self._rope_interleaved(
                 k_pe[:, :, None, :], fb.positions
-            )  # [B, E, 1, rope]
-            k_pe = jnp.broadcast_to(k_pe, (B, E, H, self.qk_rope))
+            )[:, :, 0, :]  # [B, E, rope]
 
-            k = jnp.concatenate([k_nope, k_pe], axis=-1)  # [B, E, H, k_dim]
-            q = jnp.concatenate([q_nope, q_pe], axis=-1)
-            v_pad = jnp.pad(
-                v, ((0, 0), (0, 0), (0, 0), (0, self.k_dim - self.v_dim))
+            # absorbed attention against the latent cache: cache (c_kv,
+            # k_pe) only; per-head K up-projection folds into the query,
+            # V up-projection folds into the output
+            w_kb = lp["kv_b"].reshape(
+                self.kv_rank, H, self.qk_nope + self.v_dim
             )
+            w_kb_k = w_kb[..., : self.qk_nope]  # [R, H, nope]
+            w_kb_v = w_kb[..., self.qk_nope :]  # [R, H, v_dim]
+            q_abs = jnp.einsum(
+                "behn,rhn->behr", q_nope, w_kb_k
+            )  # [B, E, H, R]
 
-            kv_pool = write_kv(kv_pool, jnp.int32(i), k, v_pad, fb.out_slots)
-            att = paged_attention_xla(
-                q,
+            kv_pool = write_latent(
+                kv_pool, jnp.int32(i), c_kv, k_pe, fb.out_slots
+            )
+            ctx = mla_attention_xla(
+                q_abs,
+                q_pe,
                 kv_pool,
                 jnp.int32(i),
                 fb.page_tables,
@@ -278,7 +282,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 fb.positions,
                 page_size,
                 self.scale,
-            )[..., : self.v_dim]
+            )  # [B, E, H, R]
+            att = jnp.einsum("behr,rhv->behv", ctx, w_kb_v)
             x = x + jnp.einsum(
                 "beh,hd->bed", att.reshape(B, E, H * self.v_dim), lp["wo"]
             )

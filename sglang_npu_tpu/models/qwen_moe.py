@@ -131,23 +131,24 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
 
     # ------------------------------------------------------------------
     def _mlp(self, h, lp, proj=None):
+        from sglang_npu_tpu.layers.quantization import dequant
+        from sglang_npu_tpu.layers.quantization import matmul as qmm
+
         B, E_, Dm = h.shape
         flat = h.reshape(B * E_, Dm)
         out = moe_mlp(
             flat,
             lp["router"].astype(flat.dtype),
-            lp["e_gate"],
-            lp["e_up"],
-            lp["e_down"],
+            dequant(lp["e_gate"], flat.dtype),
+            dequant(lp["e_up"], flat.dtype),
+            dequant(lp["e_down"], flat.dtype),
             top_k=self.top_k,
             norm_topk_prob=self.norm_topk,
         )
         if self.shared_inter:
-            gate = jnp.einsum("td,df->tf", flat, lp["s_gate"])
-            up = jnp.einsum("td,df->tf", flat, lp["s_up"])
-            shared = jnp.einsum(
-                "tf,fd->td", jax.nn.silu(gate) * up, lp["s_down"]
-            )
+            gate = qmm(flat, lp["s_gate"], "td,df->tf")
+            up = qmm(flat, lp["s_up"], "td,df->tf")
+            shared = qmm(jax.nn.silu(gate) * up, lp["s_down"], "tf,fd->td")
             sg = jax.nn.sigmoid(
                 jnp.einsum("td,d->t", flat, lp["s_gate_w"])
             )[:, None]

@@ -1,0 +1,105 @@
+"""MLA latent-KV attention (absorbed matmuls).
+
+Counterpart of the reference's MLA serving path:
+`srt/mem_cache/memory_pool.py:708` (`MLATokenToKVPool` — latent kv_lora +
+rope buffers) and the absorbed attention in `srt/models/deepseek_v2.py` /
+`layers/attention/flashmla_backend.py`.
+
+Per token only the rank-R latent `c_kv` (R = kv_lora_rank) and the shared
+rope key `k_pe` are cached — for DeepSeek-V2-Lite that is (512+64) floats
+instead of H*(192+192) = 6144: an ~11x KV memory cut.  Attention runs as
+MQA with one shared 576-wide key via the absorption identities:
+
+  score_h = q_nope_h . (W_kb_k[h] c_kv) + q_pe_h . k_pe
+          = (W_kb_k[h]^T q_nope_h) . c_kv + q_pe_h . k_pe
+  out_h   = W_kb_v[h] (sum_t p_t c_kv_t)
+
+so the per-head up-projections move out of the attention inner loop onto
+the (small) query side.
+
+Pool layout: ckv [L, NP, ps, R], kpe [L, NP, ps, Rp] with Rp = rope dims
+padded to 128 lanes (Pallas-ready split: both trailing dims are 128-
+multiples, unlike the fused 576).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+KPE_PAD = 128  # rope dims padded to one 128-lane tile
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MLALatentPool:
+    ckv: jax.Array  # [L, NP, ps, R]
+    kpe: jax.Array  # [L, NP, ps, KPE_PAD]
+
+
+def write_latent(
+    pool: MLALatentPool,
+    layer_idx: jax.Array,
+    c_kv: jax.Array,  # [B, E, R]
+    k_pe: jax.Array,  # [B, E, rope]
+    out_slots: jax.Array,  # [B, E]
+) -> MLALatentPool:
+    ps = pool.ckv.shape[2]
+    flat = out_slots.reshape(-1)
+    pages = flat // ps
+    offs = flat % ps
+    ckv_rows = c_kv.reshape(-1, c_kv.shape[-1]).astype(pool.ckv.dtype)
+    rope = k_pe.shape[-1]
+    kpe_rows = jnp.pad(
+        k_pe.reshape(-1, rope), ((0, 0), (0, KPE_PAD - rope))
+    ).astype(pool.kpe.dtype)
+    ckv = pool.ckv.at[layer_idx, pages, offs].set(ckv_rows, mode="drop")
+    kpe = pool.kpe.at[layer_idx, pages, offs].set(kpe_rows, mode="drop")
+    return MLALatentPool(ckv=ckv, kpe=kpe)
+
+
+def mla_attention_xla(
+    q_abs: jax.Array,  # [B, E, H, R]  (absorbed nope queries)
+    q_pe: jax.Array,  # [B, E, H, rope]
+    pool: MLALatentPool,
+    layer_idx: jax.Array,
+    page_tables: jax.Array,  # [B, P]
+    seq_lens: jax.Array,  # [B]
+    q_positions: jax.Array,  # [B, E]
+    page_size: int,
+    scale: float,
+) -> jax.Array:
+    """Returns the attention-weighted latent context [B, E, H, R]."""
+    B, E, H, R = q_abs.shape
+    P = page_tables.shape[1]
+    rope = q_pe.shape[-1]
+    Lkv = P * page_size
+
+    ckv = pool.ckv[layer_idx, page_tables]  # [B, P, ps, R]
+    kpe = pool.kpe[layer_idx, page_tables][..., :rope]  # [B, P, ps, rope]
+
+    scores = (
+        jnp.einsum(
+            "behr,bpsr->behps", q_abs, ckv, preferred_element_type=jnp.float32
+        )
+        + jnp.einsum(
+            "behr,bpsr->behps", q_pe, kpe, preferred_element_type=jnp.float32
+        )
+    ).reshape(B, E, H, Lkv) * scale
+
+    kv_pos = jnp.arange(Lkv, dtype=jnp.int32)[None, None, :]
+    qp = q_positions[:, :, None]
+    mask = (kv_pos <= qp) & (kv_pos < seq_lens[:, None, None])
+    scores = jnp.where(mask[:, :, None, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(q_abs.dtype)
+    ctx = jnp.einsum(
+        "behps,bpsr->behr",
+        probs.reshape(B, E, H, P, page_size),
+        ckv,
+        preferred_element_type=jnp.float32,
+    )
+    return ctx.astype(q_abs.dtype)

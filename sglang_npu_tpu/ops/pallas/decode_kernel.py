@@ -39,30 +39,34 @@ def _decode_kernel(
     layer_ref,  # [1] int32
     page_tables_ref,  # [B, P] int32
     seq_lens_ref,  # [B] int32
-    # inputs
-    q_ref,  # [1, Hkv, G, D] (VMEM block for this b)
-    new_k_ref,  # [1, Hkv, 1, D] current token K (VMEM)
-    new_v_ref,  # [1, Hkv, 1, D]
-    pool_in_ref,  # [L, 2, Hkv, NP_total, ps, D] (HBM, aliased to pool_out)
-    # outputs
-    o_ref,  # [1, Hkv, G, D]
-    pool_ref,  # aliased pool (HBM)
-    # scratch
-    k_buf,  # [2, Hkv, NP, ps, D]
-    v_buf,  # [2, Hkv, NP, ps, D]
-    page_buf,  # [2, Hkv, ps, D] read-modify-write staging (k, v)
-    acc_ref,  # [Hkv, G, D] f32
-    m_ref,  # [Hkv, G, 128] f32 (running max, broadcast over lanes)
-    l_ref,  # [Hkv, G, 128] f32 (running denom)
-    sems,  # DMA sems [2, 2, NP]
-    wsems,  # write-phase sems [2]
-    *,
+    # inputs: q, new_k, new_v, pool [, scale_pool]
+    # outputs: o, pool [, scale_pool]
+    # scratch: k_buf, v_buf, page_buf, acc, m, l, sems, wsems
+    #          [, ssb, wsbuf, ssems]
+    *refs,
     page_size: int,
     block_t: int,
     scale: float,
     sliding_window: int,
     logit_cap: float,
+    quantized: bool = False,
+    qmax: float = 127.0,
 ):
+    if quantized:
+        (
+            q_ref, new_k_ref, new_v_ref, pool_in_ref, scale_in_ref,
+            o_ref, pool_ref, scale_ref,
+            k_buf, v_buf, page_buf, acc_ref, m_ref, l_ref, sems, wsems,
+            ssb, wsbuf, ssems,
+        ) = refs
+    else:
+        (
+            q_ref, new_k_ref, new_v_ref, pool_in_ref,
+            o_ref, pool_ref,
+            k_buf, v_buf, page_buf, acc_ref, m_ref, l_ref, sems, wsems,
+        ) = refs
+        scale_ref = ssb = wsbuf = ssems = None
+
     b = pl.program_id(0)
     layer = layer_ref[0]
     seq_len = seq_lens_ref[b]
@@ -72,10 +76,22 @@ def _decode_kernel(
 
     Hkv, G, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
 
+    def lane_select(slab, lane):
+        """slab [H, 128] -> per-head value at `lane` ([H] f32)."""
+        li = jax.lax.broadcasted_iota(jnp.int32, slab.shape, 1)
+        return jnp.sum(jnp.where(li == lane, slab, 0.0), axis=-1)
+
+    def to_q(x):
+        if qmax >= 100.0 and page_buf.dtype == jnp.int8:
+            return jnp.clip(jnp.round(x), -127, 127).astype(page_buf.dtype)
+        return x.astype(page_buf.dtype)
+
     # ------------------------------------------------------------------
     # Phase 1: insert the current token's K/V into its page (in-place
     # read-modify-write of the last page).  seq_len counts the current
-    # token, so it lives at position seq_len-1.
+    # token, so it lives at position seq_len-1.  Quantized pools also RMW
+    # the page's scale slab: if the new token grows the per-head page
+    # scale, the staged page is requantized before the insert.
     # ------------------------------------------------------------------
     @pl.when(seq_len > 0)
     def _write_phase():
@@ -88,37 +104,88 @@ def _decode_kernel(
                 page_buf.at[kv],
                 wsems.at[kv],
             ).start()
+        if quantized:
+            sgrp = page // 128
+            for kv in range(2):
+                pltpu.make_async_copy(
+                    scale_ref.at[layer, kv, sgrp],
+                    wsbuf.at[kv],
+                    wsems.at[2 + kv],
+                ).start()
         for kv in range(2):
             pltpu.make_async_copy(
                 pool_ref.at[layer, kv, :, page],
                 page_buf.at[kv],
                 wsems.at[kv],
             ).wait()
+        if quantized:
+            for kv in range(2):
+                pltpu.make_async_copy(
+                    scale_ref.at[layer, kv, sgrp],
+                    wsbuf.at[kv],
+                    wsems.at[2 + kv],
+                ).wait()
         # dynamic sublane-offset stores are not supported; insert the row
         # with a masked select over the whole page
         ps_, D_ = page_buf.shape[2], page_buf.shape[3]
         row_idx = jax.lax.broadcasted_iota(jnp.int32, (Hkv, ps_, D_), 1)
         row_mask = row_idx == off
-        nk = jnp.broadcast_to(
-            new_k_ref[0].astype(page_buf.dtype), (Hkv, ps_, D_)
-        )
-        nv = jnp.broadcast_to(
-            new_v_ref[0].astype(page_buf.dtype), (Hkv, ps_, D_)
-        )
-        page_buf[0] = jnp.where(row_mask, nk, page_buf[0])
-        page_buf[1] = jnp.where(row_mask, nv, page_buf[1])
+        if not quantized:
+            nk = jnp.broadcast_to(
+                new_k_ref[0].astype(page_buf.dtype), (Hkv, ps_, D_)
+            )
+            nv = jnp.broadcast_to(
+                new_v_ref[0].astype(page_buf.dtype), (Hkv, ps_, D_)
+            )
+            page_buf[0] = jnp.where(row_mask, nk, page_buf[0])
+            page_buf[1] = jnp.where(row_mask, nv, page_buf[1])
+        else:
+            slane = jax.lax.rem(page, 128)
+            for kv, new_ref in ((0, new_k_ref), (1, new_v_ref)):
+                old_s = lane_select(wsbuf[kv], slane)  # [Hkv]
+                row = new_ref[0, :, 0, :].astype(jnp.float32)  # [Hkv, D]
+                amax = jnp.max(jnp.abs(row), axis=-1)  # [Hkv]
+                s_new = jnp.maximum(jnp.maximum(old_s, amax / qmax), 1e-8)
+                factor = jnp.where(old_s > 0, old_s / s_new, 0.0)
+                pf = page_buf[kv].astype(jnp.float32) * factor[:, None, None]
+                ins = jnp.broadcast_to(
+                    (row / s_new[:, None])[:, None, :], (Hkv, ps_, D_)
+                )
+                page_buf[kv] = to_q(jnp.where(row_mask, ins, pf))
+                li = jax.lax.broadcasted_iota(
+                    jnp.int32, wsbuf[kv].shape, 1
+                )
+                wsbuf[kv] = jnp.where(
+                    li == slane,
+                    jnp.broadcast_to(s_new[:, None], wsbuf[kv].shape),
+                    wsbuf[kv],
+                )
         for kv in range(2):
             pltpu.make_async_copy(
                 page_buf.at[kv],
                 pool_ref.at[layer, kv, :, page],
                 wsems.at[kv],
             ).start()
+        if quantized:
+            for kv in range(2):
+                pltpu.make_async_copy(
+                    wsbuf.at[kv],
+                    scale_ref.at[layer, kv, sgrp],
+                    wsems.at[2 + kv],
+                ).start()
         for kv in range(2):
             pltpu.make_async_copy(
                 page_buf.at[kv],
                 pool_ref.at[layer, kv, :, page],
                 wsems.at[kv],
             ).wait()
+        if quantized:
+            for kv in range(2):
+                pltpu.make_async_copy(
+                    wsbuf.at[kv],
+                    scale_ref.at[layer, kv, sgrp],
+                    wsems.at[2 + kv],
+                ).wait()
 
     # ------------------------------------------------------------------
     # Phase 2: flash attention over the paged KV (now including the
@@ -141,6 +208,17 @@ def _decode_kernel(
                     v_buf.at[slot, :, j],
                     sems.at[slot, 1, j],
                 ).start()
+                if quantized:
+                    pltpu.make_async_copy(
+                        scale_ref.at[layer, 0, page // 128],
+                        ssb.at[slot, 0, j],
+                        ssems.at[slot, 0, j],
+                    ).start()
+                    pltpu.make_async_copy(
+                        scale_ref.at[layer, 1, page // 128],
+                        ssb.at[slot, 1, j],
+                        ssems.at[slot, 1, j],
+                    ).start()
 
     def wait_dma(blk, slot):
         for j in range(np_per_blk):
@@ -159,6 +237,17 @@ def _decode_kernel(
                     v_buf.at[slot, :, j],
                     sems.at[slot, 1, j],
                 ).wait()
+                if quantized:
+                    pltpu.make_async_copy(
+                        scale_ref.at[layer, 0, page // 128],
+                        ssb.at[slot, 0, j],
+                        ssems.at[slot, 0, j],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        scale_ref.at[layer, 1, page // 128],
+                        ssb.at[slot, 1, j],
+                        ssems.at[slot, 1, j],
+                    ).wait()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     m_ref[...] = jnp.full_like(m_ref, NEG_INF)
@@ -181,8 +270,30 @@ def _decode_kernel(
 
         wait_dma(blk, slot)
 
-        k = k_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
-        v = v_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
+        if not quantized:
+            k = k_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
+            v = v_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
+        else:
+            # dequant per page at convert time: int rows * per-(head,page)
+            # scale selected from the slab lane (page % 128)
+            kparts, vparts = [], []
+            for j in range(np_per_blk):
+                page = page_tables_ref[
+                    b, jnp.minimum(blk * np_per_blk + j, num_pages - 1)
+                ]
+                slane = jax.lax.rem(page, 128)
+                ks = lane_select(ssb[slot, 0, j], slane)  # [Hkv]
+                vs = lane_select(ssb[slot, 1, j], slane)
+                kparts.append(
+                    k_buf[slot][:, j].astype(jnp.float32)
+                    * ks[:, None, None]
+                )
+                vparts.append(
+                    v_buf[slot][:, j].astype(jnp.float32)
+                    * vs[:, None, None]
+                )
+            k = jnp.concatenate(kparts, axis=1)  # [Hkv, block_t, D]
+            v = jnp.concatenate(vparts, axis=1)
         # zero out invalid token rows of v: p is 0 there, but 0 * garbage
         # (uninitialized scratch can be NaN) would poison the pv matmul
         valid_t = (
@@ -249,9 +360,17 @@ def paged_decode_attention_fused(
     logit_cap: float = 0.0,
     interpret: bool = False,
 ):
-    """Fused write-KV + attention. Returns (out [B, Hq, D], kv_pool)."""
+    """Fused write-KV + attention. Returns (out [B, Hq, D], kv_pool).
+
+    ``kv_pool`` is either a plain [L, 2, Hkv, NP, ps, D] array or a
+    `quant_kv.PagedQuantKV` (int8/fp8 data + per-(head, page) scales); the
+    quantized path reads/writes both in place."""
+    from sglang_npu_tpu.ops.pallas.quant_kv import PagedQuantKV
+
+    quantized = isinstance(kv_pool, PagedQuantKV)
+    pool_data = kv_pool.data if quantized else kv_pool
     B, Hq, D = q.shape
-    Hkv = kv_pool.shape[2]
+    Hkv = pool_data.shape[2]
     G = Hq // Hkv
     P = page_tables.shape[1]
     if D % 128 != 0 and not interpret:
@@ -270,37 +389,72 @@ def paged_decode_attention_fused(
     nk4 = new_k.reshape(B, Hkv, 1, D)
     nv4 = new_v.reshape(B, Hkv, 1, D)
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, Hkv, G, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, Hkv, 1, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, Hkv, 1, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),  # pool stays in HBM
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, Hkv, G, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        jax.ShapeDtypeStruct(pool_data.shape, pool_data.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((4, Hkv, np_per_blk, page_size, D), pool_data.dtype),
+        pltpu.VMEM((4, Hkv, np_per_blk, page_size, D), pool_data.dtype),
+        pltpu.VMEM((2, Hkv, page_size, D), pool_data.dtype),
+        pltpu.VMEM((Hkv, G, D), jnp.float32),
+        pltpu.VMEM((Hkv, G, 128), jnp.float32),
+        pltpu.VMEM((Hkv, G, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((4, 2, np_per_blk)),
+        pltpu.SemaphoreType.DMA((4,)),
+    ]
+    args = [
+        jnp.asarray([layer_idx], dtype=jnp.int32).reshape(1),
+        page_tables,
+        seq_lens,
+        q4,
+        nk4,
+        nv4,
+        pool_data,
+    ]
+    aliases = {6: 1}  # pool (after 3 scalar-prefetch + 3 tensor args)
+    qmax = 127.0
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct(kv_pool.scale.shape, kv_pool.scale.dtype)
+        )
+        scratch.extend(
+            [
+                pltpu.VMEM((4, 2, np_per_blk, Hkv, 128), jnp.float32),
+                pltpu.VMEM((2, Hkv, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((4, 2, np_per_blk)),
+            ]
+        )
+        args.append(kv_pool.scale)
+        aliases[7] = 2
+        qmax = kv_pool.qmax
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, Hkv, G, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, Hkv, 1, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, Hkv, 1, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),  # pool stays in HBM
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, Hkv, G, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((4, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
-            pltpu.VMEM((4, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
-            pltpu.VMEM((2, Hkv, page_size, D), kv_pool.dtype),
-            pltpu.VMEM((Hkv, G, D), jnp.float32),
-            pltpu.VMEM((Hkv, G, 128), jnp.float32),
-            pltpu.VMEM((Hkv, G, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4, 2, np_per_blk)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
     )
 
     kernel = functools.partial(
@@ -310,29 +464,24 @@ def paged_decode_attention_fused(
         scale=scale,
         sliding_window=sliding_window,
         logit_cap=logit_cap,
+        quantized=quantized,
+        qmax=qmax,
     )
 
-    out, pool = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
-            jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
-        ),
-        input_output_aliases={6: 1},  # pool (after 3 scalar-prefetch + 3 tensor args)
+        out_shape=tuple(out_shape),
+        input_output_aliases=aliases,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(
-        jnp.asarray([layer_idx], dtype=jnp.int32).reshape(1),
-        page_tables,
-        seq_lens,
-        q4,
-        nk4,
-        nv4,
-        kv_pool,
-    )
+    )(*args)
+    if quantized:
+        out, pool, spool = outs
+        return out.reshape(B, Hq, D), PagedQuantKV(data=pool, scale=spool)
+    out, pool = outs
     return out.reshape(B, Hq, D), pool
 
 

@@ -36,12 +36,21 @@ def make_pallas_attention_backend(mesh=None):
         B, E, Hq, D = q.shape
         sliding_window = config.sliding_window or -1
         logit_cap = getattr(config, "logit_cap", 0.0) or 0.0
+        from sglang_npu_tpu.ops.pallas.quant_kv import PagedQuantKV
         from sglang_npu_tpu.ops.xla_attention import QuantKVPool
 
         interp = _interpret()
+        is_quant = isinstance(kv_pool, PagedQuantKV)
         kernel_ok = ((D % 128 == 0) or interp) and not isinstance(
             kv_pool, QuantKVPool
         )
+        pool_specs = P(None, None, MODEL_AXIS, None, None, None)
+        if is_quant:
+            # pytree of specs matching the PagedQuantKV structure
+            pool_specs = PagedQuantKV(
+                data=P(None, None, MODEL_AXIS, None, None, None),
+                scale=P(None, None, None, MODEL_AXIS, None),
+            )
 
         if E == 1 and kernel_ok:
             from sglang_npu_tpu.ops.pallas.decode_kernel import (
@@ -65,14 +74,14 @@ def make_pallas_attention_backend(mesh=None):
                         P(None, MODEL_AXIS, None),
                         P(None, MODEL_AXIS, None),
                         P(None, MODEL_AXIS, None),
-                        P(None, None, MODEL_AXIS, None, None, None),
+                        pool_specs,
                         P(None, None),
                         P(None),
                         P(),
                     ),
                     out_specs=(
                         P(None, MODEL_AXIS, None),
-                        P(None, None, MODEL_AXIS, None, None, None),
+                        pool_specs,
                     ),
                     check_vma=False,
                 )
@@ -110,7 +119,7 @@ def make_pallas_attention_backend(mesh=None):
                         P(None, None, MODEL_AXIS, None),
                         P(None, None, MODEL_AXIS, None),
                         P(None, None, MODEL_AXIS, None),
-                        P(None, None, MODEL_AXIS, None, None, None),
+                        pool_specs,
                         P(None, None),
                         P(None),
                         P(None),
@@ -118,7 +127,7 @@ def make_pallas_attention_backend(mesh=None):
                     ),
                     out_specs=(
                         P(None, None, MODEL_AXIS, None),
-                        P(None, None, MODEL_AXIS, None, None, None),
+                        pool_specs,
                     ),
                     check_vma=False,
                 )
@@ -128,6 +137,14 @@ def make_pallas_attention_backend(mesh=None):
             )
             return out, kv_pool
 
+        if is_quant:
+            # the XLA fallback cannot touch a pallas quant pool (scatter
+            # would force a full-pool relayout); shapes outside kernel
+            # support must never be scheduled with this pool type
+            raise ValueError(
+                f"pallas quantized KV pool has no fallback path for this "
+                f"batch shape (E={E}, D={D})"
+            )
         kv_pool = write_kv(kv_pool, layer_idx, k, v, fb.out_slots)
         out = paged_attention_xla(
             q,

@@ -37,31 +37,35 @@ def _prefill_kernel(
     page_tables_ref,  # [B, P]
     seq_lens_ref,  # [B] (prefix + extend)
     prefix_lens_ref,  # [B] (page-aligned)
-    # inputs
-    q_ref,  # [1, Hkv, QB, G, D]
-    new_k_ref,  # [1, Hkv, QB, D]
-    new_v_ref,  # [1, Hkv, QB, D]
-    pool_in_ref,  # (HBM, aliased)
-    # outputs
-    o_ref,  # [1, Hkv, QB, G, D]
-    pool_ref,  # aliased pool (HBM)
-    # scratch
-    k_buf,  # [2, Hkv, NP, ps, D]
-    v_buf,  # [2, Hkv, NP, ps, D]
-    pbuf,  # [2, Hkv, ps, D] page RMW staging
-    acc_ref,  # [Hkv, QB*G, D] f32
-    m_ref,  # [Hkv, QB*G, 128] f32
-    l_ref,  # [Hkv, QB*G, 128] f32
-    sems,  # [2, 2, NP]
-    wsems,  # [2, 1] write sems
-    *,
+    # inputs: q, new_k, new_v, pool [, scale_pool]
+    # outputs: o, pool [, scale_pool]
+    # scratch: k_buf, v_buf, pbuf, acc, m, l, sems, wsems
+    #          [, ssb, wsbuf, ssems]
+    *refs,
     page_size: int,
     block_t: int,
     q_block: int,
     scale: float,
     sliding_window: int,
     logit_cap: float,
+    quantized: bool = False,
+    qmax: float = 127.0,
 ):
+    if quantized:
+        (
+            q_ref, new_k_ref, new_v_ref, pool_in_ref, scale_in_ref,
+            o_ref, pool_ref, scale_ref,
+            k_buf, v_buf, pbuf, acc_ref, m_ref, l_ref, sems, wsems,
+            ssb, wsbuf, ssems,
+        ) = refs
+    else:
+        (
+            q_ref, new_k_ref, new_v_ref, pool_in_ref,
+            o_ref, pool_ref,
+            k_buf, v_buf, pbuf, acc_ref, m_ref, l_ref, sems, wsems,
+        ) = refs
+        scale_ref = ssb = wsbuf = ssems = None
+
     b = pl.program_id(0)
     qb = pl.program_id(1)
     layer = layer_ref[0]
@@ -78,6 +82,15 @@ def _prefill_kernel(
 
     q_start = qb * QB  # within the extend region
     block_active = q_start < extend_len
+
+    def lane_select(slab, lane):
+        li = jax.lax.broadcasted_iota(jnp.int32, slab.shape, 1)
+        return jnp.sum(jnp.where(li == lane, slab, 0.0), axis=-1)
+
+    def to_q(x):
+        if quantized and pbuf.dtype == jnp.int8:
+            return jnp.clip(jnp.round(x), -127, 127).astype(pbuf.dtype)
+        return x.astype(pbuf.dtype)
 
     # ------------------------------------------------------------------
     # Phase 1: write this block's K/V into pool pages.  The region may
@@ -116,12 +129,27 @@ def _prefill_kernel(
                         pbuf.at[kv],
                         wsems.at[kv, 0],
                     ).start()
+                if quantized:
+                    sgrp = page // 128
+                    for kv in range(2):
+                        pltpu.make_async_copy(
+                            scale_ref.at[layer, kv, sgrp],
+                            wsbuf.at[kv],
+                            wsems.at[2 + kv, 0],
+                        ).start()
                 for kv in range(2):
                     pltpu.make_async_copy(
                         pool_ref.at[layer, kv, :, page],
                         pbuf.at[kv],
                         wsems.at[kv, 0],
                     ).wait()
+                if quantized:
+                    for kv in range(2):
+                        pltpu.make_async_copy(
+                            scale_ref.at[layer, kv, sgrp],
+                            wsbuf.at[kv],
+                            wsems.at[2 + kv, 0],
+                        ).wait()
                 row = jax.lax.broadcasted_iota(
                     jnp.int32, (Hkv, page_size, D), 1
                 )
@@ -130,20 +158,62 @@ def _prefill_kernel(
                 src_lo = (j * page_size) % QB
                 sk = rolled_k[:, src_lo : src_lo + page_size, :]
                 sv = rolled_v[:, src_lo : src_lo + page_size, :]
-                pbuf[0] = jnp.where(valid, sk.astype(pbuf.dtype), pbuf[0])
-                pbuf[1] = jnp.where(valid, sv.astype(pbuf.dtype), pbuf[1])
+                if not quantized:
+                    pbuf[0] = jnp.where(valid, sk.astype(pbuf.dtype), pbuf[0])
+                    pbuf[1] = jnp.where(valid, sv.astype(pbuf.dtype), pbuf[1])
+                else:
+                    slane = jax.lax.rem(page, 128)
+                    for kv, rows in ((0, sk), (1, sv)):
+                        old_s = lane_select(wsbuf[kv], slane)  # [Hkv]
+                        amax = jnp.max(
+                            jnp.where(valid, jnp.abs(rows), 0.0), axis=(1, 2)
+                        )
+                        s_new = jnp.maximum(
+                            jnp.maximum(old_s, amax / qmax), 1e-8
+                        )
+                        factor = jnp.where(old_s > 0, old_s / s_new, 0.0)
+                        pf = (
+                            pbuf[kv].astype(jnp.float32)
+                            * factor[:, None, None]
+                        )
+                        ins = rows / s_new[:, None, None]
+                        pbuf[kv] = to_q(jnp.where(valid, ins, pf))
+                        li = jax.lax.broadcasted_iota(
+                            jnp.int32, wsbuf[kv].shape, 1
+                        )
+                        wsbuf[kv] = jnp.where(
+                            li == slane,
+                            jnp.broadcast_to(
+                                s_new[:, None], wsbuf[kv].shape
+                            ),
+                            wsbuf[kv],
+                        )
                 for kv in range(2):
                     pltpu.make_async_copy(
                         pbuf.at[kv],
                         pool_ref.at[layer, kv, :, page],
                         wsems.at[kv, 0],
                     ).start()
+                if quantized:
+                    for kv in range(2):
+                        pltpu.make_async_copy(
+                            wsbuf.at[kv],
+                            scale_ref.at[layer, kv, sgrp],
+                            wsems.at[2 + kv, 0],
+                        ).start()
                 for kv in range(2):
                     pltpu.make_async_copy(
                         pbuf.at[kv],
                         pool_ref.at[layer, kv, :, page],
                         wsems.at[kv, 0],
                     ).wait()
+                if quantized:
+                    for kv in range(2):
+                        pltpu.make_async_copy(
+                            wsbuf.at[kv],
+                            scale_ref.at[layer, kv, sgrp],
+                            wsems.at[2 + kv, 0],
+                        ).wait()
 
     # ------------------------------------------------------------------
     # Phase 2: causal flash attention over pool pages [0, kv_end).
@@ -169,6 +239,13 @@ def _prefill_kernel(
                     v_buf.at[slot, :, j],
                     sems.at[slot, 1, j],
                 ).start()
+                if quantized:
+                    for kv in range(2):
+                        pltpu.make_async_copy(
+                            scale_ref.at[layer, kv, page // 128],
+                            ssb.at[slot, kv, j],
+                            ssems.at[slot, kv, j],
+                        ).start()
 
     def wait_dma(blk, slot):
         for j in range(np_per_blk):
@@ -187,6 +264,13 @@ def _prefill_kernel(
                     v_buf.at[slot, :, j],
                     sems.at[slot, 1, j],
                 ).wait()
+                if quantized:
+                    for kv in range(2):
+                        pltpu.make_async_copy(
+                            scale_ref.at[layer, kv, page // 128],
+                            ssb.at[slot, kv, j],
+                            ssems.at[slot, kv, j],
+                        ).wait()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     m_ref[...] = jnp.full_like(m_ref, NEG_INF)
@@ -208,8 +292,28 @@ def _prefill_kernel(
 
             wait_dma(blk, slot)
 
-            k = k_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
-            v = v_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
+            if not quantized:
+                k = k_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
+                v = v_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
+            else:
+                kparts, vparts = [], []
+                for j in range(np_per_blk):
+                    page = page_tables_ref[
+                        b, jnp.minimum(blk * np_per_blk + j, num_pages - 1)
+                    ]
+                    slane = jax.lax.rem(page, 128)
+                    ks = lane_select(ssb[slot, 0, j], slane)
+                    vs = lane_select(ssb[slot, 1, j], slane)
+                    kparts.append(
+                        k_buf[slot][:, j].astype(jnp.float32)
+                        * ks[:, None, None]
+                    )
+                    vparts.append(
+                        v_buf[slot][:, j].astype(jnp.float32)
+                        * vs[:, None, None]
+                    )
+                k = jnp.concatenate(kparts, axis=1)
+                v = jnp.concatenate(vparts, axis=1)
             valid_t = (
                 blk * block_t
                 + jax.lax.broadcasted_iota(jnp.int32, (1, block_t, 1), 1)
@@ -289,9 +393,15 @@ def paged_prefill_attention_fused(
     logit_cap: float = 0.0,
     interpret: bool = False,
 ):
-    """Fused extend write + causal attention. Returns (out, kv_pool)."""
+    """Fused extend write + causal attention. Returns (out, kv_pool).
+
+    ``kv_pool`` may be a plain array or a `quant_kv.PagedQuantKV`."""
+    from sglang_npu_tpu.ops.pallas.quant_kv import PagedQuantKV
+
+    quantized = isinstance(kv_pool, PagedQuantKV)
+    pool_data = kv_pool.data if quantized else kv_pool
     B, E, Hq, D = q.shape
-    Hkv = kv_pool.shape[2]
+    Hkv = pool_data.shape[2]
     G = Hq // Hkv
     P = page_tables.shape[1]
     if D % 128 != 0 and not interpret:
@@ -308,45 +418,81 @@ def paged_prefill_attention_fused(
     k4 = new_k.transpose(0, 2, 1, 3)  # [B, Hkv, E, D]
     v4 = new_v.transpose(0, 2, 1, 3)
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, Hkv, QB, G, D),
+            lambda b, qb, *_: (b, 0, qb, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, Hkv, QB, D),
+            lambda b, qb, *_: (b, 0, qb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, Hkv, QB, D),
+            lambda b, qb, *_: (b, 0, qb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, Hkv, QB, G, D),
+            lambda b, qb, *_: (b, 0, qb, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Hkv, E, G, D), q.dtype),
+        jax.ShapeDtypeStruct(pool_data.shape, pool_data.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), pool_data.dtype),
+        pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), pool_data.dtype),
+        pltpu.VMEM((2, Hkv, page_size, D), pool_data.dtype),
+        pltpu.VMEM((Hkv, QB * G, D), jnp.float32),
+        pltpu.VMEM((Hkv, QB * G, 128), jnp.float32),
+        pltpu.VMEM((Hkv, QB * G, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 2, np_per_blk)),
+        pltpu.SemaphoreType.DMA((4, 1)),
+    ]
+    args = [
+        jnp.asarray([layer_idx], dtype=jnp.int32).reshape(1),
+        page_tables,
+        seq_lens,
+        prefix_lens,
+        q5,
+        k4,
+        v4,
+        pool_data,
+    ]
+    aliases = {7: 1}  # 4 scalar prefetch + q, k, v -> pool
+    qmax = 127.0
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct(kv_pool.scale.shape, kv_pool.scale.dtype)
+        )
+        scratch.extend(
+            [
+                pltpu.VMEM((2, 2, np_per_blk, Hkv, 128), jnp.float32),
+                pltpu.VMEM((2, Hkv, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2, np_per_blk)),
+            ]
+        )
+        args.append(kv_pool.scale)
+        aliases[8] = 2
+        qmax = kv_pool.qmax
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, nqb),
-        in_specs=[
-            pl.BlockSpec(
-                (1, Hkv, QB, G, D),
-                lambda b, qb, *_: (b, 0, qb, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, Hkv, QB, D),
-                lambda b, qb, *_: (b, 0, qb, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, Hkv, QB, D),
-                lambda b, qb, *_: (b, 0, qb, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, Hkv, QB, G, D),
-                lambda b, qb, *_: (b, 0, qb, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
-            pltpu.VMEM((2, Hkv, np_per_blk, page_size, D), kv_pool.dtype),
-            pltpu.VMEM((2, Hkv, page_size, D), kv_pool.dtype),
-            pltpu.VMEM((Hkv, QB * G, D), jnp.float32),
-            pltpu.VMEM((Hkv, QB * G, 128), jnp.float32),
-            pltpu.VMEM((Hkv, QB * G, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, np_per_blk)),
-            pltpu.SemaphoreType.DMA((2, 1)),
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
     )
 
     kernel = functools.partial(
@@ -357,29 +503,25 @@ def paged_prefill_attention_fused(
         scale=scale,
         sliding_window=sliding_window,
         logit_cap=logit_cap,
+        quantized=quantized,
+        qmax=qmax,
     )
 
-    out, pool = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, Hkv, E, G, D), q.dtype),
-            jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
-        ),
-        input_output_aliases={7: 1},  # 4 scalar prefetch + q, k, v -> pool
+        out_shape=tuple(out_shape),
+        input_output_aliases=aliases,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=96 * 1024 * 1024
         ),
-    )(
-        jnp.asarray([layer_idx], dtype=jnp.int32).reshape(1),
-        page_tables,
-        seq_lens,
-        prefix_lens,
-        q5,
-        k4,
-        v4,
-        kv_pool,
-    )
+    )(*args)
+    if quantized:
+        out, pool, spool = outs
+        kv_out = PagedQuantKV(data=pool, scale=spool)
+    else:
+        out, pool = outs
+        kv_out = pool
     out = out.transpose(0, 2, 1, 3, 4).reshape(B, E, Hq, D)
-    return out, pool
+    return out, kv_out

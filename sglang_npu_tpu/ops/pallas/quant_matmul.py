@@ -23,16 +23,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _w4_matmul_kernel(
-    x_ref,  # [Mp, BK] bf16
+    xlo_ref,  # [Mp, BK//2] bf16 — activation cols for the lo nibbles
+    xhi_ref,  # [Mp, BK//2] bf16 — activation cols for the hi nibbles
     qw_ref,  # [BK//2, BN] uint8
     s_ref,  # [BK//g, BN] f32
-    b_ref,  # [BK//g, BN] f32
     o_ref,  # [Mp, BN] out dtype
     acc_ref,  # [Mp, BN] f32 scratch
     *,
     group_size: int,
     out_dtype,
 ):
+    """Nibble-split dequant matmul: out += x_lo @ (lo*s) + x_hi @ (hi*s).
+
+    The packed byte at row j of group G holds q[G*g+j] (lo) and
+    q[G*g+j+g/2] (hi), so the lo/hi nibble planes each cover half the K
+    columns; the caller pre-splits x into those column sets.  Nibbles go
+    uint8 -(bitcast)-> int8 -> bf16 (no int32 round-trip: 8->32->8 bit
+    relayouts were the dominant cost of kernel v1, and Mosaic has no
+    uint8->float cast), and scales broadcast over the in-group sublane
+    view instead of a repeat.  The zero-point term -xsum_g @ b_g is a
+    tiny [M, K/g] x [K/g, N] matmul the CALLER subtracts in XLA —
+    in-kernel it needed an unsupported lane-dim reshape for the group
+    sums."""
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -42,16 +54,20 @@ def _w4_matmul_kernel(
 
     BKh, BN = qw_ref.shape
     g = group_size
+    gh = g // 2
     G_blk = (2 * BKh) // g
-    v = qw_ref[...].astype(jnp.int32).reshape(G_blk, g // 2, BN)
-    lo = v & 0xF
-    hi = (v >> 4) & 0xF
-    q4 = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)  # [G, g, BN]
-    wd = q4 * s_ref[...].reshape(G_blk, 1, BN) - b_ref[...].reshape(G_blk, 1, BN)
-    wd = wd.reshape(2 * BKh, BN).astype(jnp.bfloat16)
-    acc_ref[...] += jnp.dot(
-        x_ref[...].astype(jnp.bfloat16), wd, preferred_element_type=jnp.float32
-    )
+    # int32 hop: Mosaic supports neither uint8->float casts nor 8/16-bit
+    # shifts on this toolchain (probed); uint8 -> int32 -> bf16 is the one
+    # compiling pipeline
+    p = qw_ref[...].astype(jnp.int32)
+    s = s_ref[...].astype(jnp.bfloat16).reshape(G_blk, 1, BN)
+    lo = (p & 0xF).astype(jnp.bfloat16).reshape(G_blk, gh, BN)
+    hi = ((p >> 4) & 0xF).astype(jnp.bfloat16).reshape(G_blk, gh, BN)
+    wlo = (lo * s).reshape(BKh, BN)
+    whi = (hi * s).reshape(BKh, BN)
+    acc = jnp.dot(xlo_ref[...], wlo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(xhi_ref[...], whi, preferred_element_type=jnp.float32)
+    acc_ref[...] += acc
 
     @pl.when(k == nk - 1)
     def _():
@@ -87,18 +103,26 @@ def matmul_w4(
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
 
+    # nibble-plane activation split: lo plane covers in-group cols [0, g/2),
+    # hi plane covers [g/2, g) — matches the packing in pack_w4
+    xg = x.reshape(Mp, K // g, g)
+    x_lo = xg[:, :, : g // 2].reshape(Mp, K // 2)
+    x_hi = xg[:, :, g // 2 :].reshape(Mp, K // 2)
+
     out = pl.pallas_call(
         functools.partial(
             _w4_matmul_kernel, group_size=g, out_dtype=x.dtype
         ),
         grid=(N // BN, K // BK),
         in_specs=[
-            pl.BlockSpec((Mp, BK), lambda n, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (BK // 2, BN), lambda n, k: (k, n), memory_space=pltpu.VMEM
+                (Mp, BK // 2), lambda n, k: (0, k), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (BK // g, BN), lambda n, k: (k, n), memory_space=pltpu.VMEM
+                (Mp, BK // 2), lambda n, k: (0, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BK // 2, BN), lambda n, k: (k, n), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (BK // g, BN), lambda n, k: (k, n), memory_space=pltpu.VMEM
@@ -113,7 +137,11 @@ def matmul_w4(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x, qw, s, b)
+    )(x_lo.astype(jnp.bfloat16), x_hi.astype(jnp.bfloat16), qw, s)
+    # zero-point correction: per-group activation sums @ b (tiny matmul,
+    # fused by XLA with the subtract)
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)  # [Mp, K/g]
+    out = out - (xsum @ b).astype(out.dtype)
     return out[:M]
 
 

@@ -54,6 +54,15 @@ def test_deepseek_v2_lite_matches_hf(tmp_path_factory):
         random_seed=0,
     )
     try:
+        from sglang_npu_tpu.ops.mla_attention import KPE_PAD, MLALatentPool
+
+        # latent-cache mode: pool holds (c_kv, k_pe) only — the MLA
+        # memory win (reference MLATokenToKVPool), not MHA-expanded K/V
+        pool = e.model_runner.kv_pool
+        assert isinstance(pool, MLALatentPool)
+        assert pool.ckv.shape[-1] == cfg.kv_lora_rank
+        assert pool.kpe.shape[-1] == KPE_PAD
+
         rng = np.random.default_rng(0)
         for n in (5, 21):
             prompt = rng.integers(3, VOCAB, size=n).tolist()
@@ -66,6 +75,15 @@ def test_deepseek_v2_lite_matches_hf(tmp_path_factory):
                     torch.tensor([prompt]), max_new_tokens=6, do_sample=False
                 )[0][n:].tolist()
             assert out["output_ids"] == ref, f"len {n}: {out['output_ids']} != {ref}"
+
+        # prefix-cache reuse through the latent pool: rerun the same
+        # prompt (radix hit) and a longer continuation
+        prompt = rng.integers(3, VOCAB, size=21).tolist()
+        sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+        first = e.generate(input_ids=prompt, sampling_params=sp)
+        again = e.generate(input_ids=prompt, sampling_params=sp)
+        assert again["output_ids"] == first["output_ids"]
+        assert again["meta_info"]["cached_tokens"] > 0
     finally:
         e.shutdown()
 
