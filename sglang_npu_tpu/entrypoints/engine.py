@@ -69,22 +69,39 @@ class Engine:
 
         self.model_runner = ModelRunner(server_args, self.model_config)
 
-        # Speculative decoding: standalone draft model sharing the page
-        # allocator (same KV slot ids in a smaller parallel pool).
+        # Speculative decoding: EAGLE (hidden-state draft head + tree
+        # verify) or a standalone draft model sharing the page allocator
+        # (same KV slot ids in a smaller parallel pool).
         self.draft_runner = None
+        self.eagle_runner = None
         if server_args.speculative_draft_model_path:
-            draft_cfg = ModelConfig.from_model_path(
-                server_args.speculative_draft_model_path, dtype=server_args.dtype
-            )
-            if draft_cfg.vocab_size != self.model_config.vocab_size:
-                raise ValueError("draft model vocab size must match target")
-            self.draft_runner = ModelRunner(
-                server_args,
-                draft_cfg,
-                mesh=self.model_runner.mesh,
-                num_pages_override=self.model_runner.num_pages,
-                model_path_override=server_args.speculative_draft_model_path,
-            )
+            if (server_args.speculative_algorithm or "").upper() in (
+                "EAGLE", "EAGLE3", "NEXTN",
+            ):
+                from sglang_npu_tpu.model_executor.eagle_runner import (
+                    EagleRunner,
+                )
+
+                self.eagle_runner = EagleRunner(
+                    server_args, self.model_runner
+                )
+                self.model_runner.eagle = self.eagle_runner
+            else:
+                draft_cfg = ModelConfig.from_model_path(
+                    server_args.speculative_draft_model_path,
+                    dtype=server_args.dtype,
+                )
+                if draft_cfg.vocab_size != self.model_config.vocab_size:
+                    raise ValueError(
+                        "draft model vocab size must match target"
+                    )
+                self.draft_runner = ModelRunner(
+                    server_args,
+                    draft_cfg,
+                    mesh=self.model_runner.mesh,
+                    num_pages_override=self.model_runner.num_pages,
+                    model_path_override=server_args.speculative_draft_model_path,
+                )
 
         self._sched_in: queue.Queue = queue.Queue()
         self._detok_in: queue.Queue = queue.Queue()
@@ -97,6 +114,7 @@ class Engine:
             output_queue=self._detok_in,
             tokenizer=self.tokenizer,
             draft_runner=self.draft_runner,
+            eagle_runner=self.eagle_runner,
         )
         self.detokenizer = DetokenizerManager(
             self.tokenizer, self._detok_in, self._detok_out

@@ -147,6 +147,11 @@ class Req:
         self.queue_time: Optional[float] = None
         self.created_time: Optional[float] = None
 
+        # EAGLE speculative state (hidden-buffer slot + lifecycle flags)
+        self.hidden_slot: Optional[int] = None
+        self.eagle_started = False  # first prefill chunk done
+        self.eagle_ready = False  # draft KV/hidden valid for spec rounds
+
     # ------------------------------------------------------------------
     @property
     def seq_len(self) -> int:
@@ -199,6 +204,8 @@ class Req:
         self.locked_node = None
         self.extend_input_len = 0
         self.vid += 1
+        self.eagle_started = False
+        self.eagle_ready = False
 
     # ------------------------------------------------------------------
     def check_finished(self, stop_tokenizer=None) -> None:
@@ -278,6 +285,10 @@ class ModelWorkerBatch:
     return_input_logprob: bool = False
     # LoRA adapter slot per request (0 = no adapter); None when disabled
     lora_ids: Optional[np.ndarray] = None
+    # EAGLE: per-request hidden-state buffer slots ([B] int32) and
+    # first-chunk flags (no boundary hidden exists yet)
+    hidden_slots: Optional[np.ndarray] = None
+    eagle_first: Optional[np.ndarray] = None
 
     @property
     def batch_size(self) -> int:

@@ -87,10 +87,14 @@ class Scheduler:
         output_queue: "queue.Queue",
         tokenizer=None,
         draft_runner=None,
+        eagle_runner=None,
     ):
         self.server_args = server_args
         self.runner = model_runner
         self.draft_runner = draft_runner
+        self.eagle = eagle_runner
+        if eagle_runner is not None:
+            self._hidden_slot_free = list(range(eagle_runner.max_slots))
         self.spec_steps = max(server_args.speculative_num_steps, 1)
         self.input_queue = input_queue
         self.output_queue = output_queue
@@ -189,7 +193,10 @@ class Scheduler:
                     self._consecutive_failures = 0
                     continue
                 if mwb.spec and not is_prefill:
-                    self.run_spec_round(mwb)
+                    if self.eagle is not None:
+                        self.run_eagle_round(mwb)
+                    else:
+                        self.run_spec_round(mwb)
                     self.forward_ct += 1
                     self._consecutive_failures = 0
                     continue
@@ -392,12 +399,12 @@ class Scheduler:
             # immediately (mirrors the single-rid path) so clients don't hang.
             for req in self.waiting_queue:
                 req.finished_reason = FINISH_ABORT()
-                self._rid_to_req.pop(req.rid, None)
+                self._rid_to_req.pop(req.rid, None); self._release_hidden_slot(req)
                 self._emit_finished_stub(req)
             self.waiting_queue = []
             for req, _fut in self.grammar_queue:
                 req.finished_reason = FINISH_ABORT()
-                self._rid_to_req.pop(req.rid, None)
+                self._rid_to_req.pop(req.rid, None); self._release_hidden_slot(req)
                 self._emit_finished_stub(req)
             self.grammar_queue = []
             # Running requests get aborted at their next check_finished.
@@ -442,7 +449,7 @@ class Scheduler:
             except Exception:
                 logger.exception("KV release during batch abort failed")
             req.finished_reason = FINISH_ABORT(message)
-            self._rid_to_req.pop(req.rid, None)
+            self._rid_to_req.pop(req.rid, None); self._release_hidden_slot(req)
             self._emit_finished_stub(req)
 
     def _abort_all_inflight(self, message: str):
@@ -470,6 +477,8 @@ class Scheduler:
         self.tree_cache.reset()
         self.allocator.clear()
         self.runner.flush_kv()
+        if self.eagle is not None:
+            self.eagle.flush()
         return True
 
     def get_internal_state(self) -> Dict[str, Any]:
@@ -500,6 +509,8 @@ class Scheduler:
             self.last_prefill_batch = prefill
             mwb = prefill.prepare_for_extend()
             self._attach_grammar_masks(mwb, prefill.reqs)
+            if self.eagle is not None:
+                self._attach_eagle_slots(mwb, prefill.reqs)
             return mwb, True
 
         if self.running_batch.is_empty():
@@ -578,6 +589,34 @@ class Scheduler:
             adder.can_run_list, self.allocator, self.tree_cache
         )
 
+    def _attach_eagle_slots(self, mwb: ModelWorkerBatch, reqs: List[Req]):
+        """Assign hidden-buffer slots and first-chunk flags for the EAGLE
+        fused prefill (draft extend + hidden capture)."""
+        for r in reqs:
+            if r.hidden_slot is None:
+                r.hidden_slot = (
+                    self._hidden_slot_free.pop()
+                    if self._hidden_slot_free
+                    else None
+                )
+        if any(r.hidden_slot is None for r in reqs):
+            return  # out of slots: prefill runs without draft extend
+        if mwb.return_logprob:
+            # logprob prefills take the non-eagle step path; their draft
+            # state stays invalid so spec rounds skip them
+            return
+        mwb.hidden_slots = np.array(
+            [r.hidden_slot for r in reqs], dtype=np.int32
+        )
+        mwb.eagle_first = np.array(
+            [not r.eagle_started for r in reqs], dtype=bool
+        )
+
+    def _release_hidden_slot(self, req: Req):
+        if self.eagle is not None and req.hidden_slot is not None:
+            self._hidden_slot_free.append(req.hidden_slot)
+            req.hidden_slot = None
+
     def _decode_window(self) -> int:
         """Decode steps fused per dispatch; collapse to 1 when per-token
         host work is required (logprobs, grammar) — mirrors the reference
@@ -591,17 +630,20 @@ class Scheduler:
 
     def _spec_possible(self) -> bool:
         """Speculative rounds: greedy-only, no grammar/logprob (v1)."""
-        return (
-            self.draft_runner is not None
-            and bool(self.running_batch.reqs)
-            and all(
-                r.sampling_params.is_greedy
-                and r.grammar is None
-                and not r.return_logprob
-                and getattr(r, "lora_id", 0) == 0
-                for r in self.running_batch.reqs
-            )
+        if self.draft_runner is None and self.eagle is None:
+            return False
+        if not self.running_batch.reqs:
+            return False
+        ok = all(
+            r.sampling_params.is_greedy
+            and r.grammar is None
+            and not r.return_logprob
+            and getattr(r, "lora_id", 0) == 0
+            for r in self.running_batch.reqs
         )
+        if self.eagle is not None:
+            ok = ok and all(r.eagle_ready for r in self.running_batch.reqs)
+        return ok
 
     def run_spec_round(self, mwb: ModelWorkerBatch):
         """One draft-then-verify round (reference
@@ -635,6 +677,68 @@ class Scheduler:
         batch.filter_batch()
         self._maybe_log()
 
+    def run_eagle_round(self, mwb: ModelWorkerBatch):
+        """One EAGLE draft->tree-verify->commit round (reference
+        `eagle_worker.forward_batch_speculative_generation:325`): the
+        chain-with-siblings tree is drafted and verified in one fused
+        dispatch; the host walks the tree greedily and a second dispatch
+        commits accepted rows + corrects the draft KV."""
+        batch = self.running_batch
+        S, K = self.eagle.steps, self.eagle.topk
+        cand, preds, residuals = self.eagle.draft_verify(mwb)
+        B = mwb.real_bs
+        fed = np.concatenate(
+            [mwb.input_ids[:, None], cand.reshape(B, S * K)], axis=1
+        ).astype(np.int32)
+        C = S + 1
+        gather_idx = np.zeros((B, C), np.int32)
+        parent_idx = np.zeros((B, C), np.int32)
+        commit_lens = np.ones((B,), np.int32)
+        last_node = np.zeros((B,), np.int32)
+        new_tokens: List[List[int]] = []
+        for i in range(B):
+            cur = 0
+            accepted = []
+            for s in range(S):
+                pred = int(preds[i, cur])
+                if pred == int(cand[i, s, 0]):
+                    nxt = 1 + s * K
+                    accepted.append((pred, nxt))
+                    cur = nxt
+                    continue
+                hits = np.nonzero(cand[i, s] == pred)[0]
+                if len(hits) > 0:
+                    nxt = 1 + s * K + int(hits[0])
+                    accepted.append((pred, nxt))
+                    cur = nxt
+                break
+            for c, (_tok, node) in enumerate(accepted):
+                gather_idx[i, c + 1] = node
+                parent_idx[i, c + 1] = gather_idx[i, c]
+            commit_lens[i] = 1 + len(accepted)
+            last_node[i] = cur
+            bonus = int(preds[i, cur])
+            new_tokens.append([t for t, _ in accepted] + [bonus])
+
+        self.eagle.commit(
+            mwb, residuals, fed, gather_idx, parent_idx, last_node,
+            commit_lens,
+        )
+
+        for i, req in enumerate(batch.reqs):
+            for t in new_tokens[i]:
+                if req.finished:
+                    break
+                self._append_token(req, t)
+                self.num_generated_tokens += 1
+            req.spec_accepted_tokens += commit_lens[i] - 1
+            self.allocator.shrink_req(req, len(req.fill_ids) - 1)
+            if req.finished:
+                self.tree_cache.cache_finished_req(req)
+        self._emit_outputs(batch.reqs)
+        batch.filter_batch()
+        self._maybe_log()
+
     def update_running_batch(self) -> Optional[ModelWorkerBatch]:
         batch = self.running_batch
         batch.filter_batch()
@@ -656,6 +760,10 @@ class Scheduler:
                 return None
         mwb = batch.prepare_for_decode(self._decode_window())
         mwb.spec = self._spec_possible()
+        if mwb.spec and self.eagle is not None:
+            mwb.hidden_slots = np.array(
+                [r.hidden_slot for r in batch.reqs], dtype=np.int32
+            )
         return mwb
 
     # ------------------------------------------------------------------
@@ -671,8 +779,13 @@ class Scheduler:
         if is_prefill:
             batch = self.last_prefill_batch
             self.last_prefill_batch = None
+            eagle_ran = mwb.hidden_slots is not None
             new_running = []
             for i, req in enumerate(batch.reqs):
+                if eagle_ran:
+                    req.eagle_started = True
+                    if req.is_chunked == 0:
+                        req.eagle_ready = True
                 # Accumulate teacher-forced input logprobs chunk by chunk
                 # (reference accumulates per chunk in process_batch_result;
                 # deferring to the final chunk livelocked long regions).
@@ -744,7 +857,7 @@ class Scheduler:
                 self.tree_cache.cache_unfinished_req(req)
                 continue
             req.finished_reason = FINISH_LENGTH(0)
-            self._rid_to_req.pop(req.rid, None)
+            self._rid_to_req.pop(req.rid, None); self._release_hidden_slot(req)
             self.tree_cache.cache_finished_req(req)
             done.append(req)
             embs.append(embeddings[i].tolist())
@@ -772,7 +885,7 @@ class Scheduler:
         req.output_ids.append(first_token)
         req.fill_ids.append(first_token)
         req.finished_reason = FINISH_LENGTH(0)
-        self._rid_to_req.pop(req.rid, None)
+        self._rid_to_req.pop(req.rid, None); self._release_hidden_slot(req)
         self.tree_cache.cache_finished_req(req)
         self.output_queue.put(out)
 
@@ -845,7 +958,7 @@ class Scheduler:
             from sglang_npu_tpu.managers.schedule_batch import FINISH_LENGTH
 
             req.finished_reason = FINISH_LENGTH(0)
-            self._rid_to_req.pop(req.rid, None)
+            self._rid_to_req.pop(req.rid, None); self._release_hidden_slot(req)
             return
         req.output_ids.append(token)
         req.fill_ids.append(token)
@@ -859,7 +972,7 @@ class Scheduler:
                 req.finished_reason = FINISH_MATCHED_TOKEN(token)
         req.check_finished(self.tokenizer)
         if req.finished:
-            self._rid_to_req.pop(req.rid, None)
+            self._rid_to_req.pop(req.rid, None); self._release_hidden_slot(req)
             sid = getattr(req, "session_id", None)
             if sid:
                 self.sessions.record_turn(
@@ -901,6 +1014,7 @@ class Scheduler:
             prompt_tokens=[len(r.origin_input_ids) for r in out_reqs],
             completion_tokens=[len(r.output_ids) for r in out_reqs],
             cached_tokens=[r.cached_tokens for r in out_reqs],
+            spec_accepted_tokens=[r.spec_accepted_tokens for r in out_reqs],
             output_token_logprobs=[
                 r.output_token_logprobs[r.stream_sent :]
                 if r.return_logprob

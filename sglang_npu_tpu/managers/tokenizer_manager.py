@@ -130,6 +130,8 @@ class TokenizerManager:
                 "completion_tokens": b.completion_tokens[i],
                 "cached_tokens": b.cached_tokens[i],
             }
+            if b.spec_accepted_tokens and i < len(b.spec_accepted_tokens):
+                meta["spec_accepted_tokens"] = b.spec_accepted_tokens[i]
             if b.output_token_logprobs and b.output_token_logprobs[i] is not None:
                 state.output_token_logprobs.extend(b.output_token_logprobs[i])
                 meta["output_token_logprobs"] = list(state.output_token_logprobs)

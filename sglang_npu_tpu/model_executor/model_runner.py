@@ -36,6 +36,7 @@ from sglang_npu_tpu.model_executor.forward_batch_info import (
     build_decode_forward_batch,
     build_extend_forward_batch,
     build_sampling_device,
+    pad_to,
 )
 from sglang_npu_tpu.model_loader.loader import load_model_weights
 from sglang_npu_tpu.models.registry import resolve_model_class
@@ -131,6 +132,7 @@ class ModelRunner:
         # RNG for sampling
         self.rng_base = jax.random.key(server_args.random_seed)
         self.step_counter = 0
+        self.eagle = None  # EagleRunner attached by the engine
 
         self._step_fn = self._build_step_fn()
         self._multi_fn = self._build_multi_step_fn()
@@ -333,7 +335,68 @@ class ModelRunner:
             params, kv_pool, fb: ForwardBatch, sampling, rng, sample_mode,
             return_logprob=False, top_logprobs_k=0, has_penalties=False,
             return_input_logprob=False, has_min_new=False,
+            d_params=None, eagle_state=None, hidden_slots=None,
+            eagle_first=None, with_eagle=False,
         ):
+            if with_eagle:
+                # EAGLE prefill: target trunk -> sample as usual, PLUS the
+                # draft-KV extend and hidden capture fused in this program
+                # (reference `forward_draft_extend`, eagle_worker.py:813 —
+                # fused here so target hiddens never cross the host link)
+                d_pool, hidden_buf = eagle_state
+                x, kv_pool = model.backbone_forward(
+                    params, kv_pool, fb, page_size
+                )
+                idx = jnp.maximum(fb.extend_seq_lens - 1, 0)
+                last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[
+                    :, 0
+                ]
+                head = (
+                    params["embed"]
+                    if "lm_head" not in params
+                    else params["lm_head"].T
+                )
+                logits = jnp.einsum(
+                    "bd,vd->bv", last, head,
+                    preferred_element_type=jnp.float32,
+                )
+                if has_penalties:
+                    co, ca = sampler_ops.build_penalty_counts(
+                        sampling, logits.shape[-1]
+                    )
+                    logits = sampler_ops.apply_penalties(
+                        logits, sampling, co, ca
+                    )
+                if sampling.vocab_mask is not None:
+                    logits = sampler_ops.apply_packed_vocab_mask(
+                        logits, sampling.vocab_mask
+                    )
+                if has_min_new:
+                    logits = sampler_ops.apply_min_new_tokens(
+                        logits, sampling, 0
+                    )
+                if sample_mode == "greedy":
+                    toks = sampler_ops.sample_greedy(logits, sampling, rng)
+                elif sample_mode == "simple":
+                    toks = sampler_ops.sample_simple(logits, sampling, rng)
+                else:
+                    toks = sampler_ops.sample_full(logits, sampling, rng)
+                # draft extend: pair token at position p with hidden at
+                # p-1 (chunk-boundary hidden comes from hidden_buf; zeros
+                # on a request's first chunk — no earlier hidden exists)
+                boundary_h = jnp.where(
+                    eagle_first[:, None], 0.0, hidden_buf[hidden_slots]
+                )  # [B, D]
+                prev_h = jnp.concatenate(
+                    [boundary_h[:, None], x[:, :-1]], axis=1
+                )
+                _, d_pool = self.eagle.model.forward(
+                    d_params, params["embed"], d_pool, fb, page_size, prev_h
+                )
+                hidden_buf = hidden_buf.at[hidden_slots].set(
+                    last.astype(hidden_buf.dtype), mode="drop"
+                )
+                return toks, kv_pool, (d_pool, hidden_buf)
             if return_input_logprob:
                 # input-logprob mode (prompt scoring / echo): full-position
                 # backbone, teacher-forced target logprobs + normal sampling.
@@ -392,7 +455,7 @@ class ModelRunner:
 
         return jax.jit(
             step,
-            donate_argnums=(1,),
+            donate_argnums=(1, 12),  # kv_pool, eagle_state
             static_argnames=(
                 "sample_mode",
                 "return_logprob",
@@ -400,6 +463,7 @@ class ModelRunner:
                 "has_penalties",
                 "return_input_logprob",
                 "has_min_new",
+                "with_eagle",
             ),
         )
 
@@ -553,6 +617,33 @@ class ModelRunner:
             fb = build_extend_forward_batch(
                 mwb, bs_bucket, extend_bucket, pages_bucket, self.page_size
             )
+            with_eagle = (
+                self.eagle is not None
+                and mwb.hidden_slots is not None
+                and not rl
+            )
+            if with_eagle:
+                out, self.kv_pool, eagle_state = self._step_fn(
+                    self.params,
+                    self.kv_pool,
+                    fb,
+                    sampling,
+                    rng,
+                    sample_mode=self._sample_mode(mwb),
+                    has_penalties=mwb.sampling_info.has_penalties,
+                    has_min_new=mwb.sampling_info.has_min_new,
+                    d_params=self.eagle.params,
+                    eagle_state=(self.eagle.kv_pool, self.eagle.hidden_buf),
+                    hidden_slots=jnp.asarray(
+                        pad_to(mwb.hidden_slots, bs_bucket)
+                    ),
+                    eagle_first=jnp.asarray(
+                        pad_to(mwb.eagle_first, bs_bucket, fill=True)
+                    ),
+                    with_eagle=True,
+                )
+                self.eagle.kv_pool, self.eagle.hidden_buf = eagle_state
+                return np.asarray(jax.device_get(out))[: mwb.real_bs], None
             out, self.kv_pool = self._step_fn(
                 self.params,
                 self.kv_pool,
@@ -568,8 +659,6 @@ class ModelRunner:
             )
         else:
             # decode: fused multi-step window
-            from sglang_npu_tpu.model_executor.forward_batch_info import pad_to
-
             K = mwb.decode_steps
             pt = pad_to(
                 pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0

@@ -116,6 +116,14 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                     suffix = ".".join(parts[3:])
                     if suffix in per_layer_map:
                         dest, transform = per_layer_map[suffix]
+                elif lookup.startswith("layers."):
+                    # EAGLE draft heads name layers without the "model."
+                    # prefix (yuhuili/EAGLE-* checkpoints)
+                    parts = lookup.split(".")
+                    layer_idx = int(parts[1])
+                    suffix = ".".join(parts[2:])
+                    if suffix in per_layer_map:
+                        dest, transform = per_layer_map[suffix]
                 if dest is None:
                     logger.debug("skipping unmapped weight %s", name)
                     continue

@@ -258,6 +258,63 @@ class LlamaForCausalLM:
         x = rms_norm(x, params["final_norm"], eps)
         return x, new_kv
 
+    def verify_forward(
+        self,
+        params: Dict[str, Any],
+        kv_pool: jax.Array,
+        fb: ForwardBatch,
+        page_size: int,
+        tree_mask: jax.Array,  # [T, T] bool ancestor-or-self
+    ):
+        """Speculative tree-verify trunk (reference TARGET_VERIFY): the
+        fed tokens attend the committed pool prefix plus in-flight
+        ancestors; the pool is NOT written.  Returns
+        (hidden [B, T, D], (k_stack, v_stack) [L, B, T, Hkv, Dh]) — the
+        per-layer fed K/V so the scheduler can commit accepted rows."""
+        from sglang_npu_tpu.ops.xla_attention import tree_verify_attention_xla
+
+        c = self.config
+        B, T = fb.input_ids.shape
+        x = params["embed"][fb.input_ids].astype(
+            jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        )
+        eps = c.rms_norm_eps
+        rope = self.rope
+
+        def layer_fn(carry, lp):
+            x, l = carry
+            h = rms_norm(x, lp["input_norm"], eps)
+            q = qmm(h, lp["wq"], "bed,dh->beh")
+            k = qmm(h, lp["wk"], "bed,dh->beh")
+            v = qmm(h, lp["wv"], "bed,dh->beh")
+            if "bq" in lp:
+                q = q + lp["bq"]
+                k = k + lp["bk"]
+                v = v + lp["bv"]
+            q = q.reshape(B, T, c.num_attention_heads, c.head_dim)
+            k = k.reshape(B, T, c.num_key_value_heads, c.head_dim)
+            v = v.reshape(B, T, c.num_key_value_heads, c.head_dim)
+            if "q_norm" in lp:
+                q = rms_norm(q, lp["q_norm"], eps)
+                k = rms_norm(k, lp["k_norm"], eps)
+            q, k = apply_rope(q, k, fb.positions, rope)
+            att = tree_verify_attention_xla(
+                q, k, v, kv_pool, l, fb.page_tables,
+                fb.extend_prefix_lens, tree_mask, page_size, self.scale,
+            )
+            x = x + qmm(
+                att.reshape(B, T, self.q_size), lp["wo"], "beh,hd->bed"
+            )
+            h2 = rms_norm(x, lp["post_norm"], eps)
+            x = x + self._mlp(h2, lp)
+            return (x, l + 1), (k, v)
+
+        (x, _), (k_stack, v_stack) = jax.lax.scan(
+            layer_fn, (x, jnp.int32(0)), params["layers"]
+        )
+        x = rms_norm(x, params["final_norm"], eps)
+        return x, (k_stack, v_stack)
+
     def token_logprobs_forward(
         self, params, kv_pool, fb: ForwardBatch, page_size: int, targets
     ):

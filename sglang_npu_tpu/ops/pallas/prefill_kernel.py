@@ -50,6 +50,7 @@ def _prefill_kernel(
     logit_cap: float,
     quantized: bool = False,
     qmax: float = 127.0,
+    write_only: bool = False,
 ):
     if quantized:
         (
@@ -278,7 +279,7 @@ def _prefill_kernel(
 
     q = q_ref[0].reshape(Hkv, QB * G, D).astype(jnp.float32) * scale
 
-    @pl.when(block_active)
+    @pl.when(jnp.logical_and(block_active, not write_only))
     def _attend():
         start_dma(0, 0)
 
@@ -376,6 +377,7 @@ def _prefill_kernel(
         "sliding_window",
         "logit_cap",
         "interpret",
+        "write_only",
     ),
 )
 def paged_prefill_attention_fused(
@@ -392,10 +394,13 @@ def paged_prefill_attention_fused(
     sliding_window: int = -1,
     logit_cap: float = 0.0,
     interpret: bool = False,
+    write_only: bool = False,
 ):
     """Fused extend write + causal attention. Returns (out, kv_pool).
 
-    ``kv_pool`` may be a plain array or a `quant_kv.PagedQuantKV`."""
+    ``kv_pool`` may be a plain array or a `quant_kv.PagedQuantKV`.
+    ``write_only`` skips the attention phase (speculative-commit path:
+    write accepted rows computed during tree verify)."""
     from sglang_npu_tpu.ops.pallas.quant_kv import PagedQuantKV
 
     quantized = isinstance(kv_pool, PagedQuantKV)
@@ -505,6 +510,7 @@ def paged_prefill_attention_fused(
         logit_cap=logit_cap,
         quantized=quantized,
         qmax=qmax,
+        write_only=write_only,
     )
 
     outs = pl.pallas_call(

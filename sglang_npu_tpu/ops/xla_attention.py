@@ -98,6 +98,82 @@ def _write_kv_quant(
     return QuantKVPool(data, scale)
 
 
+def tree_verify_attention_xla(
+    q: jax.Array,  # [B, T, H_q, D] queries for the speculation tree
+    k_fed: jax.Array,  # [B, T, H_kv, D] in-flight keys (NOT in the pool)
+    v_fed: jax.Array,  # [B, T, H_kv, D]
+    kv_pool,  # pool holding committed positions 0..prefix-1
+    layer_idx: jax.Array,
+    page_tables: jax.Array,  # [B, P]
+    prefix_lens: jax.Array,  # [B] committed KV length (root excluded)
+    tree_mask: jax.Array,  # [T, T] bool: j is ancestor-or-self of i
+    page_size: int,
+    scale: float,
+) -> jax.Array:
+    """Speculative tree-verify attention (reference TARGET_VERIFY mode,
+    `eagle_utils.py:226` custom tree masks): each tree node attends the
+    committed pool prefix plus its in-flight ancestors.  The pool is only
+    READ — candidate KV never lands in it (a rejected branch would
+    otherwise need rollback copies)."""
+    B, T, Hq, D = q.shape
+    P = page_tables.shape[1]
+    Hkv = k_fed.shape[2]
+    group = Hq // Hkv
+    Lkv = P * page_size
+
+    if isinstance(kv_pool, QuantKVPool):
+        k = kv_pool.data[layer_idx, 0, :, page_tables].astype(jnp.float32)
+        v = kv_pool.data[layer_idx, 1, :, page_tables].astype(jnp.float32)
+        k = k * kv_pool.scale[layer_idx, 0, :, page_tables][..., None]
+        v = v * kv_pool.scale[layer_idx, 1, :, page_tables][..., None]
+    else:
+        k = kv_pool[layer_idx, 0, :, page_tables]  # [B, P, Hkv, ps, D]
+        v = kv_pool[layer_idx, 1, :, page_tables]
+
+    qg = q.reshape(B, T, Hkv, group, D)
+    s_pool = (
+        jnp.einsum(
+            "bthgd,bphsd->bthgps", qg, k, preferred_element_type=jnp.float32
+        ).reshape(B, T, Hkv, group, Lkv)
+        * scale
+    )
+    kv_pos = jnp.arange(Lkv, dtype=jnp.int32)[None, None, :]
+    pool_mask = kv_pos < prefix_lens[:, None, None]  # [B, 1, Lkv]
+    s_pool = jnp.where(pool_mask[:, :, None, None, :], s_pool, NEG_INF)
+
+    s_fly = (
+        jnp.einsum(
+            "bihgd,bjhd->bhgij",
+            qg,
+            k_fed,
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )  # [B, Hkv, group, T, T]
+    s_fly = jnp.where(
+        tree_mask[None, None, None, :, :], s_fly, NEG_INF
+    )
+
+    # joint softmax over [pool | fed]
+    s_all = jnp.concatenate(
+        [
+            s_pool.transpose(0, 2, 3, 1, 4),  # [B, Hkv, g, T, Lkv]
+            s_fly,
+        ],
+        axis=-1,
+    )
+    p_all = jax.nn.softmax(s_all, axis=-1).astype(q.dtype)
+    p_pool = p_all[..., :Lkv].reshape(B, Hkv, group, T, P, page_size)
+    p_fly = p_all[..., Lkv:]
+    out = jnp.einsum(
+        "bhgtps,bphsd->bthgd", p_pool, v, preferred_element_type=jnp.float32
+    )
+    out = out + jnp.einsum(
+        "bhgij,bjhd->bihgd", p_fly, v_fed, preferred_element_type=jnp.float32
+    )
+    return out.reshape(B, T, Hq, D).astype(q.dtype)
+
+
 def paged_attention_xla(
     q: jax.Array,  # [B, E, H_q, D]
     kv_pool: jax.Array,  # [L, 2, H_kv, S, D]
