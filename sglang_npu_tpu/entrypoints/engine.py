@@ -67,6 +67,13 @@ class Engine:
                 trust_remote_code=server_args.trust_remote_code,
             )
 
+        if server_args.nnodes > 1 and server_args.node_rank == 0:
+            self._init_multihost_entry(server_args)
+            return
+        if server_args.dp_size > 1:
+            self._init_data_parallel(server_args)
+            return
+
         self.model_runner = ModelRunner(server_args, self.model_config)
 
         # Speculative decoding: EAGLE (hidden-state draft head + tree
@@ -124,8 +131,150 @@ class Engine:
         )
         self._sched_thread = run_scheduler_thread(self.scheduler)
         self._detok_thread = run_detokenizer_thread(self.detokenizer)
+        self.schedulers = [self.scheduler]
+        self.dp_controller = None
+        self._num_control_responders = 1
         self._shutdown = False
         logger.info("Engine ready (model=%s)", server_args.model_path)
+
+    # ------------------------------------------------------------------
+    def _init_multihost_entry(self, server_args: ServerArgs):
+        """Entry node of a multi-host deployment: no local model — worker
+        nodes (launch_worker, node_rank >= 1) run the schedulers; this
+        node runs the tokenizer manager, detokenizer, and the DP
+        controller over the ZMQ control plane (reference multi-node
+        topology, `engine.py:674-821`)."""
+        from sglang_npu_tpu.managers.data_parallel_controller import (
+            DataParallelController,
+            run_controller_thread,
+        )
+        from sglang_npu_tpu.managers.detokenizer_manager import (
+            DetokenizerManager,
+            run_detokenizer_thread,
+        )
+        from sglang_npu_tpu.managers.tokenizer_manager import TokenizerManager
+        from sglang_npu_tpu.managers.zmq_transport import entry_node_queues
+
+        assert server_args.dist_init_addr, "--dist-init-addr required"
+        num_workers = server_args.nnodes - 1
+        self._sched_in = queue.Queue()
+        self._detok_out = queue.Queue()
+        self._replica_queues, self._detok_in = entry_node_queues(
+            server_args.dist_init_addr, num_workers
+        )
+        self.model_runner = None
+        self.scheduler = None
+        self.schedulers = []
+        self.draft_runner = None
+        self.eagle_runner = None
+
+        self.dp_controller = DataParallelController(
+            self._sched_in,
+            self._replica_queues,
+            schedulers=None,
+            method=server_args.load_balance_method,
+        )
+        self._controller_thread = run_controller_thread(self.dp_controller)
+        self.detokenizer = DetokenizerManager(
+            self.tokenizer, self._detok_in, self._detok_out
+        )
+        self.tokenizer_manager = TokenizerManager(
+            server_args, self._sched_in, self._detok_out, self.tokenizer
+        )
+        self._detok_thread = run_detokenizer_thread(self.detokenizer)
+        self._sched_threads = []
+        self._num_control_responders = num_workers
+        self._shutdown = False
+        logger.info(
+            "Engine entry node ready (%d remote workers via %s)",
+            num_workers, server_args.dist_init_addr,
+        )
+
+    # ------------------------------------------------------------------
+    def _init_data_parallel(self, server_args: ServerArgs):
+        """dp_size > 1: one Scheduler+ModelRunner replica per tp-sized
+        device submesh, dispatched by a DataParallelController (reference
+        `data_parallel_controller.py:65` process tree, as threads)."""
+        import jax
+        import numpy as np
+
+        from sglang_npu_tpu.managers.data_parallel_controller import (
+            DataParallelController,
+            run_controller_thread,
+        )
+        from sglang_npu_tpu.managers.detokenizer_manager import (
+            DetokenizerManager,
+            run_detokenizer_thread,
+        )
+        from sglang_npu_tpu.managers.scheduler import (
+            Scheduler,
+            run_scheduler_thread,
+        )
+        from sglang_npu_tpu.managers.tokenizer_manager import TokenizerManager
+        from sglang_npu_tpu.model_executor.model_runner import ModelRunner
+        from sglang_npu_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        from jax.sharding import Mesh
+
+        dp, tp = server_args.dp_size, server_args.tp_size
+        devices = jax.devices()
+        if dp * tp > len(devices):
+            raise ValueError(
+                f"dp={dp} x tp={tp} needs {dp * tp} devices, "
+                f"have {len(devices)}"
+            )
+        self._sched_in = queue.Queue()
+        self._detok_in = queue.Queue()
+        self._detok_out = queue.Queue()
+
+        self.runners = []
+        self.schedulers = []
+        self._replica_queues = []
+        self._sched_threads = []
+        for r in range(dp):
+            sub = devices[r * tp : (r + 1) * tp]
+            mesh = Mesh(
+                np.asarray(sub).reshape(1, tp), (DATA_AXIS, MODEL_AXIS)
+            )
+            runner = ModelRunner(server_args, self.model_config, mesh=mesh)
+            rq = queue.Queue()
+            sched = Scheduler(
+                server_args,
+                runner,
+                input_queue=rq,
+                output_queue=self._detok_in,
+                tokenizer=self.tokenizer,
+            )
+            self.runners.append(runner)
+            self.schedulers.append(sched)
+            self._replica_queues.append(rq)
+            self._sched_threads.append(run_scheduler_thread(sched))
+        self.model_runner = self.runners[0]
+        self.scheduler = self.schedulers[0]
+        self.draft_runner = None
+        self.eagle_runner = None
+
+        self.dp_controller = DataParallelController(
+            self._sched_in,
+            self._replica_queues,
+            self.schedulers,
+            method=server_args.load_balance_method,
+        )
+        self._controller_thread = run_controller_thread(self.dp_controller)
+
+        self.detokenizer = DetokenizerManager(
+            self.tokenizer, self._detok_in, self._detok_out
+        )
+        self.tokenizer_manager = TokenizerManager(
+            server_args, self._sched_in, self._detok_out, self.tokenizer
+        )
+        self._detok_thread = run_detokenizer_thread(self.detokenizer)
+        self._num_control_responders = dp
+        self._shutdown = False
+        logger.info(
+            "Engine ready (model=%s, dp=%d x tp=%d)",
+            server_args.model_path, dp, tp,
+        )
 
     # ------------------------------------------------------------------
     def generate(
@@ -178,13 +327,25 @@ class Engine:
     # ------------------------------------------------------------------
     def flush_cache(self) -> bool:
         self._sched_in.put(FlushCacheReqInput())
-        out = self.tokenizer_manager.control_mailbox.get(timeout=30)
-        return out.success
+        ok = True
+        for _ in range(self._num_control_responders):  # one per replica
+            out = self.tokenizer_manager.control_mailbox.get(timeout=30)
+            ok = ok and out.success
+        return ok
 
     def get_internal_state(self) -> Dict[str, Any]:
         self._sched_in.put(GetInternalStateReq())
-        out = self.tokenizer_manager.control_mailbox.get(timeout=30)
-        return out.internal_state
+        states = [
+            self.tokenizer_manager.control_mailbox.get(timeout=30).internal_state
+            for _ in range(self._num_control_responders)
+        ]
+        if len(states) == 1:
+            return states[0]
+        merged = dict(states[0])
+        merged["replicas"] = states
+        for k in ("num_running_reqs", "num_waiting_reqs", "forward_ct"):
+            merged[k] = sum(s[k] for s in states)
+        return merged
 
     def abort_request(self, rid: str = "", abort_all: bool = False):
         self.tokenizer_manager.abort_request(rid, abort_all)
@@ -293,10 +454,14 @@ class Engine:
         if self._shutdown:
             return
         self._shutdown = True
-        self.scheduler.shutdown()
+        if getattr(self, "dp_controller", None) is not None:
+            self.dp_controller.shutdown()
+        for s in self.schedulers:
+            s.shutdown()
         self.detokenizer.shutdown()
         self.tokenizer_manager.shutdown()
-        self._sched_thread.join(timeout=5)
+        for t in getattr(self, "_sched_threads", None) or [self._sched_thread]:
+            t.join(timeout=5)
         self._detok_thread.join(timeout=5)
 
     def __enter__(self):

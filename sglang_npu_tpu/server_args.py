@@ -98,6 +98,8 @@ class ServerArgs:
     nnodes: int = 1
     node_rank: int = 0
     dist_init_addr: Optional[str] = None
+    # dp dispatch policy (reference LoadBalanceMethod, dp controller)
+    load_balance_method: str = "round_robin"
 
     # ------------------------------------------------------------------
     # Sampling / decoding extensions
