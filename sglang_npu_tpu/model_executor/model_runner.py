@@ -163,22 +163,31 @@ class ModelRunner:
             # (ops/mla_attention.py); the MHA kernel family does not apply
             self.attention_backend_name = "mla"
             self.model.attn_backend = None
+            self.kv_head_dim = self.model_config.head_dim
             return
         if name is None:
             on_tpu = jax.default_backend() not in ("cpu",)
-            # pallas kernels need 128-lane-aligned head_dim and (under TP)
-            # evenly sharded KV heads (shard_map over the model axis).
+            # pallas kernels need (under TP) evenly sharded KV heads
+            # (shard_map over the model axis).  head_dim < 128 models run
+            # with the pool lane-padded to 128 (see kv_head_dim below).
             # int8 KV runs through the kernels' PagedQuantKV path; fp8 KV
             # stays on XLA until its Mosaic casts are validated on-chip.
             name = (
                 "pallas"
                 if on_tpu
-                and self.model_config.head_dim % 128 == 0
                 and (tp == 1 or self.model_config.num_key_value_heads % tp == 0)
                 and self.kv_dtype != jnp.float8_e4m3fn
                 else "xla"
             )
         self.attention_backend_name = name
+        # Mosaic page DMAs slice only leading pool dims, so the trailing
+        # (page_size, head_dim) tile must be whole — pools for D<128 models
+        # (e.g. Llama-3.2-1B, D=64) are lane-padded to 128 and the backend
+        # pads q/k/v at the kernel boundary (BASELINE config 1 stays on the
+        # pallas path instead of falling back to XLA).
+        self.kv_head_dim = self.model_config.head_dim
+        if name == "pallas" and self.kv_head_dim % 128 != 0:
+            self.kv_head_dim = cdiv(self.kv_head_dim, 128) * 128
         if name == "xla":
             self.model.attn_backend = None  # model falls back to XLA path
         elif name == "pallas":
@@ -205,6 +214,11 @@ class ModelRunner:
         kv_bytes_per_page = c.kv_bytes_per_token(
             jnp.dtype(self.kv_dtype).itemsize
         ) * self.page_size
+        if not c.is_mla and self.kv_head_dim != c.head_dim:
+            # pool is lane-padded for the pallas kernels — size accordingly
+            kv_bytes_per_page = (
+                kv_bytes_per_page * self.kv_head_dim // c.head_dim
+            )
         # KV heads are sharded over the model axis -> per-device bytes
         # shrink (MLA latent is replicated: no division)
         tp = tp_degree(self.mesh)
@@ -278,7 +292,7 @@ class ModelRunner:
             c.num_key_value_heads,
             self.num_pages,
             self.page_size,
-            c.head_dim,
+            self.kv_head_dim,  # lane-padded to 128 on the pallas path
         )
         tp = tp_degree(self.mesh)
         spec = (
@@ -907,7 +921,13 @@ class ModelRunner:
             jnp.asarray(sl // self.page_size),
             jnp.asarray(sl % self.page_size),
         )
-        return np.asarray(jax.device_get(out))[:, :, :, :n]
+        rows = np.asarray(jax.device_get(out))[:, :, :, :n]
+        c = self.model_config
+        if not c.is_mla and rows.shape[-1] != c.head_dim:
+            # drop the pallas lane padding: host backups / PD wire rows
+            # stay at the model's true head_dim
+            rows = rows[..., : c.head_dim]
+        return rows
 
     def scatter_kv(self, slots: np.ndarray, host_kv: np.ndarray) -> None:
         """Host -> device restore of KV rows (layout from gather_kv)."""
@@ -916,6 +936,13 @@ class ModelRunner:
         padded = next_power_of_2(max(n, 8))
         sl = np.zeros(padded, np.int32)
         sl[:n] = slots
+        c = self.model_config
+        if not c.is_mla and host_kv.shape[-1] == c.head_dim != self.kv_head_dim:
+            host_kv = np.pad(
+                host_kv,
+                [(0, 0)] * (host_kv.ndim - 1)
+                + [(0, self.kv_head_dim - c.head_dim)],
+            )
         vals = np.zeros(
             host_kv.shape[:3] + (padded,) + host_kv.shape[4:], host_kv.dtype
         )

@@ -33,6 +33,8 @@ def make_pallas_attention_backend(mesh=None):
     tp = mesh.shape[MODEL_AXIS] if mesh is not None else 1
 
     def backend(q, k, v, kv_pool, layer_idx, fb, page_size, scale, config):
+        import jax.numpy as jnp
+
         B, E, Hq, D = q.shape
         sliding_window = config.sliding_window or -1
         logit_cap = getattr(config, "logit_cap", 0.0) or 0.0
@@ -41,6 +43,18 @@ def make_pallas_attention_backend(mesh=None):
 
         interp = _interpret()
         is_quant = isinstance(kv_pool, PagedQuantKV)
+        pool_data = kv_pool.data if is_quant else kv_pool
+        Dp = pool_data.shape[-1] if not isinstance(kv_pool, QuantKVPool) else D
+        true_D = D
+        if Dp != D:
+            # D<128 model on a lane-padded pool (model_runner.kv_head_dim):
+            # zero-pad q/k/v — padded K lanes are zero so scores are exact,
+            # padded V lanes are zero so the output pad slices off clean.
+            pad = [(0, 0)] * (q.ndim - 1) + [(0, Dp - D)]
+            q = jnp.pad(q, pad)
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
+            D = Dp
         kernel_ok = ((D % 128 == 0) or interp) and not isinstance(
             kv_pool, QuantKVPool
         )
@@ -89,7 +103,7 @@ def make_pallas_attention_backend(mesh=None):
                 q[:, 0], k[:, 0], v[:, 0], kv_pool,
                 fb.page_tables, fb.seq_lens, layer_idx,
             )
-            return out[:, None], kv_pool
+            return out[:, None, :, :true_D], kv_pool
 
         if (
             E > 1
@@ -135,7 +149,7 @@ def make_pallas_attention_backend(mesh=None):
                 q, k, v, kv_pool,
                 fb.page_tables, fb.seq_lens, fb.extend_prefix_lens, layer_idx,
             )
-            return out, kv_pool
+            return out[..., :true_D], kv_pool
 
         if is_quant:
             # the XLA fallback cannot touch a pallas quant pool (scatter
@@ -157,6 +171,6 @@ def make_pallas_attention_backend(mesh=None):
             scale,
             sliding_window=sliding_window,
         )
-        return out, kv_pool
+        return out[..., :true_D], kv_pool
 
     return backend

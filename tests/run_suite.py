@@ -22,6 +22,8 @@ SUITES = {
         "test_constrained.py",
         "test_pallas_decode.py",
         "test_pallas_prefill.py",
+        "test_pallas_quant_kv.py",
+        "test_pallas_padded_head_dim.py",
         "test_model_numerics.py",
         "test_engine.py",
         "test_http_server.py",
@@ -44,6 +46,10 @@ SUITES = {
         "test_qwen3.py",
         "test_launch_server.py",
         "test_tensor_parallel.py",
+        "test_w4_quantization.py",
+        "test_eagle.py",
+        "test_data_parallel.py",
+        "test_round2_fixes.py",
     ],
     # real-chip smoke (driver/nightly): engine throughput floor
     "per-commit-tpu": ["__bench_quick__"],
