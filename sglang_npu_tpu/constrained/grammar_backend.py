@@ -29,7 +29,7 @@ logger = logging.getLogger(__name__)
 class FsmGrammar:
     """Per-request grammar state (reference `BaseGrammarObject`)."""
 
-    def __init__(self, dfa: LazyDFA, vocab: TokenVocab):
+    def __init__(self, dfa: LazyDFA, vocab: TokenVocab, device=None):
         self.dfa = dfa
         self.vocab = vocab
         self.state = dfa.start
@@ -37,6 +37,17 @@ class FsmGrammar:
         self._mask_cache: Dict[int, np.ndarray] = {}
         self.finished = False
         self.error = False
+        # dense on-device DFA tables (constrained/device_fsm.py); None when
+        # the DFA was too large — the scheduler then uses the host K=1 path
+        self.device = device
+
+    def device_state_id(self) -> int:
+        """Current state as a dense device-table row (FIN when finished)."""
+        if self.finished or self.device is None:
+            return -1  # caller maps to the stacked FIN row
+        if self.dfa.is_dead(self.state):
+            return -2  # caller maps to the stacked DEAD row
+        return self.device.state_index[self.state]
 
     def accept_token(self, token_id: int) -> bool:
         self._state_stack.append(self.state)
@@ -119,7 +130,7 @@ class GrammarBackend:
     def __init__(self, tokenizer, vocab_size: int, num_threads: int = 2):
         self.tokenizer = tokenizer
         self.vocab_size = vocab_size
-        self._dfa_cache: Dict[Tuple[str, str], LazyDFA] = {}
+        self._dfa_cache: Dict[Tuple[str, str], tuple] = {}  # (dfa, device)
         self._lock = threading.Lock()
         self._pool = concurrent.futures.ThreadPoolExecutor(num_threads)
         self._vocab: Optional[TokenVocab] = None
@@ -132,8 +143,8 @@ class GrammarBackend:
     def _compile(self, kind: str, spec: str) -> FsmGrammar:
         key = (kind, spec)
         with self._lock:
-            dfa = self._dfa_cache.get(key)
-        if dfa is None:
+            cached = self._dfa_cache.get(key)
+        if cached is None:
             if kind == "json":
                 pattern = build_json_regex(spec)
             elif kind == "regex":
@@ -141,9 +152,23 @@ class GrammarBackend:
             else:
                 raise ValueError(f"unsupported grammar kind {kind}")
             dfa = LazyDFA(pattern)
+            # Materialize dense device tables on this compile thread so the
+            # fused K-step decode window can mask+transition without host
+            # round-trips (falls back to None for huge DFAs).
+            from sglang_npu_tpu.constrained.device_fsm import (
+                build_device_grammar,
+            )
+
+            try:
+                device = build_device_grammar(dfa, self._get_vocab())
+            except Exception:
+                logger.exception("device grammar build failed; host fallback")
+                device = None
+            cached = (dfa, device)
             with self._lock:
-                self._dfa_cache[key] = dfa
-        return FsmGrammar(dfa, self._get_vocab())
+                self._dfa_cache[key] = cached
+        dfa, device = cached
+        return FsmGrammar(dfa, self._get_vocab(), device=device)
 
     def submit(self, kind: str, spec: str) -> "concurrent.futures.Future[FsmGrammar]":
         return self._pool.submit(self._compile, kind, spec)

@@ -112,6 +112,9 @@ class Req:
         self.last_node: Optional[TreeNode] = None
         self.locked_node: Optional[TreeNode] = None  # the ONE lock we hold
         self.req_pool_idx: Optional[int] = None
+        # Tokens of this request's prefix being restored from a lower
+        # HiCache tier; >0 defers admission (PrefillAdder skips the req).
+        self.prefix_loading: int = 0
 
         # Chunked prefill: number of fill_ids already forwarded.
         self.extend_input_len: int = 0
@@ -183,6 +186,11 @@ class Req:
                 cap = self.logprob_start_len
             max_prefix = min(max_prefix, cap // page_size * page_size)
         matched = res.device_indices
+        # Defer on an async tier restore only if the loading tokens would
+        # actually extend the usable (capped) prefix.
+        self.prefix_loading = (
+            getattr(res, "loading", 0) if len(matched) < max_prefix else 0
+        )
         if len(matched) > max_prefix:
             matched = matched[:max_prefix]
         self.prefix_len = len(matched)
@@ -201,6 +209,7 @@ class Req:
         self.kv_slots = np.empty((0,), dtype=np.int32)
         self.pages = []
         self.last_node = None
+        self.prefix_loading = 0
         self.locked_node = None
         self.extend_input_len = 0
         self.vid += 1
@@ -289,6 +298,9 @@ class ModelWorkerBatch:
     # first-chunk flags (no boundary hidden exists yet)
     hidden_slots: Optional[np.ndarray] = None
     eagle_first: Optional[np.ndarray] = None
+    # On-device grammar FSM for fused multi-step constrained decode:
+    # (device_grammars, gidx [B], gstate [B], vocab) — constrained/device_fsm.py
+    grammar_fsm: Optional[tuple] = None
 
     @property
     def batch_size(self) -> int:

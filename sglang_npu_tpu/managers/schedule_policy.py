@@ -122,6 +122,11 @@ class PrefillAdder:
         if self.new_chunked_req is not None:
             # Only one chunked request per batch (it fills the chunk budget).
             return AddReqResult.OTHER
+        if req.prefix_loading > 0:
+            # Part of this request's prefix is being restored from a lower
+            # HiCache tier: defer it (recomputing would waste the restore);
+            # later requests may still be admitted this round.
+            return AddReqResult.CONTINUE
 
         extend_len = req.extend_input_len
         if extend_len == 0:

@@ -107,6 +107,7 @@ class Scheduler:
         if server_args.disable_radix_cache:
             self.tree_cache = ChunkCache(self.allocator, self.page_size)
         elif server_args.enable_hierarchical_cache:
+            from sglang_npu_tpu.mem_cache.hicache_storage import make_storage
             from sglang_npu_tpu.mem_cache.hiradix_cache import HiRadixCache
 
             self.tree_cache = HiRadixCache(
@@ -114,6 +115,11 @@ class Scheduler:
                 self.page_size,
                 kv_io=model_runner,
                 host_bytes_budget=int(server_args.hicache_size_gb * (1 << 30)),
+                write_policy=server_args.hicache_write_policy,
+                storage=make_storage(
+                    server_args.hicache_storage_backend,
+                    server_args.hicache_storage_path,
+                ),
             )
         else:
             self.tree_cache = RadixCache(self.allocator, self.page_size)
@@ -180,9 +186,16 @@ class Scheduler:
                 break
             if self.grammar_queue:
                 self.move_ready_grammar_requests()
+            hicache_poll = getattr(self.tree_cache, "poll", None)
+            if hicache_poll is not None:
+                hicache_poll()
             try:
                 batch = self.get_next_batch_to_run()
                 if batch is None:
+                    if hicache_poll is not None and self.tree_cache.pending_jobs():
+                        # a request is deferred on an async KV restore; nap
+                        # briefly instead of spinning on the waiting queue
+                        time.sleep(0.001)
                     continue
                 self.last_heartbeat = time.time()
                 mwb, is_prefill = batch
@@ -228,6 +241,9 @@ class Scheduler:
                     self._consecutive_failures = 0
                 else:
                     self._abort_current_batch("internal scheduler error")
+        cache_shutdown = getattr(self.tree_cache, "shutdown", None)
+        if cache_shutdown is not None:
+            cache_shutdown()
 
     def shutdown(self):
         self._running = False
@@ -518,7 +534,11 @@ class Scheduler:
         mwb = self.update_running_batch()
         if mwb is None:
             return None
-        self._attach_grammar_masks(mwb, self.running_batch.reqs)
+        if mwb.decode_steps > 1:
+            # fused window: grammar advances on device via FSM tables
+            self._attach_grammar_fsm(mwb, self.running_batch.reqs)
+        if mwb.grammar_fsm is None:
+            self._attach_grammar_masks(mwb, self.running_batch.reqs)
         return mwb, False
 
     def _attach_grammar_masks(self, mwb: ModelWorkerBatch, reqs: List[Req]):
@@ -535,6 +555,32 @@ class Scheduler:
                 mask[i] = r.grammar.vocab_mask()
         mwb.sampling_info.vocab_mask = mask
         mwb.sampling_info.has_grammar = True
+
+    def _attach_grammar_fsm(self, mwb: ModelWorkerBatch, reqs: List[Req]):
+        """Attach stacked on-device FSM tables for a fused decode window
+        (K>1): per-request grammar index + dense DFA state; non-grammar and
+        finished-grammar requests ride the all-ones FIN row.  The host FSM
+        stays authoritative — tokens are replayed through `accept_token`
+        when the window's results are processed."""
+        grams: List = []
+        index: Dict[int, int] = {}
+        vocab = None
+        gidx = np.zeros(len(reqs), dtype=np.int32)
+        gstate = np.full(len(reqs), -1, dtype=np.int32)  # -1 -> FIN row
+        for i, r in enumerate(reqs):
+            g = r.grammar
+            if g is None or g.finished or g.device is None:
+                continue
+            vocab = g.vocab
+            di = index.get(id(g.device))
+            if di is None:
+                di = index[id(g.device)] = len(grams)
+                grams.append(g.device)
+            gidx[i] = di
+            gstate[i] = g.device_state_id()
+        if not grams:
+            return
+        mwb.grammar_fsm = (grams, gidx, gstate, vocab)
 
     def get_new_batch_prefill(self) -> Optional[ScheduleBatch]:
         if not self.waiting_queue and self.chunked_req is None:
@@ -624,8 +670,13 @@ class Scheduler:
         if self._spec_possible():
             return self.spec_steps + 1
         K = max(self.server_args.decode_steps, 1)
-        if any(r.grammar is not None for r in self.running_batch.reqs):
-            return 1
+        # Grammar requests keep the fused K-step window when their FSMs
+        # have on-device tables (constrained/device_fsm.py); only an
+        # oversized DFA (device=None) forces the host per-token path.
+        for r in self.running_batch.reqs:
+            g = r.grammar
+            if g is not None and not g.finished and g.device is None:
+                return 1
         return K
 
     def _spec_possible(self) -> bool:

@@ -55,11 +55,20 @@ class TreeNode:
 
 
 class MatchResult:
-    __slots__ = ("device_indices", "last_node")
+    __slots__ = ("device_indices", "last_node", "loading")
 
-    def __init__(self, device_indices: np.ndarray, last_node: TreeNode):
+    def __init__(
+        self,
+        device_indices: np.ndarray,
+        last_node: TreeNode,
+        loading: int = 0,
+    ):
         self.device_indices = device_indices
         self.last_node = last_node
+        # Tokens immediately after the matched prefix that a lower cache
+        # tier is asynchronously restoring (HiRadixCache): the scheduler
+        # defers admission until they land instead of recomputing them.
+        self.loading = loading
 
 
 class BasePrefixCache:

@@ -505,15 +505,27 @@ class ModelRunner:
             has_penalties=False,
             has_min_new=False,
             lora_ids=None,
+            fsm=None,
+            has_fsm=False,
         ):
             if has_penalties:
                 vocab = params["embed"].shape[0]
                 co0, ca0 = sampler_ops.build_penalty_counts(sampling, vocab)
             else:
                 co0 = ca0 = jnp.zeros((), jnp.float32)
+            if has_fsm:
+                # On-device grammar FSM: per-request dense DFA state walks
+                # the stacked byte/mask tables each step, so constrained
+                # decoding keeps the fused K-step window (vs the
+                # reference's per-token host mask fill overlapped with
+                # forward, `model_runner.py:1703`).
+                f_bt, f_mt, f_tb, f_tl, f_gidx, gs0, f_eos = fsm
+                FIN = f_bt.shape[1] - 2
+            else:
+                gs0 = jnp.zeros_like(tokens)
 
             def body(carry, k):
-                kv_pool, toks, lens, co, ca = carry
+                kv_pool, toks, lens, co, ca, gs = carry
                 active = lens < limits
                 pos = jnp.maximum(lens - 1, 0)
                 page = jnp.take_along_axis(
@@ -537,6 +549,10 @@ class ModelRunner:
                     logits = sampler_ops.apply_packed_vocab_mask(
                         logits, sampling.vocab_mask
                     )
+                if has_fsm:
+                    logits = sampler_ops.apply_packed_vocab_mask(
+                        logits, f_mt[f_gidx, gs]
+                    )
                 if has_min_new:
                     logits = sampler_ops.apply_min_new_tokens(logits, sampling, k)
                 krng = jax.random.fold_in(rng, k)
@@ -547,6 +563,19 @@ class ModelRunner:
                 else:
                     nt = sampler_ops.sample_full(logits, sampling, krng)
                 nt = jnp.where(active, nt, 0)
+                if has_fsm:
+                    # advance the DFA over the sampled token's bytes
+                    tlen = f_tl[nt]
+
+                    def bstep(i, s):
+                        b = f_tb[nt, i].astype(jnp.int32)
+                        return jnp.where(i < tlen, f_bt[f_gidx, s, b], s)
+
+                    gs_next = jax.lax.fori_loop(
+                        0, f_tb.shape[1], bstep, gs
+                    )
+                    gs_next = jnp.where(nt == f_eos, FIN, gs_next)
+                    gs = jnp.where(active, gs_next, gs)
                 lens = jnp.where(active, lens + 1, lens)
                 if has_penalties:
                     co, ca = sampler_ops.update_penalty_counts(co, ca, nt, active)
@@ -562,10 +591,12 @@ class ModelRunner:
                     ys = (nt, chosen, tv, ti)
                 else:
                     ys = nt
-                return (kv_pool, nt, lens, co, ca), ys
+                return (kv_pool, nt, lens, co, ca, gs), ys
 
-            (kv_pool, _, _, _, _), ys = jax.lax.scan(
-                body, (kv_pool, tokens, seq_lens, co0, ca0), jnp.arange(n_steps)
+            (kv_pool, _, _, _, _, _), ys = jax.lax.scan(
+                body,
+                (kv_pool, tokens, seq_lens, co0, ca0, gs0),
+                jnp.arange(n_steps),
             )
             if return_logprob:
                 toks, chosen, tv, ti = ys
@@ -587,6 +618,7 @@ class ModelRunner:
                 "top_logprobs_k",
                 "has_penalties",
                 "has_min_new",
+                "has_fsm",
             ),
         )
 
@@ -597,6 +629,60 @@ class ModelRunner:
         max_pages = mwb.page_tables.shape[1]
         pages_bucket = max(next_power_of_2(max_pages), 8)
         return bs_bucket, pages_bucket
+
+    def _fsm_args(self, mwb: ModelWorkerBatch, bs_bucket: int):
+        """Build (and cache on device) the stacked grammar-FSM tables for a
+        fused decode window (see constrained/device_fsm.py).  The stacked
+        byte/mask tables and per-vocab token-byte tables are uploaded once
+        per unique grammar set / vocab — windows reuse the device arrays."""
+        if mwb.grammar_fsm is None:
+            return None
+        from sglang_npu_tpu.constrained.device_fsm import (
+            stack_grammars,
+            token_byte_arrays,
+        )
+
+        grams, gidx, gstate, vocab = mwb.grammar_fsm
+        if not hasattr(self, "_fsm_stack_cache"):
+            self._fsm_stack_cache = {}
+            self._fsm_token_cache = {}
+        nwords = (vocab.vocab_size + 31) // 32
+        key = tuple(id(g) for g in grams)
+        ent = self._fsm_stack_cache.get(key)
+        if ent is None:
+            bt, mt, FIN, DEAD = stack_grammars(
+                grams, nwords, vocab.eos_token_id
+            )
+            ent = (jnp.asarray(bt), jnp.asarray(mt), FIN, DEAD)
+            if len(self._fsm_stack_cache) >= 16:
+                self._fsm_stack_cache.clear()
+            self._fsm_stack_cache[key] = ent
+        bt_dev, mt_dev, FIN, DEAD = ent
+        tok = self._fsm_token_cache.get(id(vocab))
+        if tok is None:
+            tb, tl = token_byte_arrays(vocab)
+            V = self.model_config.vocab_size
+            if tb.shape[0] < V:  # defensive: table must cover sampled ids
+                tb = np.pad(tb, ((0, V - tb.shape[0]), (0, 0)))
+                tl = np.pad(tl, (0, V - tl.shape[0]))
+            tok = (jnp.asarray(tb), jnp.asarray(tl))
+            self._fsm_token_cache[id(vocab)] = tok
+        tb_dev, tl_dev = tok
+        gs = np.where(gstate == -1, FIN, np.where(gstate == -2, DEAD, gstate))
+        gidx_p = jnp.asarray(pad_to(gidx.astype(np.int32), bs_bucket))
+        gs_p = jnp.asarray(
+            pad_to(gs.astype(np.int32), bs_bucket, fill=np.int32(FIN))
+        )
+        eos = vocab.eos_token_id if vocab.eos_token_id is not None else -1
+        return (
+            bt_dev,
+            mt_dev,
+            tb_dev,
+            tl_dev,
+            gidx_p,
+            gs_p,
+            jnp.asarray(np.int32(eos)),
+        )
 
     def _sample_mode(self, mwb: ModelWorkerBatch) -> str:
         s = mwb.sampling_info
@@ -677,6 +763,7 @@ class ModelRunner:
             pt = pad_to(
                 pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0
             )
+            fsm = self._fsm_args(mwb, bs_bucket)
             out, self.kv_pool = self._multi_fn(
                 self.params,
                 self.kv_pool,
@@ -697,6 +784,8 @@ class ModelRunner:
                     if mwb.lora_ids is not None
                     else None
                 ),
+                fsm=fsm,
+                has_fsm=fsm is not None,
             )
         n = mwb.real_bs
         if not rl:
@@ -909,8 +998,15 @@ class ModelRunner:
             self._gather_fn, self._scatter_fn = g, s
         return self._gather_fn, self._scatter_fn
 
-    def gather_kv(self, slots: np.ndarray) -> np.ndarray:
-        """Device -> host copy of KV rows; [L, 2, H, n, D]."""
+    def gather_kv_dispatch(self, slots: np.ndarray):
+        """Dispatch the on-device KV row gather (cheap; scheduler thread).
+
+        Returns an opaque handle for `gather_kv_fetch`.  The gathered rows
+        are a fresh device array computed at dispatch order, so the source
+        pool pages may be freed/overwritten immediately afterwards — the
+        slow device->host fetch can run on a background thread (async
+        HiCache write-through, reference `cache_controller.py:215`).
+        """
         g, _ = self._kv_io_fns()
         n = len(slots)
         padded = next_power_of_2(max(n, 8))
@@ -921,6 +1017,11 @@ class ModelRunner:
             jnp.asarray(sl // self.page_size),
             jnp.asarray(sl % self.page_size),
         )
+        return (out, n)
+
+    def gather_kv_fetch(self, handle) -> np.ndarray:
+        """Device -> host fetch of a dispatched gather (slow; any thread)."""
+        out, n = handle
         rows = np.asarray(jax.device_get(out))[:, :, :, :n]
         c = self.model_config
         if not c.is_mla and rows.shape[-1] != c.head_dim:
@@ -929,13 +1030,18 @@ class ModelRunner:
             rows = rows[..., : c.head_dim]
         return rows
 
-    def scatter_kv(self, slots: np.ndarray, host_kv: np.ndarray) -> None:
-        """Host -> device restore of KV rows (layout from gather_kv)."""
-        _, s = self._kv_io_fns()
-        n = len(slots)
+    def gather_kv(self, slots: np.ndarray) -> np.ndarray:
+        """Device -> host copy of KV rows; [L, 2, H, n, D]."""
+        return self.gather_kv_fetch(self.gather_kv_dispatch(slots))
+
+    def scatter_kv_upload(self, host_kv: np.ndarray, n: int):
+        """Host -> device upload of KV rows (slow; any thread).
+
+        Returns an opaque handle for `scatter_kv_commit`.  Only pads and
+        `device_put`s — does not touch the pool, so it is safe concurrent
+        with forwards on the scheduler thread.
+        """
         padded = next_power_of_2(max(n, 8))
-        sl = np.zeros(padded, np.int32)
-        sl[:n] = slots
         c = self.model_config
         if not c.is_mla and host_kv.shape[-1] == c.head_dim != self.kv_head_dim:
             host_kv = np.pad(
@@ -947,11 +1053,27 @@ class ModelRunner:
             host_kv.shape[:3] + (padded,) + host_kv.shape[4:], host_kv.dtype
         )
         vals[:, :, :, :n] = host_kv
+        return (jax.device_put(jnp.asarray(vals)), n)
+
+    def scatter_kv_commit(self, slots: np.ndarray, handle) -> None:
+        """Write uploaded rows into the pool (cheap; scheduler thread only —
+        mutates `self.kv_pool` with a donated update)."""
+        _, s = self._kv_io_fns()
+        vals, n = handle
+        padded = vals.shape[3]
+        sl = np.zeros(padded, np.int32)
+        sl[:n] = slots
         self.kv_pool = s(
             self.kv_pool,
             jnp.asarray(sl // self.page_size),
             jnp.asarray(sl % self.page_size),
-            jnp.asarray(vals),
+            vals,
+        )
+
+    def scatter_kv(self, slots: np.ndarray, host_kv: np.ndarray) -> None:
+        """Host -> device restore of KV rows (layout from gather_kv)."""
+        self.scatter_kv_commit(
+            slots, self.scatter_kv_upload(host_kv, len(slots))
         )
 
     # ------------------------------------------------------------------

@@ -67,6 +67,14 @@ class ServerArgs:
     # on prefix match (reference --enable-hierarchical-cache / hicache)
     enable_hierarchical_cache: bool = False
     hicache_size_gb: float = 4.0
+    # write_through: back up prefixes to host the moment they enter the tree
+    # (eviction is then free); write_back: back up lazily at evict time.
+    hicache_write_policy: str = "write_through"
+    # Optional third tier below host DRAM (reference --hicache-storage-backend):
+    # "file" spills host-budget overflow to page-hashed files so prefixes
+    # survive restarts; "memory" is an in-process dict (tests).
+    hicache_storage_backend: Optional[str] = None
+    hicache_storage_path: str = "/tmp/sglang_tpu_hicache"
     max_queued_requests: Optional[int] = None
     retract_decode_steps: int = 20
 

@@ -112,10 +112,13 @@ def test_e2e_constrained_generation(tmp_path_factory):
     torch.manual_seed(1)
     d = tmp_path_factory.mktemp("fsm_model")
     transformers.LlamaForCausalLM(cfg).save_pretrained(d, safe_serialization=True)
+    # decode_steps=1 pins the host per-token mask path (the fused-window
+    # device-FSM path is covered by tests/test_device_fsm.py; sampling
+    # trajectories differ between the two RNG streams)
     e = Engine(
         model_path=str(d), dtype="float32", tokenizer_mode="byte",
         page_size=4, max_total_tokens=2048, attention_backend="xla",
-        random_seed=0,
+        random_seed=0, decode_steps=1,
     )
     try:
         out = e.generate(
