@@ -1,12 +1,19 @@
-"""Benchmark: offline serving throughput on one TPU chip.
+"""Benchmark ladder: offline serving throughput on one TPU chip.
 
-Analogue of the reference's `bench_offline_throughput.py` (Engine-level
-load): N concurrent requests with random prompts through the full engine
-(scheduler + radix cache + paged KV + jit decode ladder), dummy-weight
-Llama-3.2-1B-class model in BF16.
+Analogue of the reference's `bench_offline_throughput.py` + the CI floor
+pattern of `test/srt/test_ascend_tp1_bf16.py:70-95`, upgraded per the
+round-1 review to honest reporting: the BASELINE.md config ladder with
+MFU / HBM-bandwidth-utilization and latency proxies per config, not a
+single dummy-model number.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+Configs (BASELINE.json ladder, single chip):
+  1. llama1b_bf16        — Llama-3.2-1B-class, D=64 (lane-padded Pallas path)
+  2. llama8b_fp8         — Llama-3-8B-class, FP8 weight-only
+  3. llama8b_w4a16_int8kv— Llama-3-8B-class, W4A16 + INT8 KV (north star)
+
+Prints ONE JSON line; headline value = config 3 output tok/s:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N,
+   "configs": {name: {tok_per_s, mfu_pct, hbm_util_pct, itl_ms, ttft_ms}}}
 
 Baseline anchor: the reference's in-repo CI floor is >30 tok/s offline
 output throughput (Qwen2.5-7B BF16 on one Ascend 910B,
@@ -16,9 +23,11 @@ output throughput (Qwen2.5-7B BF16 on one Ascend 910B,
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -31,25 +40,179 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 BASELINE_TOK_S = 30.0
 
-# Llama-3.2-3B-class shape: head_dim 128 (pallas decode kernel path),
-# ~6.3 GB of bf16 weights — fits one v5e chip with a large KV pool.
-LLAMA_3B = {
-    "architectures": ["LlamaForCausalLM"],
-    "model_type": "llama",
-    "vocab_size": 128256,
-    "hidden_size": 3072,
-    "num_hidden_layers": 28,
-    "num_attention_heads": 24,
-    "num_key_value_heads": 8,
-    "head_dim": 128,
-    "intermediate_size": 8192,
-    "max_position_embeddings": 8192,
-    "rms_norm_eps": 1e-5,
-    "rope_theta": 500000.0,
-    "tie_word_embeddings": True,
-    "torch_dtype": "bfloat16",
+# v5e public peak specs (per chip)
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_BW = 819e9
+
+
+def llama_cfg(hidden, layers, heads, kv_heads, head_dim, inter, tie):
+    return {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "vocab_size": 128256,
+        "hidden_size": hidden,
+        "num_hidden_layers": layers,
+        "num_attention_heads": heads,
+        "num_key_value_heads": kv_heads,
+        "head_dim": head_dim,
+        "intermediate_size": inter,
+        "max_position_embeddings": 8192,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 500000.0,
+        "tie_word_embeddings": tie,
+        "torch_dtype": "bfloat16",
+    }
+
+
+# Llama-3.2-1B shape (D=64 exercises the lane-padded Pallas kernels)
+LLAMA_1B = llama_cfg(2048, 16, 32, 8, 64, 8192, tie=True)
+# Llama-3-8B shape
+LLAMA_8B = llama_cfg(4096, 32, 32, 8, 128, 14336, tie=False)
+# Llama-3.2-3B shape (back-compat: round-1 bench model)
+LLAMA_3B = llama_cfg(3072, 28, 24, 8, 128, 8192, tie=True)
+LLAMA_1B_OLD = LLAMA_3B  # old alias
+
+CONFIGS = {
+    "llama1b_bf16": dict(
+        model=LLAMA_1B, quantization=None, kv_cache_dtype="auto",
+        max_total_tokens=65536,
+    ),
+    "llama8b_fp8": dict(
+        model=LLAMA_8B, quantization="fp8", kv_cache_dtype="auto",
+        max_total_tokens=24576,
+    ),
+    "llama8b_w4a16_int8kv": dict(
+        model=LLAMA_8B, quantization="w4a16", kv_cache_dtype="int8",
+        max_total_tokens=32768,
+    ),
+    "llama3b_bf16": dict(  # round-1 comparable config
+        model=LLAMA_3B, quantization=None, kv_cache_dtype="auto",
+        max_total_tokens=65536,
+    ),
 }
-LLAMA_1B = LLAMA_3B  # back-compat alias for older scripts
+
+
+def model_flops_params(cfg):
+    """(decode FLOPs per token, weight bytes streamed per decode step)."""
+    h, L = cfg["hidden_size"], cfg["num_hidden_layers"]
+    inter, V = cfg["intermediate_size"], cfg["vocab_size"]
+    kvh = cfg["num_key_value_heads"]
+    d = cfg.get("head_dim", h // cfg["num_attention_heads"])
+    nh = cfg["num_attention_heads"]
+    attn = h * (nh * d) + 2 * h * (kvh * d) + (nh * d) * h
+    mlp = 3 * h * inter
+    body = L * (attn + mlp)
+    head = h * V
+    params = body + head + (0 if cfg["tie_word_embeddings"] else h * V)
+    flops = 2 * (body + head)  # per decode token
+    return flops, params, body, head
+
+
+def run_config(name, spec, args):
+    from sglang_npu_tpu.entrypoints.engine import Engine
+    from sglang_npu_tpu.server_args import ServerArgs
+
+    cfg = spec["model"]
+    model_dir = tempfile.mkdtemp(prefix=f"bench_{name}_")
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    engine = Engine(
+        ServerArgs(
+            model_path=model_dir,
+            load_format="dummy",
+            dtype="bfloat16",
+            quantization=spec["quantization"],
+            kv_cache_dtype=spec["kv_cache_dtype"],
+            page_size=args.page_size,
+            max_total_tokens=spec["max_total_tokens"],
+            skip_tokenizer_init=True,
+            attention_backend=args.attention_backend,
+            random_seed=0,
+            max_prefill_tokens=8192,
+            chunked_prefill_size=4096,
+            decode_log_interval=1000000,
+            watchdog_timeout=3600.0,  # first compiles can take minutes
+        )
+    )
+    try:
+        rng = np.random.default_rng(0)
+        prompts = [
+            rng.integers(1, 120000, size=args.prompt_len).tolist()
+            for _ in range(args.num_requests)
+        ]
+        sp = {
+            "max_new_tokens": args.max_new,
+            "temperature": 0.0,
+            "ignore_eos": True,
+        }
+
+        # Warmup with the full workload shape so every prefill/decode
+        # bucket compiles outside the timed region — including the
+        # single-request buckets used by the latency proxies below — then
+        # drop all KV state.
+        engine.generate(
+            input_ids=prompts, sampling_params={**sp, "max_new_tokens": 16}
+        )
+        engine.flush_cache()
+        engine.generate(
+            input_ids=prompts[0], sampling_params={**sp, "max_new_tokens": 1}
+        )
+        engine.generate(
+            input_ids=prompts[0], sampling_params={**sp, "max_new_tokens": 17}
+        )
+        engine.flush_cache()
+
+        t0 = time.time()
+        outs = engine.generate(input_ids=prompts, sampling_params=sp)
+        dt = time.time() - t0
+        total_out = sum(len(o["output_ids"]) for o in outs)
+        tput = total_out / dt
+
+        # latency proxies: single-request TTFT (prefill latency) and ITL
+        engine.flush_cache()
+        t0 = time.time()
+        engine.generate(
+            input_ids=prompts[0], sampling_params={**sp, "max_new_tokens": 1}
+        )
+        ttft_ms = (time.time() - t0) * 1e3
+        t0 = time.time()
+        one = engine.generate(input_ids=prompts[0], sampling_params=sp)
+        itl_ms = (time.time() - t0 - ttft_ms / 1e3) * 1e3 / max(
+            len(one["output_ids"]) - 1, 1
+        )
+
+        # utilization vs speed-of-light (decode is weight+KV bound)
+        flops_tok, _params, _body, _head = model_flops_params(cfg)
+        runner = engine.scheduler.runner
+        weight_bytes = runner.param_bytes
+        kv_tok_bytes = getattr(runner, "kv_bytes_per_token", None)
+        if kv_tok_bytes is None:
+            kvh = cfg["num_key_value_heads"]
+            d = cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"]
+            itemsize = 1 if spec["kv_cache_dtype"] in ("int8", "fp8_e4m3") else 2
+            kv_tok_bytes = 2 * cfg["num_hidden_layers"] * kvh * d * itemsize
+        steps_per_s = tput / args.num_requests
+        avg_ctx = args.prompt_len + args.max_new / 2
+        bytes_per_step = weight_bytes + args.num_requests * avg_ctx * kv_tok_bytes
+        hbm_util = bytes_per_step * steps_per_s / PEAK_HBM_BW
+        mfu = flops_tok * tput / PEAK_BF16_FLOPS
+        backend = getattr(runner, "attention_backend_name", "?")
+        return {
+            "tok_per_s": round(tput, 2),
+            "ttft_ms": round(ttft_ms, 1),
+            "itl_ms": round(itl_ms, 2),
+            "mfu_pct": round(100 * mfu, 2),
+            "hbm_util_pct": round(100 * hbm_util, 1),
+            "weight_gb": round(weight_bytes / 1e9, 2),
+            "attention_backend": backend,
+            "batch": args.num_requests,
+            "io": f"{args.prompt_len}/{args.max_new}",
+        }
+    finally:
+        engine.shutdown()
+        del engine
+        gc.collect()
 
 
 def main():
@@ -59,68 +222,47 @@ def main():
     p.add_argument("--max-new", type=int, default=128)
     p.add_argument("--page-size", type=int, default=16)
     p.add_argument("--attention-backend", type=str, default=None)
-    p.add_argument("--quantization", type=str, default=None)
+    p.add_argument("--quantization", type=str, default=None)  # legacy
+    p.add_argument(
+        "--configs", type=str, default="llama1b_bf16,llama8b_fp8,llama8b_w4a16_int8kv"
+    )
     p.add_argument("--quick", action="store_true", help="small smoke run")
     args = p.parse_args()
     if args.quick:
         args.num_requests, args.prompt_len, args.max_new = 4, 32, 16
+        args.configs = "llama1b_bf16"
 
-    import json as _json
-    import tempfile
+    results = {}
+    for name in args.configs.split(","):
+        name = name.strip()
+        if not name:
+            continue
+        try:
+            results[name] = run_config(name, CONFIGS[name], args)
+            print(f"## {name}: {results[name]}", file=sys.stderr)
+        except Exception as e:  # one failed config must not zero the bench
+            import traceback
 
-    from sglang_npu_tpu.entrypoints.engine import Engine
-    from sglang_npu_tpu.server_args import ServerArgs
+            traceback.print_exc()
+            results[name] = {"error": str(e)[:200]}
 
-    model_dir = tempfile.mkdtemp(prefix="bench_model_")
-    with open(os.path.join(model_dir, "config.json"), "w") as f:
-        _json.dump(LLAMA_3B, f)
-
-    engine = Engine(
-        ServerArgs(
-            model_path=model_dir,
-            load_format="dummy",
-            dtype="bfloat16",
-            page_size=args.page_size,
-            skip_tokenizer_init=True,
-            attention_backend=args.attention_backend,
-            quantization=args.quantization,
-            random_seed=0,
-            max_prefill_tokens=8192,
-            chunked_prefill_size=4096,
-            decode_log_interval=1000000,
-            watchdog_timeout=3600.0,  # first compiles can take minutes
+    headline = None
+    for pick in ("llama8b_w4a16_int8kv", "llama8b_fp8", "llama1b_bf16", "llama3b_bf16"):
+        if pick in results and "tok_per_s" in results[pick]:
+            headline = pick
+            break
+    value = results[headline]["tok_per_s"] if headline else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": f"offline_output_tok_per_s_per_chip_{headline}",
+                "value": value,
+                "unit": "tok/s",
+                "vs_baseline": round(value / BASELINE_TOK_S, 2),
+                "configs": results,
+            }
         )
     )
-
-    rng = np.random.default_rng(0)
-    prompts = [
-        rng.integers(1, 120000, size=args.prompt_len).tolist()
-        for _ in range(args.num_requests)
-    ]
-    sp = {"max_new_tokens": args.max_new, "temperature": 0.0, "ignore_eos": True}
-
-    # Warmup with the full workload shape so every prefill/decode bucket is
-    # compiled outside the timed region, then drop all KV state.
-    engine.generate(
-        input_ids=prompts, sampling_params={**sp, "max_new_tokens": 16}
-    )
-    engine.flush_cache()
-
-    t0 = time.time()
-    outs = engine.generate(input_ids=prompts, sampling_params=sp)
-    dt = time.time() - t0
-    total_out = sum(len(o["output_ids"]) for o in outs)
-    tput = total_out / dt
-
-    result = {
-        "metric": "offline_output_tok_per_s_per_chip_llama3b_"
-        + ("int8w" if args.quantization else "bf16"),
-        "value": round(tput, 2),
-        "unit": "tok/s",
-        "vs_baseline": round(tput / BASELINE_TOK_S, 2),
-    }
-    engine.shutdown()
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

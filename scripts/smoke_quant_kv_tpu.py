@@ -71,8 +71,11 @@ ref2, _ = paged_prefill_attention_fused(
     q2, nk2, nv2, jnp.asarray(pool, jnp.bfloat16), layer, jp, seq2, pref,
     page_size=ps, scale=0.125,
 )
+# NB: compare against qpool (pre-decode), not qpool2 — the decode call
+# above inserted nk/nv rows into qpool2's pages, which the bf16 reference
+# pool does not contain.
 out2, _ = paged_prefill_attention_fused(
-    q2, nk2, nv2, qpool2, layer, jp, seq2, pref, page_size=ps, scale=0.125,
+    q2, nk2, nv2, qpool, layer, jp, seq2, pref, page_size=ps, scale=0.125,
 )
 a2, b2 = np.asarray(ref2, np.float32), np.asarray(out2, np.float32)
 err2 = np.abs(a2 - b2).max()

@@ -333,6 +333,30 @@ class Engine:
             ok = ok and out.success
         return ok
 
+    def pause_generation(self) -> bool:
+        """Halt forward progress; requests keep queueing (reference
+        `/pause_generation`, http_server.py:744)."""
+        from sglang_npu_tpu.managers.io_struct import PauseGenerationReqInput
+
+        self._sched_in.put(PauseGenerationReqInput())
+        ok = True
+        for _ in range(self._num_control_responders):
+            out = self.tokenizer_manager.control_mailbox.get(timeout=30)
+            ok = ok and out.success
+        return ok
+
+    def continue_generation(self) -> bool:
+        from sglang_npu_tpu.managers.io_struct import (
+            ContinueGenerationReqInput,
+        )
+
+        self._sched_in.put(ContinueGenerationReqInput())
+        ok = True
+        for _ in range(self._num_control_responders):
+            out = self.tokenizer_manager.control_mailbox.get(timeout=30)
+            ok = ok and out.success
+        return ok
+
     def get_internal_state(self) -> Dict[str, Any]:
         self._sched_in.put(GetInternalStateReq())
         states = [

@@ -64,6 +64,8 @@ class HttpServer:
         r.add_post("/close_session", self.close_session)
         r.add_post("/release_memory_occupation", self.release_memory)
         r.add_post("/resume_memory_occupation", self.resume_memory)
+        r.add_post("/pause_generation", self.pause_generation)
+        r.add_post("/continue_generation", self.continue_generation)
         r.add_post("/encode", self.encode)
         r.add_post("/v1/embeddings", self.v1_embeddings)
         r.add_get("/v1/models", self.models)
@@ -356,6 +358,14 @@ class HttpServer:
         body = await request.json()
         self.engine.close_session(body["session_id"])
         return web.Response(status=200)
+
+    async def pause_generation(self, request: web.Request) -> web.Response:
+        ok = await asyncio.to_thread(self.engine.pause_generation)
+        return web.json_response({"success": ok, "message": "paused"})
+
+    async def continue_generation(self, request: web.Request) -> web.Response:
+        ok = await asyncio.to_thread(self.engine.continue_generation)
+        return web.json_response({"success": ok, "message": "continued"})
 
     async def release_memory(self, request: web.Request) -> web.Response:
         self.engine.release_memory_occupation()

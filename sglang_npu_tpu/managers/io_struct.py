@@ -167,6 +167,23 @@ class FlushCacheReqOutput:
 
 
 @dataclasses.dataclass
+class PauseGenerationReqInput:
+    """Halt forward progress; requests keep queueing (reference
+    `/pause_generation`, http_server.py:744)."""
+
+
+@dataclasses.dataclass
+class ContinueGenerationReqInput:
+    pass
+
+
+@dataclasses.dataclass
+class PauseGenerationReqOutput:
+    success: bool
+    paused: bool
+
+
+@dataclasses.dataclass
 class ProfileReq:
     type: str  # "start" | "stop"
     output_dir: Optional[str] = None

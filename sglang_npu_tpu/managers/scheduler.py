@@ -37,9 +37,12 @@ from sglang_npu_tpu.managers.io_struct import (
     GetInternalStateReq,
     GetInternalStateReqOutput,
     CloseSessionReqInput,
+    ContinueGenerationReqInput,
     InjectDecodeReqInput,
     OpenSessionReqInput,
     OpenSessionReqOutput,
+    PauseGenerationReqInput,
+    PauseGenerationReqOutput,
     ReleaseMemoryOccupationReqInput,
     ResumeMemoryOccupationReqInput,
     TokenizedGenerateReqInput,
@@ -146,6 +149,7 @@ class Scheduler:
         self.total_prompt_tokens = 0
 
         self._running = True
+        self.paused = False  # /pause_generation halts forwards, not intake
         self._consecutive_failures = 0
         self._rid_to_req: Dict[str, Req] = {}
         self.watchdog_timeout = server_args.watchdog_timeout
@@ -250,6 +254,8 @@ class Scheduler:
         self.input_queue.put(None)
 
     def _has_work(self) -> bool:
+        if self.paused:
+            return False  # block on the input queue until /continue
         return (
             bool(self.waiting_queue)
             or not self.running_batch.is_empty()
@@ -283,6 +289,16 @@ class Scheduler:
         elif isinstance(item, FlushCacheReqInput):
             ok = self.flush_cache()
             self.output_queue.put(FlushCacheReqOutput(success=ok))
+        elif isinstance(item, PauseGenerationReqInput):
+            self.paused = True
+            self.output_queue.put(
+                PauseGenerationReqOutput(success=True, paused=True)
+            )
+        elif isinstance(item, ContinueGenerationReqInput):
+            self.paused = False
+            self.output_queue.put(
+                PauseGenerationReqOutput(success=True, paused=False)
+            )
         elif isinstance(item, GetInternalStateReq):
             self.output_queue.put(
                 GetInternalStateReqOutput(internal_state=self.get_internal_state())
@@ -520,6 +536,8 @@ class Scheduler:
     # ------------------------------------------------------------------
     def get_next_batch_to_run(self):
         """Returns (ModelWorkerBatch, is_prefill) or None."""
+        if self.paused:
+            return None
         prefill = self.get_new_batch_prefill()
         if prefill is not None:
             self.last_prefill_batch = prefill

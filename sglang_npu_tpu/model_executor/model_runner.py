@@ -78,6 +78,7 @@ class ModelRunner:
             server_args.load_format,
             self.mesh,
             seed=server_args.random_seed,
+            quantization=server_args.quantization,
         )
         if server_args.quantization:
             from sglang_npu_tpu.layers.quantization import (
@@ -85,9 +86,12 @@ class ModelRunner:
                 set_w4_backend,
             )
 
-            self.params = apply_quantization(
-                self.params, server_args.quantization
-            )
+            if server_args.load_format != "dummy":
+                # dummy weights are emitted pre-quantized by the loader (a
+                # big model's transient bf16 tree would not fit in HBM)
+                self.params = apply_quantization(
+                    self.params, server_args.quantization
+                )
             if jax.default_backend() not in ("cpu",):
                 # the Pallas dequant-matmul beats the XLA dequant einsum on
                 # chip (XLA materializes the bf16 weight in HBM)

@@ -15,7 +15,7 @@ import glob
 import json
 import logging
 import os
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -289,48 +289,125 @@ def _validate_spec(shape, spec: P, mesh) -> P:
     return P(*fixed)
 
 
-def init_dummy_weights_device(model, mesh, seed: int = 0) -> Dict[str, Any]:
+def init_dummy_weights_device(
+    model, mesh, seed: int = 0, quantization: Optional[str] = None,
+    group_size: int = 128,
+) -> Dict[str, Any]:
     """Generate dummy weights directly on the devices (jit with
     out_shardings) — avoids host->device transfer entirely, which matters
-    on low-bandwidth links and multi-GB models."""
-    import functools
+    on low-bandwidth links and multi-GB models.
+
+    With ``quantization``, the per-layer matmul weights are emitted
+    directly in quantized form (W4/FP8/INT8 + scales): an 8B-class model's
+    bf16 dummy weights alone would fill a v5e's HBM before
+    `apply_quantization` could shrink them."""
+    from sglang_npu_tpu.layers.quantization import (
+        QUANT_LAYER_KEYS,
+        QuantizedWeight,
+        QuantizedWeightFP8,
+        QuantizedWeightW4,
+    )
 
     key = jax.random.key(seed)
     specs = model.param_shardings()
     counter = [0]
 
-    def init(node, spec_node):
+    def make(shape, dtype, sharding, kind="normal"):
+        counter[0] += 1
+        leaf_key = jax.random.fold_in(key, counter[0])
+        if kind == "ones":
+            fn = jax.jit(
+                lambda _k, s=shape, d=dtype: jnp.ones(s, d),
+                out_shardings=sharding,
+            )
+        elif kind == "nibbles":
+            fn = jax.jit(
+                lambda _k, s=shape: jax.random.randint(
+                    _k, s, 0, 256, dtype=jnp.int32
+                ).astype(jnp.uint8),
+                out_shardings=sharding,
+            )
+        elif kind == "int8":
+            fn = jax.jit(
+                lambda _k, s=shape: jax.random.randint(
+                    _k, s, -127, 128, dtype=jnp.int32
+                ).astype(jnp.int8),
+                out_shardings=sharding,
+            )
+        elif kind == "const":
+            fn = jax.jit(
+                lambda _k, s=shape, d=dtype: jnp.full(s, 0.002, d),
+                out_shardings=sharding,
+            )
+        else:
+            fn = jax.jit(
+                lambda _k, s=shape, d=dtype: (
+                    jax.random.normal(_k, s, jnp.float32) * 0.02
+                ).astype(d),
+                out_shardings=sharding,
+            )
+        return fn(leaf_key)
+
+    def make_quant(k, shape, dtype, spec):
+        """Quantized leaf matching what apply_quantization would produce."""
+        K, N = shape[-2], shape[-1]
+        lead = tuple(shape[:-2])
+
+        def shard(s):
+            return NamedSharding(mesh, _validate_spec(s, spec, mesh))
+
+        if quantization in ("w4a16", "int4", "awq", "gptq") and (
+            K % group_size == 0
+        ):
+            qs = lead + (K // 2, N)
+            ss = lead + (K // group_size, N)
+            return QuantizedWeightW4(
+                q=make(qs, jnp.uint8, shard(qs), "nibbles"),
+                s=make(ss, jnp.float32, shard(ss), "const"),
+                b=make(ss, jnp.float32, shard(ss), "const"),
+            )
+        if quantization in ("fp8", "fp8_e4m3"):
+            return QuantizedWeightFP8(
+                q=make(shape, jnp.float8_e4m3fn, shard(shape)),
+                s=make(lead + (1, N), jnp.float32, shard(lead + (1, N)), "const"),
+            )
+        if quantization in ("int8", "w8a16_int8"):
+            return QuantizedWeight(
+                q=make(shape, jnp.int8, shard(shape), "int8"),
+                s=make(lead + (1, N), jnp.float32, shard(lead + (1, N)), "const"),
+            )
+        return None
+
+    def init(node, spec_node, in_layers=False):
         out = {}
         for k, v in node.items():
             if isinstance(v, dict):
-                out[k] = init(v, spec_node[k])
+                out[k] = init(v, spec_node[k], in_layers or k == "layers")
                 continue
             shape, dtype = v
             spec = spec_node.get(k, P()) if isinstance(spec_node, dict) else P()
             spec = _validate_spec(shape, spec, mesh)
+            if quantization and in_layers and k in QUANT_LAYER_KEYS:
+                qleaf = make_quant(k, shape, dtype, spec)
+                if qleaf is not None:
+                    out[k] = qleaf
+                    continue
             sharding = NamedSharding(mesh, spec)
-            counter[0] += 1
-            leaf_key = jax.random.fold_in(key, counter[0])
-            if "norm" in k:
-                fn = jax.jit(
-                    lambda _k, s=shape, d=dtype: jnp.ones(s, d),
-                    out_shardings=sharding,
-                )
-            else:
-                fn = jax.jit(
-                    lambda _k, s=shape, d=dtype: (
-                        jax.random.normal(_k, s, jnp.float32) * 0.02
-                    ).astype(d),
-                    out_shardings=sharding,
-                )
-            out[k] = fn(leaf_key)
+            out[k] = make(
+                shape, dtype, sharding, "ones" if "norm" in k else "normal"
+            )
         return out
 
     return init(model.param_shapes(), specs)
 
 
-def load_model_weights(model, model_path: str, load_format: str, mesh, seed: int = 0):
+def load_model_weights(
+    model, model_path: str, load_format: str, mesh, seed: int = 0,
+    quantization: Optional[str] = None,
+):
     if load_format == "dummy":
-        return init_dummy_weights_device(model, mesh, seed)
+        return init_dummy_weights_device(
+            model, mesh, seed, quantization=quantization
+        )
     host = load_safetensors_weights(model, model_path)
     return device_put_params(host, model, mesh)

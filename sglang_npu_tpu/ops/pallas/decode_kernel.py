@@ -77,9 +77,14 @@ def _decode_kernel(
     Hkv, G, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
 
     def lane_select(slab, lane):
-        """slab [H, 128] -> per-head value at `lane` ([H] f32)."""
+        """slab [H, 128] -> per-head value at `lane` ([H, 1] f32).
+
+        keepdims: rank-1 vectors make Mosaic's layout inference join
+        mismatched implicit-dim layouts (observed SIGABRT in
+        VectorLayoutInferer::inferElementwise on v5e) — keep every
+        intermediate >= 2-D."""
         li = jax.lax.broadcasted_iota(jnp.int32, slab.shape, 1)
-        return jnp.sum(jnp.where(li == lane, slab, 0.0), axis=-1)
+        return jnp.sum(jnp.where(li == lane, slab, 0.0), axis=-1, keepdims=True)
 
     def to_q(x):
         if qmax >= 100.0 and page_buf.dtype == jnp.int8:
@@ -142,14 +147,14 @@ def _decode_kernel(
         else:
             slane = jax.lax.rem(page, 128)
             for kv, new_ref in ((0, new_k_ref), (1, new_v_ref)):
-                old_s = lane_select(wsbuf[kv], slane)  # [Hkv]
+                old_s = lane_select(wsbuf[kv], slane)  # [Hkv, 1]
                 row = new_ref[0, :, 0, :].astype(jnp.float32)  # [Hkv, D]
-                amax = jnp.max(jnp.abs(row), axis=-1)  # [Hkv]
+                amax = jnp.max(jnp.abs(row), axis=-1, keepdims=True)
                 s_new = jnp.maximum(jnp.maximum(old_s, amax / qmax), 1e-8)
                 factor = jnp.where(old_s > 0, old_s / s_new, 0.0)
-                pf = page_buf[kv].astype(jnp.float32) * factor[:, None, None]
+                pf = page_buf[kv].astype(jnp.float32) * factor[:, :, None]
                 ins = jnp.broadcast_to(
-                    (row / s_new[:, None])[:, None, :], (Hkv, ps_, D_)
+                    (row / s_new)[:, None, :], (Hkv, ps_, D_)
                 )
                 page_buf[kv] = to_q(jnp.where(row_mask, ins, pf))
                 li = jax.lax.broadcasted_iota(
@@ -157,7 +162,7 @@ def _decode_kernel(
                 )
                 wsbuf[kv] = jnp.where(
                     li == slane,
-                    jnp.broadcast_to(s_new[:, None], wsbuf[kv].shape),
+                    jnp.broadcast_to(s_new, wsbuf[kv].shape),
                     wsbuf[kv],
                 )
         for kv in range(2):
@@ -282,15 +287,15 @@ def _decode_kernel(
                     b, jnp.minimum(blk * np_per_blk + j, num_pages - 1)
                 ]
                 slane = jax.lax.rem(page, 128)
-                ks = lane_select(ssb[slot, 0, j], slane)  # [Hkv]
+                ks = lane_select(ssb[slot, 0, j], slane)  # [Hkv, 1]
                 vs = lane_select(ssb[slot, 1, j], slane)
                 kparts.append(
                     k_buf[slot][:, j].astype(jnp.float32)
-                    * ks[:, None, None]
+                    * ks[:, :, None]
                 )
                 vparts.append(
                     v_buf[slot][:, j].astype(jnp.float32)
-                    * vs[:, None, None]
+                    * vs[:, :, None]
                 )
             k = jnp.concatenate(kparts, axis=1)  # [Hkv, block_t, D]
             v = jnp.concatenate(vparts, axis=1)

@@ -85,8 +85,10 @@ def _prefill_kernel(
     block_active = q_start < extend_len
 
     def lane_select(slab, lane):
+        # [H, 128] -> [H, 1] at `lane`; keepdims because rank-1 vectors
+        # crash Mosaic layout inference (see decode_kernel.lane_select)
         li = jax.lax.broadcasted_iota(jnp.int32, slab.shape, 1)
-        return jnp.sum(jnp.where(li == lane, slab, 0.0), axis=-1)
+        return jnp.sum(jnp.where(li == lane, slab, 0.0), axis=-1, keepdims=True)
 
     def to_q(x):
         if quantized and pbuf.dtype == jnp.int8:
@@ -165,28 +167,30 @@ def _prefill_kernel(
                 else:
                     slane = jax.lax.rem(page, 128)
                     for kv, rows in ((0, sk), (1, sv)):
-                        old_s = lane_select(wsbuf[kv], slane)  # [Hkv]
+                        old_s = lane_select(wsbuf[kv], slane)  # [Hkv, 1]
                         amax = jnp.max(
-                            jnp.where(valid, jnp.abs(rows), 0.0), axis=(1, 2)
-                        )
+                            jnp.max(
+                                jnp.where(valid, jnp.abs(rows), 0.0), axis=2
+                            ),
+                            axis=1,
+                            keepdims=True,
+                        )  # [Hkv, 1]
                         s_new = jnp.maximum(
                             jnp.maximum(old_s, amax / qmax), 1e-8
                         )
                         factor = jnp.where(old_s > 0, old_s / s_new, 0.0)
                         pf = (
                             pbuf[kv].astype(jnp.float32)
-                            * factor[:, None, None]
+                            * factor[:, :, None]
                         )
-                        ins = rows / s_new[:, None, None]
+                        ins = rows / s_new[:, :, None]
                         pbuf[kv] = to_q(jnp.where(valid, ins, pf))
                         li = jax.lax.broadcasted_iota(
                             jnp.int32, wsbuf[kv].shape, 1
                         )
                         wsbuf[kv] = jnp.where(
                             li == slane,
-                            jnp.broadcast_to(
-                                s_new[:, None], wsbuf[kv].shape
-                            ),
+                            jnp.broadcast_to(s_new, wsbuf[kv].shape),
                             wsbuf[kv],
                         )
                 for kv in range(2):
@@ -303,15 +307,15 @@ def _prefill_kernel(
                         b, jnp.minimum(blk * np_per_blk + j, num_pages - 1)
                     ]
                     slane = jax.lax.rem(page, 128)
-                    ks = lane_select(ssb[slot, 0, j], slane)
+                    ks = lane_select(ssb[slot, 0, j], slane)  # [Hkv, 1]
                     vs = lane_select(ssb[slot, 1, j], slane)
                     kparts.append(
                         k_buf[slot][:, j].astype(jnp.float32)
-                        * ks[:, None, None]
+                        * ks[:, :, None]
                     )
                     vparts.append(
                         v_buf[slot][:, j].astype(jnp.float32)
-                        * vs[:, None, None]
+                        * vs[:, :, None]
                     )
                 k = jnp.concatenate(kparts, axis=1)
                 v = jnp.concatenate(vparts, axis=1)

@@ -45,8 +45,8 @@ def _w4_matmul_kernel(
     tiny [M, K/g] x [K/g, N] matmul the CALLER subtracts in XLA —
     in-kernel it needed an unsupported lane-dim reshape for the group
     sums."""
-    k = pl.program_id(1)
-    nk = pl.num_programs(1)
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
 
     @pl.when(k == 0)
     def _():
@@ -99,7 +99,11 @@ def matmul_w4(
     g = group_size
     BK = _pick_block(K, g, 2048)
     BN = _pick_block(N, 128, 512)
-    Mp = max(-(-M // 16) * 16, 16)
+    # Tile M too: a chunked-prefill extend feeds thousands of rows, and an
+    # untiled Mp block (kernel v2) blew the 16MB scoped-VMEM limit at
+    # M=4096 (x tiles + f32 acc scale with M).
+    BM = 256 if M > 256 else max(-(-M // 16) * 16, 16)
+    Mp = -(-M // BM) * BM
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
 
@@ -113,28 +117,28 @@ def matmul_w4(
         functools.partial(
             _w4_matmul_kernel, group_size=g, out_dtype=x.dtype
         ),
-        grid=(N // BN, K // BK),
+        grid=(Mp // BM, N // BN, K // BK),
         in_specs=[
             pl.BlockSpec(
-                (Mp, BK // 2), lambda n, k: (0, k), memory_space=pltpu.VMEM
+                (BM, BK // 2), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (Mp, BK // 2), lambda n, k: (0, k), memory_space=pltpu.VMEM
+                (BM, BK // 2), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (BK // 2, BN), lambda n, k: (k, n), memory_space=pltpu.VMEM
+                (BK // 2, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (BK // g, BN), lambda n, k: (k, n), memory_space=pltpu.VMEM
+                (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (Mp, BN), lambda n, k: (0, n), memory_space=pltpu.VMEM
+            (BM, BN), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
-        scratch_shapes=[pltpu.VMEM((Mp, BN), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(x_lo.astype(jnp.bfloat16), x_hi.astype(jnp.bfloat16), qw, s)
