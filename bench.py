@@ -85,6 +85,18 @@ CONFIGS = {
         model=LLAMA_8B, quantization="w4a16", kv_cache_dtype="int8",
         max_total_tokens=32768,
     ),
+    "llama8b_w4a16_bf16kv": dict(  # perf isolation: W4 matmul only
+        model=LLAMA_8B, quantization="w4a16", kv_cache_dtype="auto",
+        max_total_tokens=24576,
+    ),
+    "llama8b_bf16": dict(  # perf isolation: unquantized reference
+        model=LLAMA_8B, quantization=None, kv_cache_dtype="auto",
+        max_total_tokens=16384,
+    ),
+    "llama3b_w4a16": dict(  # W4-vs-bf16 ratio on a model that fits in bf16
+        model=LLAMA_3B, quantization="w4a16", kv_cache_dtype="auto",
+        max_total_tokens=65536,
+    ),
     "llama3b_bf16": dict(  # round-1 comparable config
         model=LLAMA_3B, quantization=None, kv_cache_dtype="auto",
         max_total_tokens=65536,

@@ -151,6 +151,38 @@ class ModelConfig:
     def is_mla(self) -> bool:
         return self.attention_arch == AttentionArch.MLA
 
+    @property
+    def swa_layers(self) -> Optional[List[bool]]:
+        """Per-layer sliding-window flags (True = windowed), or None when
+        the model has no sliding-window attention.
+
+        Sources, in priority order (reference `model_config.py` /
+        per-model configs):
+          * explicit HF ``layer_types`` list ("sliding_attention" entries)
+          * gemma2: even layers windowed (HF ``not bool(layer_idx % 2)``)
+          * gemma3: ``sliding_window_pattern`` N -> every N-th layer is
+            full attention, the rest windowed
+          * otherwise (mistral-style global ``sliding_window``): all layers
+        """
+        if not self.sliding_window:
+            return None
+        L = self.num_hidden_layers
+        lt = self.hf_config.get("layer_types")
+        if isinstance(lt, list) and len(lt) == L:
+            return [t == "sliding_attention" for t in lt]
+        if self.model_type == "gemma2":
+            return [l % 2 == 0 for l in range(L)]
+        pat = self.hf_config.get("sliding_window_pattern")
+        if pat:
+            return [(l + 1) % pat != 0 for l in range(L)]
+        return [True] * L
+
+    @property
+    def swa_uniform(self) -> bool:
+        """True when every layer uses the same (windowed) attention."""
+        sl = self.swa_layers
+        return sl is not None and all(sl)
+
     def kv_bytes_per_token(self, kv_dtype_bytes: int = 2) -> int:
         if self.is_mla:
             # latent cache: kv_lora_rank + rope dims (padded to one

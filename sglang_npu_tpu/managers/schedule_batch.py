@@ -109,6 +109,11 @@ class Req:
         self.prefix_len: int = 0  # tree-owned prefix tokens
         self.kv_slots: np.ndarray = np.empty((0,), dtype=np.int32)
         self.pages: List[int] = []
+        # Sliding-window models: ring of pages in the window pool; slot r
+        # holds pages with index ≡ r (mod NW).  Grown lazily to NW pages,
+        # then reused in place (ops/hybrid_kv.py).
+        self.swa_pages: List[int] = []
+        self.swa_snapshot_src = None  # tree node backing a snapshot match
         self.last_node: Optional[TreeNode] = None
         self.locked_node: Optional[TreeNode] = None  # the ONE lock we hold
         self.req_pool_idx: Optional[int] = None
@@ -168,9 +173,6 @@ class Req:
         """Refresh fill_ids and re-match the radix prefix before a prefill
         round (reference `Req.init_next_round_input`)."""
         self.fill_ids = self.origin_input_ids + self.output_ids
-        res = tree_cache.match_prefix(
-            self.fill_ids, namespace=getattr(self, "lora_id", 0) or 0
-        )
         # Never reuse the *entire* input (we need >=1 token to compute
         # logits), and keep the reused prefix page-aligned — a request's own
         # slots must always start at a page boundary (tree pages are full).
@@ -185,6 +187,17 @@ class Req:
             else:
                 cap = self.logprob_start_len
             max_prefix = min(max_prefix, cap // page_size * page_size)
+        kwargs = {"namespace": getattr(self, "lora_id", 0) or 0}
+        if getattr(tree_cache, "is_swa", False):
+            if self.swa_pages:
+                # chunked/continuing request: its own ring covers exactly
+                # its committed tokens — no snapshot needed, but the match
+                # must not exceed the ring's coverage
+                max_prefix = min(max_prefix, len(self.kv_slots))
+                kwargs["ring_ok"] = True
+        # The key is capped BEFORE matching so a snapshot match (which must
+        # end exactly at the cached length) sees the usable length.
+        res = tree_cache.match_prefix(self.fill_ids[:max_prefix], **kwargs)
         matched = res.device_indices
         # Defer on an async tier restore only if the loading tokens would
         # actually extend the usable (capped) prefix.
@@ -196,6 +209,7 @@ class Req:
         self.prefix_len = len(matched)
         self.kv_slots = np.asarray(matched, dtype=np.int32)
         self.last_node = res.last_node
+        self.swa_snapshot_src = res.swa_snapshot_node
         self.cached_tokens = max(self.cached_tokens, self.prefix_len)
         self.extend_input_len = len(self.fill_ids) - self.prefix_len
 
@@ -208,6 +222,8 @@ class Req:
         self.prefix_len = 0
         self.kv_slots = np.empty((0,), dtype=np.int32)
         self.pages = []
+        self.swa_pages = []
+        self.swa_snapshot_src = None
         self.last_node = None
         self.prefix_loading = 0
         self.locked_node = None
@@ -301,6 +317,8 @@ class ModelWorkerBatch:
     # On-device grammar FSM for fused multi-step constrained decode:
     # (device_grammars, gidx [B], gstate [B], vocab) — constrained/device_fsm.py
     grammar_fsm: Optional[tuple] = None
+    # Sliding-window models: [B, NW] ring page table for the window pool
+    swa_page_tables: Optional[np.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -408,6 +426,16 @@ class SamplingBatchNumpy:
 
 
 # ----------------------------------------------------------------------
+@dataclasses.dataclass
+class SWAContext:
+    """Window-pool allocation context for sliding-window models: a second
+    allocator over the window pool plus the per-request ring size
+    (reference `SWATokenToKVPoolAllocator`, `allocator.py:163`)."""
+
+    allocator: PagedAllocator
+    ring_pages: int  # NW = ceil(window / page_size) + 1
+
+
 class ScheduleBatch:
     """A batch of requests scheduled together (reference `ScheduleBatch:804`)."""
 
@@ -416,15 +444,17 @@ class ScheduleBatch:
         reqs: List[Req],
         allocator: PagedAllocator,
         tree_cache: BasePrefixCache,
+        swa: Optional[SWAContext] = None,
     ):
         self.reqs = reqs
         self.allocator = allocator
         self.tree_cache = tree_cache
+        self.swa = swa
         self.forward_mode: Optional[ForwardMode] = None
 
     @classmethod
-    def init_new(cls, reqs, allocator, tree_cache) -> "ScheduleBatch":
-        return cls(list(reqs), allocator, tree_cache)
+    def init_new(cls, reqs, allocator, tree_cache, swa=None) -> "ScheduleBatch":
+        return cls(list(reqs), allocator, tree_cache, swa)
 
     def is_empty(self) -> bool:
         return len(self.reqs) == 0
@@ -449,7 +479,27 @@ class ScheduleBatch:
         slots = self.allocator.alloc_extend(old_len, new_len, req.pages)
         assert slots is not None
         req.kv_slots = np.concatenate([req.kv_slots, slots])
+        if self.swa is not None:
+            self._alloc_swa_ring(req, new_len)
         return slots
+
+    def _alloc_swa_ring(self, req: Req, new_len: int) -> None:
+        """Grow the request's window-pool ring to cover ``new_len`` tokens
+        (capped at NW pages; beyond that the ring is reused in place)."""
+        nw = self.swa.ring_pages
+        ps = self.swa.allocator.page_size
+        want = min(nw, -(-new_len // ps))
+        grow = want - len(req.swa_pages)
+        if grow <= 0:
+            return
+        pages = self.swa.allocator.alloc_pages(grow)
+        if pages is None:
+            # window pool exhausted: let the tree give pages back first
+            self.tree_cache.evict_swa(grow * ps)
+            pages = self.swa.allocator.alloc_pages(grow)
+        if pages is None:
+            raise RuntimeError("window KV pool out of memory during extend")
+        req.swa_pages.extend(pages)
 
     # ------------------------------------------------------------------
     def prepare_for_extend(self) -> ModelWorkerBatch:
@@ -466,6 +516,16 @@ class ScheduleBatch:
                 if req.last_node is not None:
                     self.tree_cache.inc_lock_ref(req.last_node)
                 req.locked_node = req.last_node
+            # Window snapshot reuse: copy the cached ring into this
+            # request's own pages while the prefix lock is held (may zero
+            # the prefix if the snapshot was just evicted).
+            if (
+                self.swa is not None
+                and req.prefix_len > 0
+                and not req.swa_pages
+                and getattr(self.tree_cache, "is_swa", False)
+            ):
+                self.tree_cache.restore_ring(req)
             # fill_ids/prefix were set by init_next_round_input; for chunked
             # prefill the adder already truncated extend_input_len.
             start = req.prefix_len
@@ -532,6 +592,13 @@ class ScheduleBatch:
             lora_ids = np.array(
                 [getattr(r, "lora_id", 0) for r in self.reqs], dtype=np.int32
             )
+        swa_pt = None
+        if self.swa is not None:
+            swa_pt = np.zeros(
+                (len(self.reqs), self.swa.ring_pages), dtype=np.int32
+            )
+            for i, req in enumerate(self.reqs):
+                swa_pt[i, : len(req.swa_pages)] = req.swa_pages
         return ModelWorkerBatch(
             forward_mode=self.forward_mode,
             input_ids=input_ids,
@@ -550,6 +617,7 @@ class ScheduleBatch:
                 r.return_logprob and r.logprob_start_len >= 0 for r in self.reqs
             ),
             lora_ids=lora_ids,
+            swa_page_tables=swa_pt,
         )
 
     # ------------------------------------------------------------------
@@ -561,6 +629,18 @@ class ScheduleBatch:
             need_pages += self.allocator.pages_needed(
                 len(req.kv_slots), req.seq_len + 1 + extra_steps
             )
+        if self.swa is not None:
+            need_swa = 0
+            nw = self.swa.ring_pages
+            for req in self.reqs:
+                want = min(nw, -(-(req.seq_len + 1 + extra_steps) // ps))
+                need_swa += max(want - len(req.swa_pages), 0)
+            if (
+                self.swa.allocator.available_pages()
+                + self.tree_cache.evictable_swa_size() // ps
+                < need_swa
+            ):
+                return False
         return (
             self.allocator.available_pages() + self.tree_cache.evictable_size() // ps
             >= need_pages
@@ -596,6 +676,9 @@ class ScheduleBatch:
         # prefix_len is page-aligned tree-owned; everything after is ours.
         own = req.kv_slots[req.prefix_len :]
         self.allocator.free_slots(own)
+        if self.swa is not None and req.swa_pages:
+            self.swa.allocator.free_page_ids(req.swa_pages)
+            req.swa_pages = []
         if req.locked_node is not None:
             self.tree_cache.dec_lock_ref(req.locked_node)
             req.locked_node = None

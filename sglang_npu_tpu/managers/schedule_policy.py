@@ -81,6 +81,7 @@ class PrefillAdder:
         chunked_prefill_size: int,
         max_batch_size: int,
         new_token_ratio: float = 1.0,
+        swa=None,
     ):
         self.page_size = page_size
         self.tree_cache = tree_cache
@@ -96,6 +97,14 @@ class PrefillAdder:
         )
         self.rem_input_tokens = max_prefill_tokens
         self.rem_chunk_tokens = chunked_prefill_size
+        # Sliding-window models: each admitted request needs one page ring
+        # in the window pool (constant NW pages — the memory bound).
+        self.rem_swa_rings = None
+        if swa is not None:
+            self.rem_swa_rings = (
+                swa.allocator.available_pages()
+                + tree_cache.evictable_swa_size() // page_size
+            ) // swa.ring_pages
 
     # ------------------------------------------------------------------
     def _lock_req_prefix(self, req: Req) -> None:
@@ -135,6 +144,9 @@ class PrefillAdder:
 
         if self._estimate_total_cost(req) > self.rem_total_tokens:
             return AddReqResult.NO_TOKEN
+        if self.rem_swa_rings is not None and not req.swa_pages:
+            if self.rem_swa_rings < 1:
+                return AddReqResult.NO_TOKEN
         if extend_len > self.rem_input_tokens and len(self.can_run_list) > 0:
             return AddReqResult.OTHER
 
@@ -150,6 +162,8 @@ class PrefillAdder:
             self.new_chunked_req = req
             self.can_run_list.append(req)
             self._lock_req_prefix(req)
+            if self.rem_swa_rings is not None and not req.swa_pages:
+                self.rem_swa_rings -= 1
             self.rem_chunk_tokens = 0
             self.rem_input_tokens -= trunc
             self.rem_total_tokens -= trunc
@@ -157,6 +171,8 @@ class PrefillAdder:
 
         self.can_run_list.append(req)
         self._lock_req_prefix(req)
+        if self.rem_swa_rings is not None and not req.swa_pages:
+            self.rem_swa_rings -= 1
         self.rem_chunk_tokens -= extend_len
         self.rem_input_tokens -= extend_len
         self.rem_total_tokens -= self._estimate_total_cost(req)

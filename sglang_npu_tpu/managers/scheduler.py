@@ -107,7 +107,35 @@ class Scheduler:
         self.allocator = PagedAllocator(
             num_pages=model_runner.num_pages, page_size=self.page_size
         )
-        if server_args.disable_radix_cache:
+        # Sliding-window hybrid pool: second allocator over the window pool
+        # (ops/hybrid_kv.py; reference SWATokenToKVPoolAllocator)
+        self.swa = None
+        if getattr(model_runner, "swa_num_pages", 0):
+            from sglang_npu_tpu.managers.schedule_batch import SWAContext
+
+            self.swa = SWAContext(
+                allocator=PagedAllocator(
+                    num_pages=model_runner.swa_num_pages,
+                    page_size=self.page_size,
+                ),
+                ring_pages=model_runner.swa_ring_pages,
+            )
+        if self.swa is not None and not server_args.disable_radix_cache:
+            from sglang_npu_tpu.mem_cache.swa_radix_cache import SWARadixCache
+
+            if server_args.enable_hierarchical_cache:
+                logger.warning(
+                    "hierarchical cache is not supported for sliding-window "
+                    "hybrid-pool models; using SWARadixCache"
+                )
+            self.tree_cache = SWARadixCache(
+                self.allocator,
+                self.page_size,
+                swa_allocator=self.swa.allocator,
+                ring_pages=self.swa.ring_pages,
+                copy_swa_pages=model_runner.copy_swa_pages,
+            )
+        elif server_args.disable_radix_cache:
             self.tree_cache = ChunkCache(self.allocator, self.page_size)
         elif server_args.enable_hierarchical_cache:
             from sglang_npu_tpu.mem_cache.hicache_storage import make_storage
@@ -130,7 +158,7 @@ class Scheduler:
 
         self.waiting_queue: List[Req] = []
         self.running_batch = ScheduleBatch.init_new(
-            [], self.allocator, self.tree_cache
+            [], self.allocator, self.tree_cache, self.swa
         )
         self.chunked_req: Optional[Req] = None
         self.last_prefill_batch: Optional[ScheduleBatch] = None
@@ -469,7 +497,7 @@ class Scheduler:
             self.chunked_req = None
         helper = self.running_batch  # for _release_req_kv
         self.running_batch = ScheduleBatch.init_new(
-            [], self.allocator, self.tree_cache
+            [], self.allocator, self.tree_cache, self.swa
         )
         seen = set()
         for req in victims:
@@ -491,23 +519,35 @@ class Scheduler:
         self._rid_to_req.clear()
         self.waiting_queue.clear()
         self.running_batch = ScheduleBatch.init_new(
-            [], self.allocator, self.tree_cache
+            [], self.allocator, self.tree_cache, self.swa
         )
         self.chunked_req = None
         self.last_prefill_batch = None
         # drop all KV state: requests' slots are unrecoverable mid-error
         self.tree_cache.reset()
         self.allocator.clear()
+        if self.swa is not None:
+            self.swa.allocator.clear()
         try:
             self.runner.flush_kv()
         except Exception:
             logger.exception("flush after error failed")
+
+    def _cache_finished(self, req: Req) -> None:
+        """Hand a finished request's KV to the tree cache; the window ring
+        is adopted as a snapshot (SWARadixCache) or freed (ChunkCache)."""
+        self.tree_cache.cache_finished_req(req)
+        if self.swa is not None and req.swa_pages:
+            self.swa.allocator.free_page_ids(req.swa_pages)
+            req.swa_pages = []
 
     def flush_cache(self) -> bool:
         if not self.running_batch.is_empty() or self.waiting_queue:
             return False
         self.tree_cache.reset()
         self.allocator.clear()
+        if self.swa is not None:
+            self.swa.allocator.clear()
         self.runner.flush_kv()
         if self.eagle is not None:
             self.eagle.flush()
@@ -619,6 +659,7 @@ class Scheduler:
             chunked_prefill_size=self.server_args.chunked_prefill_size,
             max_batch_size=self.max_running_requests - running,
             new_token_ratio=self.new_token_ratio,
+            swa=self.swa,
         )
 
         if self.chunked_req is not None:
@@ -650,7 +691,7 @@ class Scheduler:
             self.total_prompt_tokens += req.extend_input_len
             self.total_cached_tokens += req.prefix_len
         return ScheduleBatch.init_new(
-            adder.can_run_list, self.allocator, self.tree_cache
+            adder.can_run_list, self.allocator, self.tree_cache, self.swa
         )
 
     def _attach_eagle_slots(self, mwb: ModelWorkerBatch, reqs: List[Req]):
@@ -741,7 +782,7 @@ class Scheduler:
             req.spec_accepted_tokens += m
             self.allocator.shrink_req(req, len(req.fill_ids) - 1)
             if req.finished:
-                self.tree_cache.cache_finished_req(req)
+                self._cache_finished(req)
         self._emit_outputs(batch.reqs)
         batch.filter_batch()
         self._maybe_log()
@@ -803,7 +844,7 @@ class Scheduler:
             req.spec_accepted_tokens += commit_lens[i] - 1
             self.allocator.shrink_req(req, len(req.fill_ids) - 1)
             if req.finished:
-                self.tree_cache.cache_finished_req(req)
+                self._cache_finished(req)
         self._emit_outputs(batch.reqs)
         batch.filter_batch()
         self._maybe_log()
@@ -882,13 +923,13 @@ class Scheduler:
                 if logprob_info is not None and req.return_logprob:
                     self._attach_logprob(req, logprob_info, i, None)
                 if req.finished:
-                    self.tree_cache.cache_finished_req(req)
+                    self._cache_finished(req)
                 else:
                     new_running.append(req)
             if new_running:
                 self.running_batch.merge_batch(
                     ScheduleBatch.init_new(
-                        new_running, self.allocator, self.tree_cache
+                        new_running, self.allocator, self.tree_cache, self.swa
                     )
                 )
             self._emit_outputs(batch.reqs)
@@ -906,7 +947,7 @@ class Scheduler:
                     self.num_generated_tokens += 1
                 self.allocator.shrink_req(req, len(req.fill_ids) - 1)
                 if req.finished:
-                    self.tree_cache.cache_finished_req(req)
+                    self._cache_finished(req)
             self._emit_outputs(self.running_batch.reqs)
             self.running_batch.filter_batch()
         self._maybe_log()
@@ -927,7 +968,7 @@ class Scheduler:
                 continue
             req.finished_reason = FINISH_LENGTH(0)
             self._rid_to_req.pop(req.rid, None); self._release_hidden_slot(req)
-            self.tree_cache.cache_finished_req(req)
+            self._cache_finished(req)
             done.append(req)
             embs.append(embeddings[i].tolist())
         if done:
@@ -955,7 +996,7 @@ class Scheduler:
         req.fill_ids.append(first_token)
         req.finished_reason = FINISH_LENGTH(0)
         self._rid_to_req.pop(req.rid, None); self._release_hidden_slot(req)
-        self.tree_cache.cache_finished_req(req)
+        self._cache_finished(req)
         self.output_queue.put(out)
 
     def inject_decode_req(self, item):
@@ -985,7 +1026,7 @@ class Scheduler:
         req.fill_ids = list(item.input_ids) + [item.first_token]
         req.prefix_len = 0
         self.running_batch.merge_batch(
-            ScheduleBatch.init_new([req], self.allocator, self.tree_cache)
+            ScheduleBatch.init_new([req], self.allocator, self.tree_cache, self.swa)
         )
 
     def _attach_input_logprobs(self, req: Req, row: np.ndarray):

@@ -55,7 +55,7 @@ class TreeNode:
 
 
 class MatchResult:
-    __slots__ = ("device_indices", "last_node", "loading")
+    __slots__ = ("device_indices", "last_node", "loading", "swa_snapshot_node")
 
     def __init__(
         self,
@@ -69,6 +69,8 @@ class MatchResult:
         # tier is asynchronously restoring (HiRadixCache): the scheduler
         # defers admission until they land instead of recomputing them.
         self.loading = loading
+        # SWARadixCache: node whose window snapshot backs this match.
+        self.swa_snapshot_node: Optional[TreeNode] = None
 
 
 class BasePrefixCache:
@@ -100,6 +102,14 @@ class BasePrefixCache:
         return 0
 
     def protected_size(self) -> int:
+        return 0
+
+    # Sliding-window models (ops/hybrid_kv.py): window-pool reclamation.
+    # Only SWARadixCache owns window pages; everything else no-ops.
+    def evict_swa(self, num_tokens: int) -> None:
+        pass
+
+    def evictable_swa_size(self) -> int:
         return 0
 
 

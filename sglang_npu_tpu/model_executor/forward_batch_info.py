@@ -42,6 +42,9 @@ class ForwardBatch:
     extend_seq_lens: Optional[jax.Array]  # [B] int32 or None (decode)
     extend_prefix_lens: Optional[jax.Array]  # [B] int32 or None
     lora_ids: Optional[jax.Array] = None  # [B] int32 adapter slots (0 = none)
+    # sliding-window models: [B, NW] physical page of each ring slot in the
+    # window pool (see ops/hybrid_kv.py); None for full-attention models
+    swa_page_tables: Optional[jax.Array] = None
 
 
 @jax.tree_util.register_dataclass
@@ -106,6 +109,11 @@ def build_extend_forward_batch(
             if mwb.lora_ids is not None
             else None
         ),
+        swa_page_tables=(
+            jnp.asarray(pad_to(mwb.swa_page_tables, bs_bucket))
+            if mwb.swa_page_tables is not None
+            else None
+        ),
     )
 
 
@@ -125,6 +133,11 @@ def build_decode_forward_batch(
         seq_lens=jnp.asarray(pad_to(mwb.seq_lens, bs_bucket)),
         extend_seq_lens=None,
         extend_prefix_lens=None,
+        swa_page_tables=(
+            jnp.asarray(pad_to(mwb.swa_page_tables, bs_bucket))
+            if mwb.swa_page_tables is not None
+            else None
+        ),
     )
 
 

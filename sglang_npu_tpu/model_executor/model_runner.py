@@ -71,6 +71,28 @@ class ModelRunner:
         self.model = model_cls(model_config)
         self._init_attention_backend()
 
+        # Sliding-window hybrid pool (ops/hybrid_kv.py): split layers into
+        # a full pool and a bounded per-request ring pool when the model
+        # mixes windowed and full attention (gemma-2/-3 class).
+        self._swa_layers = None
+        self.swa_num_pages = 0
+        self.swa_ring_pages = 0
+        sl = model_config.swa_layers
+        if (
+            sl is not None
+            and not model_config.swa_uniform
+            and getattr(self.model, "supports_hybrid_swa", False)
+            and not model_config.is_mla
+            and self.kv_dtype in (jnp.bfloat16, jnp.float32)
+        ):
+            from sglang_npu_tpu.ops.hybrid_kv import num_ring_pages
+
+            self._swa_layers = sl
+            self.swa_ring_pages = num_ring_pages(
+                model_config.sliding_window, self.page_size
+            )
+            self.model.use_hybrid_pool = True
+
         t0 = time.time()
         self.params = load_model_weights(
             self.model,
@@ -210,10 +232,17 @@ class ModelRunner:
         """Size the KV pool from free device memory (reference
         `profile_max_num_token:965`)."""
         if self._num_pages_override is not None:
+            if self._swa_layers:
+                self.swa_num_pages = self._swa_want_pages(
+                    self._num_pages_override
+                )
             return self._num_pages_override
         args = self.server_args
         if args.max_total_tokens is not None:
-            return max(cdiv(args.max_total_tokens, self.page_size), 2)
+            pages = max(cdiv(args.max_total_tokens, self.page_size), 2)
+            if self._swa_layers:
+                self.swa_num_pages = self._swa_want_pages(pages)
+            return pages
         c = self.model_config
         kv_bytes_per_page = c.kv_bytes_per_token(
             jnp.dtype(self.kv_dtype).itemsize
@@ -246,9 +275,33 @@ class ModelRunner:
             )
         if budget <= 0:
             # CPU tests: small fixed pool.
-            return max(cdiv(64 * 1024, self.page_size), 2)
+            pages = max(cdiv(64 * 1024, self.page_size), 2)
+            if self._swa_layers:
+                self.swa_num_pages = self._swa_want_pages(pages)
+            return pages
+        if self._swa_layers:
+            # split the budget: the window pool only needs to cover the
+            # concurrent-request rings; everything else goes to full layers
+            L = len(self._swa_layers)
+            Lf = self._swa_layers.count(False)
+            full_page_bytes = max(kv_bytes_per_page * Lf // L, 1)
+            swa_page_bytes = max(kv_bytes_per_page - full_page_bytes, 1)
+            want = self._swa_want_pages(None)
+            self.swa_num_pages = int(
+                max(min(want, (budget // 2) // swa_page_bytes), 2)
+            )
+            budget -= self.swa_num_pages * swa_page_bytes
+            return int(max(budget // full_page_bytes, 2))
         pages = budget // kv_bytes_per_page
         return int(max(pages, 2))
+
+    def _swa_want_pages(self, full_pages: Optional[int]) -> int:
+        """Window-pool sizing: one ring per concurrent request + slack."""
+        mc = self.server_args.max_running_requests or 256
+        want = (mc + 1) * self.swa_ring_pages
+        if full_pages is not None:
+            want = min(want, full_pages)
+        return max(want, self.swa_ring_pages + 2)
 
     def _alloc_kv_pool(self) -> jax.Array:
         """Head-major paged pool [L, 2, H_kv, num_pages, ps, D], KV heads
@@ -305,6 +358,24 @@ class ModelRunner:
             else P()
         )
         sharding = NamedSharding(self.mesh, spec)
+        if self._swa_layers:
+            # hybrid: full-attention layers' pool + windowed layers' ring
+            # pool (layer order within each pool = model order filtered)
+            from sglang_npu_tpu.ops.hybrid_kv import HybridKVPool
+
+            Lf = self._swa_layers.count(False)
+            Ls = self._swa_layers.count(True)
+            full_shape = (Lf,) + shape[1:]
+            swa_shape = (Ls, 2, c.num_key_value_heads, self.swa_num_pages,
+                         self.page_size, self.kv_head_dim)
+            return HybridKVPool(
+                full=jax.device_put(
+                    jnp.zeros(full_shape, dtype=self.kv_dtype), sharding
+                ),
+                swa=jax.device_put(
+                    jnp.zeros(swa_shape, dtype=self.kv_dtype), sharding
+                ),
+            )
         if self.kv_dtype in (jnp.int8, jnp.float8_e4m3fn):
             if self.attention_backend_name == "pallas":
                 # per-(head, page) scale slabs read/written by the kernels
@@ -511,6 +582,7 @@ class ModelRunner:
             lora_ids=None,
             fsm=None,
             has_fsm=False,
+            swa_page_tables=None,
         ):
             if has_penalties:
                 vocab = params["embed"].shape[0]
@@ -545,6 +617,7 @@ class ModelRunner:
                     extend_seq_lens=None,
                     extend_prefix_lens=None,
                     lora_ids=lora_ids,
+                    swa_page_tables=swa_page_tables,
                 )
                 logits, kv_pool = model(params, kv_pool, fb, ps)
                 if has_penalties:
@@ -790,6 +863,11 @@ class ModelRunner:
                 ),
                 fsm=fsm,
                 has_fsm=fsm is not None,
+                swa_page_tables=(
+                    jnp.asarray(pad_to(mwb.swa_page_tables, bs_bucket))
+                    if mwb.swa_page_tables is not None
+                    else None
+                ),
             )
         n = mwb.real_bs
         if not rl:
@@ -928,6 +1006,29 @@ class ModelRunner:
         self.kv_pool = jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.zeros_like(x), x.sharding),
             self.kv_pool,
+        )
+
+    # ------------------------------------------------------------------
+    def copy_swa_pages(self, src, dst) -> None:
+        """Copy window-pool pages ``src`` -> ``dst`` on device (snapshot
+        restore for SWARadixCache, copy-on-extend)."""
+        from sglang_npu_tpu.ops.hybrid_kv import HybridKVPool
+
+        if not hasattr(self, "_swa_copy_fn"):
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _copy(pool, s, d):
+                swa = pool.swa.at[:, :, :, d].set(pool.swa[:, :, :, s])
+                return HybridKVPool(full=pool.full, swa=swa)
+
+            self._swa_copy_fn = _copy
+        nw = self.swa_ring_pages
+        s = np.zeros((nw,), np.int32)
+        d = np.zeros((nw,), np.int32)
+        s[: len(src)] = src
+        d[: len(dst)] = dst  # padded entries copy page 0 onto itself
+        self.kv_pool = self._swa_copy_fn(
+            self.kv_pool, jnp.asarray(s), jnp.asarray(d)
         )
 
     # ------------------------------------------------------------------
