@@ -238,25 +238,58 @@ def main():
     p.add_argument(
         "--configs", type=str, default="llama1b_bf16,llama8b_fp8,llama8b_w4a16_int8kv"
     )
+    p.add_argument("--one-config", type=str, default=None)
     p.add_argument("--quick", action="store_true", help="small smoke run")
     args = p.parse_args()
     if args.quick:
         args.num_requests, args.prompt_len, args.max_new = 4, 32, 16
         args.configs = "llama1b_bf16"
 
+    if args.one_config:
+        # child mode: run exactly one config and emit its JSON
+        name = args.one_config
+        try:
+            out = run_config(name, CONFIGS[name], args)
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            out = {"error": str(e)[:200]}
+        print(json.dumps({name: out}))
+        return
+
+    # One subprocess per config: a dead/OOM'd engine must not poison the
+    # next config's HBM (buffers of a previous Engine in the same process
+    # are not reliably reclaimed before the next device_put).
+    import subprocess
+
     results = {}
     for name in args.configs.split(","):
         name = name.strip()
         if not name:
             continue
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--one-config", name,
+            "--num-requests", str(args.num_requests),
+            "--prompt-len", str(args.prompt_len),
+            "--max-new", str(args.max_new),
+            "--page-size", str(args.page_size),
+        ]
+        if args.attention_backend:
+            cmd += ["--attention-backend", args.attention_backend]
         try:
-            results[name] = run_config(name, CONFIGS[name], args)
-            print(f"## {name}: {results[name]}", file=sys.stderr)
-        except Exception as e:  # one failed config must not zero the bench
-            import traceback
-
-            traceback.print_exc()
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3000
+            )
+            sys.stderr.write(proc.stderr[-4000:])
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            results[name] = json.loads(line[-1])[name] if line else {
+                "error": f"no output (exit {proc.returncode})"
+            }
+        except Exception as e:
             results[name] = {"error": str(e)[:200]}
+        print(f"## {name}: {results[name]}", file=sys.stderr)
+        time.sleep(10)  # let the tunnel settle between engine processes
 
     headline = None
     for pick in ("llama8b_w4a16_int8kv", "llama8b_fp8", "llama1b_bf16", "llama3b_bf16"):

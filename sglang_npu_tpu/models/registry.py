@@ -18,6 +18,8 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen3MoeForCausalLM": ("sglang_npu_tpu.models.qwen_moe", "QwenMoeForCausalLM"),
     "MixtralForCausalLM": ("sglang_npu_tpu.models.qwen_moe", "QwenMoeForCausalLM"),
     "Gemma2ForCausalLM": ("sglang_npu_tpu.models.gemma2", "Gemma2ForCausalLM"),
+    "Gemma3ForCausalLM": ("sglang_npu_tpu.models.gemma3", "Gemma3ForCausalLM"),
+    "Gemma3TextModel": ("sglang_npu_tpu.models.gemma3", "Gemma3ForCausalLM"),
     "DeepseekV2ForCausalLM": ("sglang_npu_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
 }
 
