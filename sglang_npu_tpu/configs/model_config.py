@@ -68,6 +68,16 @@ class ModelConfig:
         dtype: str = "auto",
         context_length: Optional[int] = None,
     ) -> "ModelConfig":
+        if isinstance(cfg.get("text_config"), dict):
+            # composite VLM configs (qwen2.5-vl, gemma3-mm): flatten the
+            # text sub-config; top-level keys (vision_config, image token
+            # ids, architectures) win when set
+            merged = dict(cfg)
+            for k, v in cfg["text_config"].items():
+                if merged.get(k) is None:
+                    merged[k] = v
+            merged.pop("text_config", None)
+            cfg = merged
         heads = cfg["num_attention_heads"]
         kv_heads = cfg.get("num_key_value_heads", heads)
         head_dim = cfg.get("head_dim") or cfg["hidden_size"] // heads
@@ -102,7 +112,10 @@ class ModelConfig:
             rope_scaling=cfg.get("rope_scaling"),
             max_position_embeddings=max_pos,
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
-            attention_bias=cfg.get("attention_bias", model_type == "qwen2"),
+            attention_bias=cfg.get(
+                "attention_bias",
+                model_type in ("qwen2", "qwen2_5_vl", "qwen2_5_vl_text"),
+            ),
             hidden_act=cfg.get("hidden_act", "silu"),
             eos_token_ids=tuple(eos),
             bos_token_id=cfg.get("bos_token_id"),

@@ -289,6 +289,7 @@ class Engine:
         rid: Optional[Union[str, List[str]]] = None,
         session_params: Optional[Dict] = None,
         lora_path: Optional[Union[str, List[Optional[str]]]] = None,
+        image_data=None,
     ):
         """Reference `Engine.generate` (`engine.py:138`): returns a dict for
         single prompts, a list of dicts for batches, or an iterator when
@@ -304,6 +305,7 @@ class Engine:
             rid=rid,
             session_params=session_params,
             lora_path=lora_path,
+            image_data=image_data,
         )
         if stream:
             return self.tokenizer_manager.stream_sync(obj)

@@ -140,6 +140,7 @@ class HttpServer:
                 return_logprob=body.get("return_logprob", False),
                 logprob_start_len=body.get("logprob_start_len", -1),
                 top_logprobs_num=body.get("top_logprobs_num", 0),
+                image_data=body.get("image_data"),
                 stream=body.get("stream", False),
                 lora_path=body.get("lora_path"),
                 session_params=body.get("session_params"),

@@ -72,12 +72,27 @@ class ChatServing:
             )
 
         rid = gen_request_id("chatcmpl")
+        # Pull multimodal parts out of the messages (OpenAI image_url
+        # content blocks -> engine image_data; data: URIs / base64 only —
+        # no egress in this environment)
+        images = []
+        for m in req.messages:
+            content = m.get("content")
+            if isinstance(content, list):
+                for p in content:
+                    if p.get("type") == "image_url":
+                        url = p.get("image_url")
+                        if isinstance(url, dict):
+                            url = url.get("url")
+                        if url:
+                            images.append(url)
         prompt = apply_chat_template(self.tm.tokenizer, req.messages)
         obj = GenerateReqInput(
             text=prompt,
             sampling_params=req.to_sampling_params(),
             stream=req.stream,
             rid=rid,
+            image_data=images or None,
         )
 
         if req.stream:

@@ -96,6 +96,12 @@ def apply_rope(
     HF Llama/Qwen."""
     cos = rope["cos"][positions]  # [..., D/2]
     sin = rope["sin"][positions]
+    return apply_rope_cs(q, k, cos, sin)
+
+
+def apply_rope_cs(q, k, cos, sin):
+    """Rotary with precomputed per-token cos/sin [..., D/2] (used directly
+    by mrope, which gathers sections from different position rows)."""
     cos = cos[..., None, :]  # broadcast over head axis
     sin = sin[..., None, :]
 

@@ -36,6 +36,10 @@ class GenerateReqInput:
     session_params: Optional[Dict] = None
     custom_logit_processor: Optional[str] = None
     return_hidden_states: bool = False
+    # multimodal: one image / list of images (single request) or a list
+    # parallel to text (batch). Accepted forms: PIL, path, bytes, base64,
+    # data: URI (reference GenerateReqInput.image_data)
+    image_data: Optional[Any] = None
 
     def post_init(self):
         if self.text is None and self.input_ids is None:
@@ -90,6 +94,10 @@ class TokenizedGenerateReqInput:
     session_params: Optional[Dict] = None
     custom_logit_processor: Optional[str] = None
     return_hidden_states: bool = False
+    # multimodal payload from multimodal/processor.process_images:
+    # {input_ids, key_ids, pixel_values, image_grid_thw, mrope_positions,
+    #  mrope_delta, image_token_id}
+    mm_inputs: Optional[Dict] = None
 
 
 @dataclasses.dataclass

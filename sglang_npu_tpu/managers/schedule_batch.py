@@ -114,6 +114,16 @@ class Req:
         # then reused in place (ops/hybrid_kv.py).
         self.swa_pages: List[int] = []
         self.swa_snapshot_src = None  # tree node backing a snapshot match
+
+        # Multimodal (models/qwen2_5_vl.py): processor outputs + per-req
+        # vision-embedding cache (device array, filled by the runner on
+        # the first prefill chunk)
+        self.mm_inputs: Optional[Dict[str, Any]] = None
+        self.cache_key_ids: Optional[List[int]] = None
+        self.mm_embeds = None  # device [n_image_tokens, hidden]
+        self.mm_token_positions: Optional[np.ndarray] = None
+        self.mrope_positions: Optional[np.ndarray] = None  # [3, T_prompt]
+        self.mrope_delta: int = 0
         self.last_node: Optional[TreeNode] = None
         self.locked_node: Optional[TreeNode] = None  # the ONE lock we hold
         self.req_pool_idx: Optional[int] = None
@@ -161,6 +171,24 @@ class Req:
         self.eagle_ready = False  # draft KV/hidden valid for spec rounds
 
     # ------------------------------------------------------------------
+    def set_mm_inputs(self, mm: Dict[str, Any]) -> None:
+        self.mm_inputs = mm
+        # radix keys: image pad tokens replaced by content-hash ids so
+        # identical images share prefix KV (reference mm hashing)
+        self.cache_key_ids = list(mm["key_ids"])
+        ids = np.asarray(self.origin_input_ids)
+        self.mm_token_positions = np.where(ids == mm["image_token_id"])[0]
+        self.mrope_positions = np.asarray(mm["mrope_positions"], dtype=np.int32)
+        self.mrope_delta = int(mm["mrope_delta"])
+
+    def cache_key_seq(self) -> List[int]:
+        """Token sequence used for radix matching/insertion (content-hash
+        substituted for image pad tokens)."""
+        if self.cache_key_ids is None:
+            return self.fill_ids
+        return self.cache_key_ids + self.output_ids
+
+    # ------------------------------------------------------------------
     @property
     def seq_len(self) -> int:
         return len(self.fill_ids)
@@ -197,7 +225,7 @@ class Req:
                 kwargs["ring_ok"] = True
         # The key is capped BEFORE matching so a snapshot match (which must
         # end exactly at the cached length) sees the usable length.
-        res = tree_cache.match_prefix(self.fill_ids[:max_prefix], **kwargs)
+        res = tree_cache.match_prefix(self.cache_key_seq()[:max_prefix], **kwargs)
         matched = res.device_indices
         # Defer on an async tier restore only if the loading tokens would
         # actually extend the usable (capped) prefix.
@@ -319,6 +347,11 @@ class ModelWorkerBatch:
     grammar_fsm: Optional[tuple] = None
     # Sliding-window models: [B, NW] ring page table for the window pool
     swa_page_tables: Optional[np.ndarray] = None
+    # Multimodal: per-batch-row Req handles (None rows = text-only), flat
+    # [T, 3] mrope positions (extend) / [B] mrope deltas (decode)
+    mm_reqs: Optional[List] = None
+    mrope_positions: Optional[np.ndarray] = None
+    mrope_delta: Optional[np.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -539,7 +572,7 @@ class ScheduleBatch:
             seq_lens.append(end)
             extend_lens.append(end - start)
             prefix_lens.append(start)
-        return self._finalize(
+        mwb = self._finalize(
             np.concatenate(input_ids),
             np.concatenate(positions),
             np.asarray(seq_lens, dtype=np.int32),
@@ -547,6 +580,26 @@ class ScheduleBatch:
             np.asarray(extend_lens, dtype=np.int32),
             np.asarray(prefix_lens, dtype=np.int32),
         )
+        if any(r.mm_inputs is not None for r in self.reqs):
+            from sglang_npu_tpu.multimodal.processor import extend_mrope
+
+            mwb.mm_reqs = [
+                r if r.mm_inputs is not None else None for r in self.reqs
+            ]
+            rows = []
+            for req in self.reqs:
+                start = req.prefix_len
+                end = start + req.extend_input_len
+                if req.mrope_positions is not None:
+                    req.mrope_positions = extend_mrope(
+                        req.mrope_positions, req.mrope_delta, end
+                    )
+                    rows.append(req.mrope_positions[:, start:end].T)
+                else:
+                    r = np.arange(start, end, dtype=np.int32)
+                    rows.append(np.stack([r, r, r], axis=1))
+            mwb.mrope_positions = np.concatenate(rows, axis=0)
+        return mwb
 
     # ------------------------------------------------------------------
     def prepare_for_decode(self, decode_steps: int = 1) -> ModelWorkerBatch:
@@ -570,6 +623,10 @@ class ScheduleBatch:
         mwb = self._finalize(input_ids, positions, seq_lens, out_slots, None, None)
         mwb.decode_steps = decode_steps
         mwb.decode_limits = limits
+        if any(r.mm_inputs is not None for r in self.reqs):
+            mwb.mrope_delta = np.array(
+                [r.mrope_delta for r in self.reqs], dtype=np.int32
+            )
         return mwb
 
     # ------------------------------------------------------------------

@@ -387,6 +387,8 @@ class Scheduler:
         req.session_id = (
             t.session_params.get("id") if t.session_params else None
         )
+        if t.mm_inputs is not None:
+            req.set_mm_inputs(t.mm_inputs)
         req.lora_id = (
             self.runner.lora_manager.lora_id(t.lora_path)
             if getattr(self.runner, "lora_manager", None) is not None

@@ -164,7 +164,22 @@ class TokenizerManager:
 
         text = pick("text")
         input_ids = pick("input_ids") if obj.input_ids is not None else None
-        if input_ids is None:
+        mm_inputs = None
+        images = pick("image_data") if obj.image_data is not None else None
+        if images is not None:
+            if not isinstance(images, list):
+                images = [images]
+            from sglang_npu_tpu.multimodal.processor import process_images
+
+            mm_inputs = process_images(
+                self.server_args.model_path,
+                text,
+                input_ids,
+                images,
+                self._hf_config(),
+            )
+            input_ids = mm_inputs["input_ids"]
+        elif input_ids is None:
             if self.tokenizer is None:
                 raise ValueError(
                     "no tokenizer available; pass input_ids "
@@ -187,7 +202,21 @@ class TokenizerManager:
             stream=obj.stream,
             lora_path=pick("lora_path"),
             session_params=obj.session_params,
+            mm_inputs=mm_inputs,
         )
+
+    def _hf_config(self) -> dict:
+        cfg = getattr(self, "_hf_config_cache", None)
+        if cfg is None:
+            import json
+            import os
+
+            with open(
+                os.path.join(self.server_args.model_path, "config.json")
+            ) as f:
+                cfg = json.load(f)
+            self._hf_config_cache = cfg
+        return cfg
 
     def submit(self, tokenized: TokenizedGenerateReqInput) -> ReqState:
         state = ReqState(created_time=time.time())

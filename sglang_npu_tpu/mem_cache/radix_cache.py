@@ -243,7 +243,7 @@ class RadixCache(BasePrefixCache):
         """
         ps = self.page_size
         slots = req.kv_slots
-        token_ids = req.fill_ids[: len(slots)]
+        token_ids = req.cache_key_seq()[: len(slots)] if hasattr(req, 'cache_key_seq') else req.fill_ids[: len(slots)]
         aligned = len(slots) // ps * ps
         old_prefix_len = min(req.prefix_len, aligned)
         ns = getattr(req, "lora_id", 0) or 0
@@ -268,7 +268,7 @@ class RadixCache(BasePrefixCache):
         prefill step) and re-point the request at tree-owned slots."""
         ps = self.page_size
         slots = req.kv_slots
-        token_ids = req.fill_ids[: len(slots)]
+        token_ids = req.cache_key_seq()[: len(slots)] if hasattr(req, 'cache_key_seq') else req.fill_ids[: len(slots)]
         aligned = len(slots) // ps * ps
         old_prefix_len = min(req.prefix_len, aligned)
         ns = getattr(req, "lora_id", 0) or 0

@@ -101,7 +101,7 @@ class SWARadixCache(RadixCache):
         as the terminal node's window snapshot."""
         ps = self.page_size
         aligned = len(req.kv_slots) // ps * ps
-        token_ids = req.fill_ids[: len(req.kv_slots)]
+        token_ids = (req.cache_key_seq() if hasattr(req, 'cache_key_seq') else req.fill_ids)[: len(req.kv_slots)]
         ns = getattr(req, "lora_id", 0) or 0
         super().cache_finished_req(req)
         ring = getattr(req, "swa_pages", None)

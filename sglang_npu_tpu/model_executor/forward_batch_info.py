@@ -45,6 +45,14 @@ class ForwardBatch:
     # sliding-window models: [B, NW] physical page of each ring slot in the
     # window pool (see ops/hybrid_kv.py); None for full-attention models
     swa_page_tables: Optional[jax.Array] = None
+    # multimodal (models/qwen2_5_vl.py): spliced image embeddings for the
+    # extend region and the mask of which tokens they replace
+    input_embeds: Optional[jax.Array] = None  # [B, E, D]
+    embed_mask: Optional[jax.Array] = None  # [B, E] bool
+    # mrope: [B, E, 3] (t, h, w) rope positions for extend; decode adds a
+    # per-request delta to the sequential position instead
+    mrope_positions: Optional[jax.Array] = None
+    mrope_delta: Optional[jax.Array] = None  # [B] int32
 
 
 @jax.tree_util.register_dataclass
@@ -88,12 +96,17 @@ def build_extend_forward_batch(
     input_ids = np.zeros((bs_bucket, extend_bucket), dtype=np.int32)
     positions = np.zeros((bs_bucket, extend_bucket), dtype=np.int32)
     out_slots = np.zeros((bs_bucket, extend_bucket), dtype=np.int32)
+    mrope = None
+    if mwb.mrope_positions is not None:
+        mrope = np.zeros((bs_bucket, extend_bucket, 3), dtype=np.int32)
     off = 0
     for i in range(B):
         n = int(ext[i])
         input_ids[i, :n] = mwb.input_ids[off : off + n]
         positions[i, :n] = mwb.positions[off : off + n]
         out_slots[i, :n] = mwb.out_slots[off : off + n]
+        if mrope is not None:
+            mrope[i, :n] = mwb.mrope_positions[off : off + n]
         off += n
     pt = pad_to(pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0)
     return ForwardBatch(
@@ -114,6 +127,7 @@ def build_extend_forward_batch(
             if mwb.swa_page_tables is not None
             else None
         ),
+        mrope_positions=jnp.asarray(mrope) if mrope is not None else None,
     )
 
 
@@ -136,6 +150,11 @@ def build_decode_forward_batch(
         swa_page_tables=(
             jnp.asarray(pad_to(mwb.swa_page_tables, bs_bucket))
             if mwb.swa_page_tables is not None
+            else None
+        ),
+        mrope_delta=(
+            jnp.asarray(pad_to(mwb.mrope_delta, bs_bucket))
+            if mwb.mrope_delta is not None
             else None
         ),
     )

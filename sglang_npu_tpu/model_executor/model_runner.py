@@ -583,6 +583,7 @@ class ModelRunner:
             fsm=None,
             has_fsm=False,
             swa_page_tables=None,
+            mrope_delta=None,
         ):
             if has_penalties:
                 vocab = params["embed"].shape[0]
@@ -618,6 +619,7 @@ class ModelRunner:
                     extend_prefix_lens=None,
                     lora_ids=lora_ids,
                     swa_page_tables=swa_page_tables,
+                    mrope_delta=mrope_delta,
                 )
                 logits, kv_pool = model(params, kv_pool, fb, ps)
                 if has_penalties:
@@ -774,6 +776,79 @@ class ModelRunner:
         return "full"
 
     # ------------------------------------------------------------------
+    # Multimodal: ViT execution + embedding splice (reference
+    # `managers/mm_utils.general_mm_embed_routine` + embed cache)
+    # ------------------------------------------------------------------
+    def _vision_embed(self, req) -> jax.Array:
+        """Run the vision tower once per request; embeddings are cached on
+        the Req for subsequent prefill chunks."""
+        if req.mm_embeds is not None:
+            return req.mm_embeds
+        mm = req.mm_inputs
+        from sglang_npu_tpu.models.qwen2_5_vl import vit_layout
+
+        grid = mm["image_grid_thw"]
+        perm, win_seg, full_seg, pos_hw = vit_layout(
+            grid, self.model.vision_cfg
+        )
+        pixels = np.asarray(mm["pixel_values"], dtype=np.float32)[perm]
+        P = pixels.shape[0]
+        unit = self.model.v_merge**2
+        Pb = max(-(-P // unit) * unit, unit)
+        Pb = 1 << (Pb - 1).bit_length()  # pow2 bucket to bound recompiles
+        Pb = max(Pb, unit)
+        pad = Pb - P
+        if pad:
+            pixels = np.pad(pixels, ((0, pad), (0, 0)))
+            win_seg = np.pad(win_seg, (0, pad), constant_values=-1)
+            full_seg = np.pad(full_seg, (0, pad), constant_values=-1)
+            pos_hw = np.pad(pos_hw, ((0, pad), (0, 0)))
+        if not hasattr(self, "_vision_fn"):
+            self._vision_fn = jax.jit(self.model.vision_forward)
+        flags = np.zeros((self.model.v_depth,), dtype=bool)
+        flags[list(self.model.v_fullatt)] = True
+        out = self._vision_fn(
+            self.params,
+            jnp.asarray(pixels),
+            jnp.asarray(win_seg),
+            jnp.asarray(full_seg),
+            jnp.asarray(pos_hw),
+            jnp.asarray(flags),
+        )  # [Pb/unit, D] in window merge-group order
+        n_groups = P // unit
+        reverse = np.argsort(perm[::unit] // unit)
+        req.mm_embeds = out[:n_groups][jnp.asarray(reverse)]
+        return req.mm_embeds
+
+    def _attach_mm_embeds(self, mwb, fb, bs_bucket: int, extend_bucket: int):
+        """Splice vision embeddings into the extend rectangle."""
+        import dataclasses as _dc
+
+        D = self.model_config.hidden_size
+        embeds = jnp.zeros((bs_bucket, extend_bucket, D), jnp.bfloat16)
+        mask = np.zeros((bs_bucket, extend_bucket), dtype=bool)
+        touched = False
+        for i, req in enumerate(mwb.mm_reqs):
+            if req is None:
+                continue
+            start = req.prefix_len
+            end = start + req.extend_input_len
+            pos = req.mm_token_positions
+            sel = (pos >= start) & (pos < end)
+            if not sel.any():
+                continue
+            rows = self._vision_embed(req)[np.where(sel)[0]]
+            cols = (pos[sel] - start).astype(np.int32)
+            embeds = embeds.at[i, cols].set(rows.astype(embeds.dtype))
+            mask[i, cols] = True
+            touched = True
+        if not touched:
+            return fb
+        return _dc.replace(
+            fb, input_embeds=embeds, embed_mask=jnp.asarray(mask)
+        )
+
+    # ------------------------------------------------------------------
     def forward_and_sample(self, mwb: ModelWorkerBatch):
         """Run one padded step.
 
@@ -794,6 +869,8 @@ class ModelRunner:
             fb = build_extend_forward_batch(
                 mwb, bs_bucket, extend_bucket, pages_bucket, self.page_size
             )
+            if mwb.mm_reqs is not None:
+                fb = self._attach_mm_embeds(mwb, fb, bs_bucket, extend_bucket)
             with_eagle = (
                 self.eagle is not None
                 and mwb.hidden_slots is not None
@@ -866,6 +943,11 @@ class ModelRunner:
                 swa_page_tables=(
                     jnp.asarray(pad_to(mwb.swa_page_tables, bs_bucket))
                     if mwb.swa_page_tables is not None
+                    else None
+                ),
+                mrope_delta=(
+                    jnp.asarray(pad_to(mwb.mrope_delta, bs_bucket))
+                    if mwb.mrope_delta is not None
                     else None
                 ),
             )
@@ -1002,11 +1084,15 @@ class ModelRunner:
 
     # ------------------------------------------------------------------
     def flush_kv(self):
-        """Zero out the pool (used by /flush_cache)."""
-        self.kv_pool = jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.zeros_like(x), x.sharding),
-            self.kv_pool,
-        )
+        """Zero out the pool (used by /flush_cache).  Donated so the
+        buffers are reused in place — a fresh allocation would transiently
+        double pool memory and OOM large configs."""
+        if not hasattr(self, "_zero_pool_fn"):
+            self._zero_pool_fn = jax.jit(
+                lambda t: jax.tree_util.tree_map(jnp.zeros_like, t),
+                donate_argnums=(0,),
+            )
+        self.kv_pool = self._zero_pool_fn(self.kv_pool)
 
     # ------------------------------------------------------------------
     def copy_swa_pages(self, src, dst) -> None:

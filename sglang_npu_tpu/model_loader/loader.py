@@ -90,6 +90,9 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
 
     host = allocate_host_params(model)
     top_map, per_layer_map = model.hf_weight_map()
+    # Extra stacked-block families beyond "model.layers." (e.g. a vision
+    # tower's "visual.blocks.{i}." — see models/qwen2_5_vl.hf_block_maps)
+    block_maps = getattr(model, "hf_block_maps", lambda: {})()
     files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
     if not files:
         raise FileNotFoundError(f"no *.safetensors under {model_path}")
@@ -101,6 +104,9 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
             for name in f.keys():
                 qsuffix = None
                 lookup = name
+                if lookup.startswith("model.language_model."):
+                    # VLM checkpoints nest the text trunk (qwen2.5-vl)
+                    lookup = "model." + lookup[len("model.language_model."):]
                 if qcfg is not None:
                     tail = name.rsplit(".", 1)[-1]
                     if tail in _QUANT_SUFFIXES:
@@ -124,6 +130,18 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                     suffix = ".".join(parts[2:])
                     if suffix in per_layer_map:
                         dest, transform = per_layer_map[suffix]
+                if dest is None and block_maps:
+                    stripped = (
+                        lookup[6:] if lookup.startswith("model.") else lookup
+                    )
+                    for pref, bm in block_maps.items():
+                        if stripped.startswith(pref):
+                            parts = stripped[len(pref):].split(".")
+                            suffix = ".".join(parts[1:])
+                            if suffix in bm:
+                                layer_idx = int(parts[0])
+                                dest, transform = bm[suffix]
+                            break
                 if dest is None:
                     logger.debug("skipping unmapped weight %s", name)
                     continue
@@ -142,6 +160,9 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                     tensor = tensor.T
                 elif transform == "squeeze":
                     tensor = tensor.reshape(-1)
+                elif transform == "flatten_oc_transpose":
+                    # ConvNd kernel [out_c, ...] -> [prod(...), out_c]
+                    tensor = tensor.reshape(tensor.shape[0], -1).T
                 target = _get_path(host, dest)
                 if layer_idx is not None:
                     target = target[layer_idx]

@@ -23,6 +23,7 @@ from jax.sharding import PartitionSpec as P
 from sglang_npu_tpu.configs.model_config import ModelConfig
 from sglang_npu_tpu.layers.ops import (
     apply_rope,
+    apply_rope_cs,
     make_rope_tables,
     rms_norm,
     silu_and_mul,
@@ -174,6 +175,26 @@ class LlamaForCausalLM:
             )
         return logits, new_kv
 
+    def _rope_cos_sin(self, fb: ForwardBatch):
+        """Per-token rope cos/sin [..., D/2].  Standard models gather at
+        the sequential positions; mrope models (qwen2.5-vl) gather each
+        head-dim section at its own (t, h, w) position row and add a
+        per-request delta during decode (HF `get_rope_index` deltas)."""
+        rope = self.rope
+        section = getattr(self, "mrope_section", None)
+        if section and fb.mrope_positions is not None:
+            cs, ss, off = [], [], 0
+            for i, sec in enumerate(section):
+                p = fb.mrope_positions[..., i]
+                cs.append(rope["cos"][p][..., off : off + sec])
+                ss.append(rope["sin"][p][..., off : off + sec])
+                off += sec
+            return jnp.concatenate(cs, -1), jnp.concatenate(ss, -1)
+        pos = fb.positions
+        if section and fb.mrope_delta is not None:
+            pos = pos + fb.mrope_delta[:, None]
+        return rope["cos"][pos], rope["sin"][pos]
+
     def hidden_forward(
         self,
         params: Dict[str, Any],
@@ -203,9 +224,15 @@ class LlamaForCausalLM:
         x = params["embed"][fb.input_ids].astype(
             jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         )  # [B, E, D]
+        if fb.input_embeds is not None:
+            # multimodal: image-token rows replaced by vision embeddings
+            x = jnp.where(
+                fb.embed_mask[..., None], fb.input_embeds.astype(x.dtype), x
+            )
 
         eps = c.rms_norm_eps
         rope = self.rope
+        rope_cs = self._rope_cos_sin(fb)
 
         # The KV pool is CARRIED whole through the layer scan and addressed
         # with combined (layer, k/v, slot) gather/scatter indices — XLA then
@@ -241,7 +268,7 @@ class LlamaForCausalLM:
             if "q_norm" in lp:
                 q = rms_norm(q, lp["q_norm"], eps)
                 k = rms_norm(k, lp["k_norm"], eps)
-            q, k = apply_rope(q, k, fb.positions, rope)
+            q, k = apply_rope_cs(q, k, *rope_cs)
 
             att, kv_pool = self._attention(q, k, v, kv_pool, l, fb, page_size)
             x = x + _proj(

@@ -20,6 +20,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Gemma2ForCausalLM": ("sglang_npu_tpu.models.gemma2", "Gemma2ForCausalLM"),
     "Gemma3ForCausalLM": ("sglang_npu_tpu.models.gemma3", "Gemma3ForCausalLM"),
     "Gemma3TextModel": ("sglang_npu_tpu.models.gemma3", "Gemma3ForCausalLM"),
+    "Qwen2_5_VLForConditionalGeneration": (
+        "sglang_npu_tpu.models.qwen2_5_vl", "Qwen2_5_VLForCausalLM",
+    ),
     "DeepseekV2ForCausalLM": ("sglang_npu_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
 }
 

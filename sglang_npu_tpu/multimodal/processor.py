@@ -1,0 +1,197 @@
+"""Host-side multimodal preprocessing (Qwen2.5-VL first).
+
+Counterpart of the reference's `srt/multimodal/processors/qwen_vl.py` +
+`srt/managers/mm_utils.py` padding/hashing, re-shaped for this engine:
+the HF AutoProcessor runs in the TokenizerManager thread and produces
+  * expanded ``input_ids`` (image pad tokens already repeated),
+  * ``pixel_values`` [num_patches, C*tps*ps*ps] and ``image_grid_thw``,
+  * radix-cache key ids: pad tokens replaced by content-hash pseudo-ids
+    so identical images share prefix KV and different images never do
+    (reference hashes items into input ids the same way),
+  * mrope positions [3, T] + the decode delta (HF ``get_rope_index``
+    behavior re-implemented in numpy — see `mrope_positions`).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import io
+import logging
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_PROCESSORS: Dict[str, Any] = {}
+
+
+def get_hf_processor(model_path: str):
+    proc = _PROCESSORS.get(model_path)
+    if proc is None:
+        from transformers import AutoProcessor
+
+        proc = AutoProcessor.from_pretrained(model_path, use_fast=True)
+        _PROCESSORS[model_path] = proc
+    return proc
+
+
+def load_image(item) -> "Any":
+    """Accept PIL images, file paths, bytes, base64 and data: URIs."""
+    from PIL import Image
+
+    if hasattr(item, "convert"):  # PIL
+        return item.convert("RGB")
+    if isinstance(item, bytes):
+        return Image.open(io.BytesIO(item)).convert("RGB")
+    if isinstance(item, np.ndarray):
+        return Image.fromarray(item).convert("RGB")
+    if isinstance(item, str):
+        if item.startswith("data:"):
+            b64 = item.split(",", 1)[1]
+            return Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+        if item.startswith(("http://", "https://")):
+            raise ValueError(
+                "remote image URLs are not fetchable in this environment; "
+                "pass a data: URI, base64, local path, or raw bytes"
+            )
+        try:
+            return Image.open(io.BytesIO(base64.b64decode(item, validate=True))).convert("RGB")
+        except Exception:
+            return Image.open(item).convert("RGB")
+    raise TypeError(f"unsupported image type {type(item)}")
+
+
+def process_images(
+    model_path: str,
+    prompt_text: Optional[str],
+    input_ids: Optional[List[int]],
+    images: List[Any],
+    hf_config: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Run the HF processor; returns a MultimodalInputs dict:
+    {input_ids, key_ids, pixel_values, image_grid_thw, mrope_positions,
+    mrope_delta}."""
+    proc = get_hf_processor(model_path)
+    pil = [load_image(im) for im in images]
+    if prompt_text is None:
+        # ids-given path: the caller already expanded vision tokens;
+        # only pixel preprocessing is needed
+        out = proc.image_processor(images=pil, return_tensors="np")
+        ids = list(input_ids)
+    else:
+        out = proc(text=[prompt_text], images=pil, return_tensors="np")
+        ids = out["input_ids"][0].tolist()
+    pixel_values = np.asarray(out["pixel_values"], dtype=np.float32)
+    grid_thw = np.asarray(out["image_grid_thw"], dtype=np.int64)
+
+    image_token_id = hf_config.get("image_token_id") or hf_config.get(
+        "image_token_index"
+    )
+    merge = hf_config.get("vision_config", {}).get("spatial_merge_size", 2)
+
+    key_ids = hash_key_ids(ids, image_token_id, pixel_values, grid_thw, merge)
+    pos, delta = mrope_positions(ids, grid_thw, hf_config)
+    return {
+        "input_ids": ids,
+        "key_ids": key_ids,
+        "pixel_values": pixel_values,
+        "image_grid_thw": grid_thw,
+        "mrope_positions": pos,
+        "mrope_delta": int(delta),
+        "image_token_id": int(image_token_id),
+    }
+
+
+def hash_key_ids(
+    ids: List[int],
+    image_token_id: int,
+    pixel_values: np.ndarray,
+    grid_thw: np.ndarray,
+    merge: int,
+) -> List[int]:
+    """Radix-cache key: image pad tokens replaced by pseudo-ids derived
+    from the image content hash (reference `MultimodalDataItem.hash` use
+    in `pad_input_tokens`)."""
+    key = list(ids)
+    spans = _image_spans(ids, image_token_id)
+    off = 0
+    for n_img, (st, ln) in enumerate(spans):
+        t, h, w = grid_thw[n_img]
+        n_patch = int(t * h * w)
+        img_pixels = pixel_values[off : off + n_patch]
+        off += n_patch
+        digest = hashlib.sha256(img_pixels.tobytes()).digest()
+        seed = int.from_bytes(digest[:8], "little")
+        rng = np.random.default_rng(seed)
+        pseudo = rng.integers(1 << 30, 1 << 31, size=ln, dtype=np.int64)
+        key[st : st + ln] = [int(x) for x in pseudo]
+    return key
+
+
+def _image_spans(ids: List[int], image_token_id: int) -> List[Tuple[int, int]]:
+    """Contiguous runs of the image pad token, in order."""
+    spans = []
+    i, n = 0, len(ids)
+    while i < n:
+        if ids[i] == image_token_id:
+            j = i
+            while j < n and ids[j] == image_token_id:
+                j += 1
+            spans.append((i, j - i))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def mrope_positions(
+    ids: List[int], grid_thw: np.ndarray, hf_config: Dict[str, Any]
+) -> Tuple[np.ndarray, int]:
+    """3D rope positions for one sequence (numpy re-implementation of the
+    HF `Qwen2_5_VLModel.get_rope_index` single-sequence behavior, images
+    only).  Returns (positions [3, T] int32, delta)."""
+    image_token_id = hf_config.get("image_token_id") or hf_config.get(
+        "image_token_index"
+    )
+    vc = hf_config.get("vision_config", {})
+    merge = vc.get("spatial_merge_size", 2)
+    T = len(ids)
+    spans = _image_spans(ids, image_token_id)
+    pos = np.zeros((3, T), dtype=np.int32)
+    cursor = 0  # index into ids
+    next_pos = 0
+    for n_img, (st, ln) in enumerate(spans):
+        text_len = st - cursor
+        if text_len:
+            r = np.arange(next_pos, next_pos + text_len, dtype=np.int32)
+            pos[:, cursor:st] = r
+            next_pos += text_len
+        t, h, w = (int(v) for v in grid_thw[n_img])
+        gh, gw = h // merge, w // merge
+        assert ln == t * gh * gw, (ln, t, gh, gw)
+        t_idx = np.repeat(np.arange(t, dtype=np.int32), gh * gw)
+        h_idx = np.tile(np.repeat(np.arange(gh, dtype=np.int32), gw), t)
+        w_idx = np.tile(np.arange(gw, dtype=np.int32), t * gh)
+        pos[0, st : st + ln] = t_idx + next_pos
+        pos[1, st : st + ln] = h_idx + next_pos
+        pos[2, st : st + ln] = w_idx + next_pos
+        next_pos += max(t, gh, gw)
+        cursor = st + ln
+    if cursor < T:
+        r = np.arange(next_pos, next_pos + (T - cursor), dtype=np.int32)
+        pos[:, cursor:] = r
+        next_pos += T - cursor
+    delta = int(pos.max()) + 1 - T
+    return pos, delta
+
+
+def extend_mrope(pos: np.ndarray, delta: int, new_len: int) -> np.ndarray:
+    """Extend stored prompt positions for generated tokens (all three rows
+    advance together: seq_pos + delta)."""
+    T = pos.shape[1]
+    if new_len <= T:
+        return pos
+    extra = np.arange(T, new_len, dtype=np.int32) + delta
+    return np.concatenate([pos, np.tile(extra, (3, 1))], axis=1)
