@@ -95,11 +95,11 @@ CONFIGS = {
     ),
     "llama3b_w4a16": dict(  # W4-vs-bf16 ratio on a model that fits in bf16
         model=LLAMA_3B, quantization="w4a16", kv_cache_dtype="auto",
-        max_total_tokens=49152,
+        max_total_tokens=32768,
     ),
     "llama3b_bf16": dict(  # round-1 comparable config
         model=LLAMA_3B, quantization=None, kv_cache_dtype="auto",
-        max_total_tokens=49152,
+        max_total_tokens=32768,
     ),
 }
 

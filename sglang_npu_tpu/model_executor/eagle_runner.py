@@ -78,23 +78,34 @@ class EagleRunner:
         if cfg.vocab_size != tc.vocab_size:
             raise ValueError("EAGLE draft vocab must match target")
         self.config = cfg
-        self.model = EagleDraftModel(cfg)
+        algo = (server_args.speculative_algorithm or "EAGLE").upper()
+        self.is_mtp = algo in ("NEXTN", "MTP")
+        if self.is_mtp:
+            from sglang_npu_tpu.models.deepseek_nextn import (
+                DeepseekNextNModel,
+            )
+
+            self.model = DeepseekNextNModel(cfg)
+        else:
+            self.model = EagleDraftModel(cfg)
         from sglang_npu_tpu.model_loader.loader import load_model_weights
 
         self.params = load_model_weights(
             self.model, path, server_args.load_format, target_runner.mesh,
             seed=server_args.random_seed,
         )
-        self.params = self._fix_missing_norms(self.params)
+        if not self.is_mtp:
+            self.params = self._fix_missing_norms(self.params)
 
         # draft KV pool: same page/slot space as the target
+        from sglang_npu_tpu.ops.mla_attention import MLALatentPool
+
+        self.target_is_mla = isinstance(target_runner.kv_pool, MLALatentPool)
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-        shape = (
-            cfg.num_hidden_layers, 2, cfg.num_key_value_heads,
-            target_runner.num_pages, self.page_size, cfg.head_dim,
+        self.kv_pool = self.model.make_draft_pool(
+            target_runner.num_pages, self.page_size, target_runner.mesh
         )
         rep = NamedSharding(target_runner.mesh, P())
-        self.kv_pool = jax.device_put(jnp.zeros(shape, dt), rep)
 
         self.max_slots = min(server_args.max_running_requests or 2048, 4096)
         D = tc.hidden_size
@@ -245,23 +256,32 @@ class EagleRunner:
                slots, page_tables, seq_lens, out_slots):
             B, T = fed_tokens.shape
             embed = t_params["embed"]
-            # rows to commit: [Ld, B, C, Hkv, Dh]
-            gi = gather_idx[None, :, :, None, None]
-            k_c = jnp.take_along_axis(kst, gi, axis=2)
-            v_c = jnp.take_along_axis(vst, gi, axis=2)
             valid = (
                 jnp.arange(C, dtype=jnp.int32)[None, :] < commit_lens[:, None]
             )
             commit_slots = jnp.where(valid, out_slots[:, :C], 0)
 
-            if use_kernel:
-                t_pool = self._write_rows_kernel(
-                    t_pool, k_c, v_c, page_tables, seq_lens, commit_lens
+            if self.target_is_mla:
+                # latent rows to commit: [L, B, C, R] / [L, B, C, rope]
+                gi = gather_idx[None, :, :, None]
+                ckv_c = jnp.take_along_axis(kst, gi, axis=2)
+                kpe_c = jnp.take_along_axis(vst, gi, axis=2)
+                t_pool = self._write_rows_latent(
+                    t_pool, ckv_c, kpe_c, commit_slots
                 )
             else:
-                t_pool = self._write_rows_scatter(
-                    t_pool, k_c, v_c, commit_slots
-                )
+                # rows to commit: [Ld, B, C, Hkv, Dh]
+                gi = gather_idx[None, :, :, None, None]
+                k_c = jnp.take_along_axis(kst, gi, axis=2)
+                v_c = jnp.take_along_axis(vst, gi, axis=2)
+                if use_kernel:
+                    t_pool = self._write_rows_kernel(
+                        t_pool, k_c, v_c, page_tables, seq_lens, commit_lens
+                    )
+                else:
+                    t_pool = self._write_rows_scatter(
+                        t_pool, k_c, v_c, commit_slots
+                    )
 
             # draft extend over committed tokens (corrects the draft KV
             # written during drafting with true target hiddens)
@@ -295,6 +315,31 @@ class EagleRunner:
             return t_pool, d_pool, hidden_buf
 
         return jax.jit(fn, donate_argnums=(2, 3, 4))
+
+    def _write_rows_latent(self, t_pool, ckv_c, kpe_c, commit_slots):
+        """MLA target pool: scatter accepted latent rows (safe — the
+        latent pool takes the XLA attention path, no pallas layout
+        conflict).  ckv_c [L, B, C, R], kpe_c [L, B, C, rope]."""
+        from sglang_npu_tpu.ops.mla_attention import KPE_PAD, MLALatentPool
+
+        ps = self.page_size
+        flat = commit_slots.reshape(-1)
+        pages = flat // ps
+        offs = flat % ps
+        L = ckv_c.shape[0]
+        rope = kpe_c.shape[-1]
+        ckv_rows = ckv_c.reshape(L, -1, ckv_c.shape[-1])
+        kpe_rows = jnp.pad(
+            kpe_c.reshape(L, -1, rope), ((0, 0), (0, 0), (0, KPE_PAD - rope))
+        )
+        # adjacent advanced indices (dims 1, 2) stay in place: view [L, n, R]
+        ckv = t_pool.ckv.at[:, pages, offs].set(
+            ckv_rows.astype(t_pool.ckv.dtype), mode="drop"
+        )
+        kpe = t_pool.kpe.at[:, pages, offs].set(
+            kpe_rows.astype(t_pool.kpe.dtype), mode="drop"
+        )
+        return MLALatentPool(ckv=ckv, kpe=kpe)
 
     def _write_rows_scatter(self, t_pool, k_c, v_c, commit_slots):
         """XLA-backend pool: one scatter per K/V (safe — this pool never

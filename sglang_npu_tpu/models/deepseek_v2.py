@@ -223,6 +223,71 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
         return out.astype(x.dtype)
 
+    def _mla_qkv(self, lp, h, positions):
+        """Shared MLA projection math: returns the absorbed queries and
+        the latent row to cache — (q_abs [B,E,H,R], q_pe [B,E,H,rope],
+        c_kv [B,E,R], k_pe [B,E,rope], w_kb_v [R,H,v_dim])."""
+        eps = self.config.rms_norm_eps
+        B, E = h.shape[:2]
+        H = self.n_heads
+        if self.q_rank:
+            qa = jnp.einsum("bed,dr->ber", h, lp["q_a"])
+            qa = rms_norm(qa, lp["q_a_norm"], eps)
+            q = jnp.einsum("ber,rh->beh", qa, lp["q_b"])
+        else:
+            q = jnp.einsum("bed,dh->beh", h, lp["wq"])
+        q = q.reshape(B, E, H, self.k_dim)
+        q_nope, q_pe = q[..., : self.qk_nope], q[..., self.qk_nope :]
+
+        kv_a = jnp.einsum("bed,dr->ber", h, lp["kv_a"])
+        c_kv, k_pe = (
+            kv_a[..., : self.kv_rank],
+            kv_a[..., self.kv_rank :],
+        )
+        c_kv = rms_norm(c_kv, lp["kv_a_norm"], eps)
+
+        q_pe = self._rope_interleaved(q_pe, positions)
+        k_pe = self._rope_interleaved(
+            k_pe[:, :, None, :], positions
+        )[:, :, 0, :]  # [B, E, rope]
+
+        # absorbed attention against the latent cache: cache (c_kv,
+        # k_pe) only; per-head K up-projection folds into the query,
+        # V up-projection folds into the output
+        w_kb = lp["kv_b"].reshape(
+            self.kv_rank, H, self.qk_nope + self.v_dim
+        )
+        w_kb_k = w_kb[..., : self.qk_nope]  # [R, H, nope]
+        w_kb_v = w_kb[..., self.qk_nope :]  # [R, H, v_dim]
+        q_abs = jnp.einsum("behn,rhn->behr", q_nope, w_kb_k)  # [B, E, H, R]
+        return q_abs, q_pe, c_kv, k_pe, w_kb_v
+
+    def _ffn(self, lp, h2, i):
+        """Post-attention MLP / MoE block (returns the residual delta)."""
+        c = self.config
+        B, E = h2.shape[:2]
+        if self._is_moe(i):
+            flat = h2.reshape(B * E, c.hidden_size)
+            out = moe_mlp(
+                flat,
+                lp["router"].astype(flat.dtype),
+                lp["e_gate"],
+                lp["e_up"],
+                lp["e_down"],
+                top_k=self.top_k,
+                norm_topk_prob=self.norm_topk,
+            ) * jnp.asarray(self.routed_scaling, flat.dtype)
+            if self.n_shared:
+                g = jnp.einsum("td,df->tf", flat, lp["s_gate"])
+                u = jnp.einsum("td,df->tf", flat, lp["s_up"])
+                out = out + jnp.einsum(
+                    "tf,fd->td", jax.nn.silu(g) * u, lp["s_down"]
+                )
+            return out.reshape(B, E, c.hidden_size)
+        g = jnp.einsum("bed,df->bef", h2, lp["w_gate"])
+        u = jnp.einsum("bed,df->bef", h2, lp["w_up"])
+        return jnp.einsum("bef,fd->bed", jax.nn.silu(g) * u, lp["w_down"])
+
     def backbone_forward(self, params, kv_pool, fb: ForwardBatch, page_size: int):
         c = self.config
         B, E = fb.input_ids.shape
@@ -234,40 +299,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         for i in range(c.num_hidden_layers):
             lp = params[_lk(i)]
             h = rms_norm(x, lp["input_norm"], eps)
-
-            # ---- MLA q/k/v ----
-            if self.q_rank:
-                qa = jnp.einsum("bed,dr->ber", h, lp["q_a"])
-                qa = rms_norm(qa, lp["q_a_norm"], eps)
-                q = jnp.einsum("ber,rh->beh", qa, lp["q_b"])
-            else:
-                q = jnp.einsum("bed,dh->beh", h, lp["wq"])
-            q = q.reshape(B, E, H, self.k_dim)
-            q_nope, q_pe = q[..., : self.qk_nope], q[..., self.qk_nope :]
-
-            kv_a = jnp.einsum("bed,dr->ber", h, lp["kv_a"])
-            c_kv, k_pe = (
-                kv_a[..., : self.kv_rank],
-                kv_a[..., self.kv_rank :],
+            q_abs, q_pe, c_kv, k_pe, w_kb_v = self._mla_qkv(
+                lp, h, fb.positions
             )
-            c_kv = rms_norm(c_kv, lp["kv_a_norm"], eps)
-
-            q_pe = self._rope_interleaved(q_pe, fb.positions)
-            k_pe = self._rope_interleaved(
-                k_pe[:, :, None, :], fb.positions
-            )[:, :, 0, :]  # [B, E, rope]
-
-            # absorbed attention against the latent cache: cache (c_kv,
-            # k_pe) only; per-head K up-projection folds into the query,
-            # V up-projection folds into the output
-            w_kb = lp["kv_b"].reshape(
-                self.kv_rank, H, self.qk_nope + self.v_dim
-            )
-            w_kb_k = w_kb[..., : self.qk_nope]  # [R, H, nope]
-            w_kb_v = w_kb[..., self.qk_nope :]  # [R, H, v_dim]
-            q_abs = jnp.einsum(
-                "behn,rhn->behr", q_nope, w_kb_k
-            )  # [B, E, H, R]
 
             kv_pool = write_latent(
                 kv_pool, jnp.int32(i), c_kv, k_pe, fb.out_slots
@@ -290,30 +324,56 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
             # ---- MLP / MoE ----
             h2 = rms_norm(x, lp["post_norm"], eps)
-            if self._is_moe(i):
-                flat = h2.reshape(B * E, c.hidden_size)
-                out = moe_mlp(
-                    flat,
-                    lp["router"].astype(flat.dtype),
-                    lp["e_gate"],
-                    lp["e_up"],
-                    lp["e_down"],
-                    top_k=self.top_k,
-                    norm_topk_prob=self.norm_topk,
-                ) * jnp.asarray(self.routed_scaling, flat.dtype)
-                if self.n_shared:
-                    g = jnp.einsum("td,df->tf", flat, lp["s_gate"])
-                    u = jnp.einsum("td,df->tf", flat, lp["s_up"])
-                    out = out + jnp.einsum(
-                        "tf,fd->td", jax.nn.silu(g) * u, lp["s_down"]
-                    )
-                x = x + out.reshape(B, E, c.hidden_size)
-            else:
-                g = jnp.einsum("bed,df->bef", h2, lp["w_gate"])
-                u = jnp.einsum("bed,df->bef", h2, lp["w_up"])
-                x = x + jnp.einsum(
-                    "bef,fd->bed", jax.nn.silu(g) * u, lp["w_down"]
-                )
+            x = x + self._ffn(lp, h2, i)
 
         x = rms_norm(x, params["final_norm"], eps)
         return x, kv_pool
+
+    def verify_forward(
+        self,
+        params: Dict[str, Any],
+        kv_pool,
+        fb: ForwardBatch,
+        page_size: int,
+        tree_mask: jax.Array,  # [T, T] bool ancestor-or-self
+    ):
+        """Speculative tree-verify trunk over the latent pool (reference
+        TARGET_VERIFY, `eagle_worker.py:668`, with MLA): the fed tokens
+        attend the committed latent prefix plus in-flight ancestors; the
+        pool is NOT written.  Returns (hidden [B, T, D],
+        (ckv_stack [L, B, T, R], kpe_stack [L, B, T, rope])) — the
+        per-layer fed latents so the runner can commit accepted rows."""
+        from sglang_npu_tpu.ops.mla_attention import (
+            tree_verify_mla_attention_xla,
+        )
+
+        c = self.config
+        B, T = fb.input_ids.shape
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        x = params["embed"][fb.input_ids].astype(dt)
+        eps = c.rms_norm_eps
+        H = self.n_heads
+        ckv_layers, kpe_layers = [], []
+
+        for i in range(c.num_hidden_layers):
+            lp = params[_lk(i)]
+            h = rms_norm(x, lp["input_norm"], eps)
+            q_abs, q_pe, c_kv, k_pe, w_kb_v = self._mla_qkv(
+                lp, h, fb.positions
+            )
+            ckv_layers.append(c_kv)
+            kpe_layers.append(k_pe)
+            ctx = tree_verify_mla_attention_xla(
+                q_abs, q_pe, c_kv, k_pe, kv_pool, jnp.int32(i),
+                fb.page_tables, fb.extend_prefix_lens, tree_mask,
+                page_size, self.scale,
+            )
+            att = jnp.einsum("behr,rhv->behv", ctx, w_kb_v)
+            x = x + jnp.einsum(
+                "beh,hd->bed", att.reshape(B, T, H * self.v_dim), lp["wo"]
+            )
+            h2 = rms_norm(x, lp["post_norm"], eps)
+            x = x + self._ffn(lp, h2, i)
+
+        x = rms_norm(x, params["final_norm"], eps)
+        return x, (jnp.stack(ckv_layers), jnp.stack(kpe_layers))

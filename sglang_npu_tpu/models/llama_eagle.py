@@ -99,6 +99,21 @@ class EagleDraftModel:
         return m, per_layer
 
     # ------------------------------------------------------------------
+    def make_draft_pool(self, num_pages: int, page_size: int, mesh):
+        """Draft KV pool in the target's page/slot space."""
+        from jax.sharding import NamedSharding
+
+        c = self.config
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        shape = (
+            c.num_hidden_layers, 2, c.num_key_value_heads,
+            num_pages, page_size, c.head_dim,
+        )
+        return jax.device_put(
+            jnp.zeros(shape, dt), NamedSharding(mesh, P())
+        )
+
+    # ------------------------------------------------------------------
     def forward(
         self,
         params: Dict[str, Any],

@@ -61,6 +61,73 @@ def write_latent(
     return MLALatentPool(ckv=ckv, kpe=kpe)
 
 
+def tree_verify_mla_attention_xla(
+    q_abs: jax.Array,  # [B, T, H, R] absorbed nope queries for the tree
+    q_pe: jax.Array,  # [B, T, H, rope]
+    ckv_fed: jax.Array,  # [B, T, R] in-flight latents (NOT in the pool)
+    kpe_fed: jax.Array,  # [B, T, rope]
+    pool: MLALatentPool,
+    layer_idx: jax.Array,
+    page_tables: jax.Array,  # [B, P]
+    prefix_lens: jax.Array,  # [B] committed latent length (root excluded)
+    tree_mask: jax.Array,  # [T, T] bool: j is ancestor-or-self of i
+    page_size: int,
+    scale: float,
+) -> jax.Array:
+    """Speculative tree-verify against the latent pool (reference
+    TARGET_VERIFY mode with MLA, `eagle_utils.py:226` tree masks +
+    `flashmla_backend.py` latent attention): each tree node attends the
+    committed latent prefix plus its in-flight ancestors; the pool is
+    only READ.  Returns the attention-weighted latent context
+    [B, T, H, R]."""
+    B, T, H, R = q_abs.shape
+    P = page_tables.shape[1]
+    rope = q_pe.shape[-1]
+    Lkv = P * page_size
+
+    ckv = pool.ckv[layer_idx, page_tables]  # [B, P, ps, R]
+    kpe = pool.kpe[layer_idx, page_tables][..., :rope]
+
+    s_pool = (
+        jnp.einsum(
+            "bthr,bpsr->bthps", q_abs, ckv, preferred_element_type=jnp.float32
+        )
+        + jnp.einsum(
+            "bthr,bpsr->bthps", q_pe, kpe, preferred_element_type=jnp.float32
+        )
+    ).reshape(B, T, H, Lkv) * scale
+    kv_pos = jnp.arange(Lkv, dtype=jnp.int32)[None, None, :]
+    pool_mask = kv_pos < prefix_lens[:, None, None]  # [B, 1, Lkv]
+    s_pool = jnp.where(pool_mask[:, :, None, :], s_pool, NEG_INF)
+
+    s_fly = (
+        jnp.einsum(
+            "bihr,bjr->bhij", q_abs, ckv_fed,
+            preferred_element_type=jnp.float32,
+        )
+        + jnp.einsum(
+            "bihr,bjr->bhij", q_pe, kpe_fed,
+            preferred_element_type=jnp.float32,
+        )
+    ) * scale  # [B, H, T, T]
+    s_fly = jnp.where(tree_mask[None, None, :, :], s_fly, NEG_INF)
+
+    # joint softmax over [pool | fed]
+    s_all = jnp.concatenate(
+        [s_pool.transpose(0, 2, 1, 3), s_fly], axis=-1
+    )  # [B, H, T, Lkv+T]
+    p_all = jax.nn.softmax(s_all, axis=-1).astype(q_abs.dtype)
+    p_pool = p_all[..., :Lkv].reshape(B, H, T, P, page_size)
+    p_fly = p_all[..., Lkv:]
+    out = jnp.einsum(
+        "bhtps,bpsr->bthr", p_pool, ckv, preferred_element_type=jnp.float32
+    )
+    out = out + jnp.einsum(
+        "bhij,bjr->bihr", p_fly, ckv_fed, preferred_element_type=jnp.float32
+    )
+    return out.astype(q_abs.dtype)
+
+
 def mla_attention_xla(
     q_abs: jax.Array,  # [B, E, H, R]  (absorbed nope queries)
     q_pe: jax.Array,  # [B, E, H, rope]
