@@ -69,6 +69,23 @@ class ModelRunner:
 
         model_cls = resolve_model_class(model_config.architectures)
         self.model = model_cls(model_config)
+        if server_args.ep_size > 1:
+            # EP rides the model axis (reference derives EP groups from TP
+            # ranks, `engine.py:723`): expert weights shard on their
+            # expert dim and the MoE layer runs the shard_map EP path
+            n_e = getattr(self.model, "num_experts", 0)
+            if n_e <= 0:
+                raise ValueError("ep_size > 1 requires a MoE model")
+            if server_args.ep_size != tp_degree(self.mesh):
+                raise ValueError(
+                    "ep_size must equal tp_size (EP rides the model axis)"
+                )
+            if n_e % server_args.ep_size:
+                raise ValueError(
+                    f"{n_e} experts not divisible by ep={server_args.ep_size}"
+                )
+            self.model.ep_size = server_args.ep_size
+            self.model.ep_mesh = self.mesh
         self._init_attention_backend()
 
         # Sliding-window hybrid pool (ops/hybrid_kv.py): split layers into

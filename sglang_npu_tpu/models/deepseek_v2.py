@@ -37,6 +37,10 @@ def _lk(i: int) -> str:
 
 
 class DeepseekV2ForCausalLM(LlamaForCausalLM):
+    ep_size = 1  # >1: expert-parallel placement (set by ModelRunner)
+    ep_mesh = None
+    num_experts = 0  # alias for the runner's EP validation
+
     def __init__(self, config: ModelConfig, attn_backend=None):
         super().__init__(config, attn_backend)
         hf = config.hf_config
@@ -57,6 +61,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         self.moe_inter = hf.get("moe_intermediate_size", 0) or 0
         self.routed_scaling = hf.get("routed_scaling_factor", 1.0)
         self.norm_topk = hf.get("norm_topk_prob", False)
+        self.num_experts = self.n_experts
 
         self.rope = make_rope_tables(
             self.qk_rope,
@@ -138,9 +143,14 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 lp["wq"] = P(None, "model")
             if self._is_moe(i):
                 lp["router"] = P(None, None)
-                lp["e_gate"] = P(None, None, "model")
-                lp["e_up"] = P(None, None, "model")
-                lp["e_down"] = P(None, "model", None)
+                if self.ep_size > 1:
+                    lp["e_gate"] = P("model", None, None)
+                    lp["e_up"] = P("model", None, None)
+                    lp["e_down"] = P("model", None, None)
+                else:
+                    lp["e_gate"] = P(None, None, "model")
+                    lp["e_up"] = P(None, None, "model")
+                    lp["e_down"] = P(None, "model", None)
                 if self.n_shared:
                     lp["s_gate"] = P(None, "model")
                     lp["s_up"] = P(None, "model")
@@ -268,15 +278,30 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         B, E = h2.shape[:2]
         if self._is_moe(i):
             flat = h2.reshape(B * E, c.hidden_size)
-            out = moe_mlp(
-                flat,
-                lp["router"].astype(flat.dtype),
-                lp["e_gate"],
-                lp["e_up"],
-                lp["e_down"],
-                top_k=self.top_k,
-                norm_topk_prob=self.norm_topk,
-            ) * jnp.asarray(self.routed_scaling, flat.dtype)
+            if self.ep_size > 1:
+                from sglang_npu_tpu.layers.moe import moe_mlp_ep
+
+                out = moe_mlp_ep(
+                    flat,
+                    lp["router"].astype(flat.dtype),
+                    lp["e_gate"],
+                    lp["e_up"],
+                    lp["e_down"],
+                    top_k=self.top_k,
+                    norm_topk_prob=self.norm_topk,
+                    mesh=self.ep_mesh,
+                )
+            else:
+                out = moe_mlp(
+                    flat,
+                    lp["router"].astype(flat.dtype),
+                    lp["e_gate"],
+                    lp["e_up"],
+                    lp["e_down"],
+                    top_k=self.top_k,
+                    norm_topk_prob=self.norm_topk,
+                )
+            out = out * jnp.asarray(self.routed_scaling, flat.dtype)
             if self.n_shared:
                 g = jnp.einsum("td,df->tf", flat, lp["s_gate"])
                 u = jnp.einsum("td,df->tf", flat, lp["s_up"])

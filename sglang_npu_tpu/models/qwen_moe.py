@@ -25,6 +25,9 @@ from sglang_npu_tpu.models.llama import LlamaForCausalLM
 class QwenMoeForCausalLM(LlamaForCausalLM):
     """Covers Qwen2MoeForCausalLM / Qwen3MoeForCausalLM / MixtralForCausalLM."""
 
+    ep_size = 1  # >1: expert-parallel placement (set by ModelRunner)
+    ep_mesh = None
+
     def __init__(self, config: ModelConfig, attn_backend=None):
         super().__init__(config, attn_backend)
         hf = config.hf_config
@@ -68,9 +71,16 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
         for k in ("w_gate", "w_up", "w_down"):
             del layers[k]
         layers["router"] = P(None, None, None)
-        layers["e_gate"] = P(None, None, None, "model")
-        layers["e_up"] = P(None, None, None, "model")
-        layers["e_down"] = P(None, None, "model", None)
+        if self.ep_size > 1:
+            # EP: experts shard over the model axis (weight memory and
+            # streaming divide by ep); F stays unsharded per-expert
+            layers["e_gate"] = P(None, "model", None, None)
+            layers["e_up"] = P(None, "model", None, None)
+            layers["e_down"] = P(None, "model", None, None)
+        else:
+            layers["e_gate"] = P(None, None, None, "model")
+            layers["e_up"] = P(None, None, None, "model")
+            layers["e_down"] = P(None, None, "model", None)
         if self.shared_inter:
             layers["s_gate"] = P(None, None, "model")
             layers["s_up"] = P(None, None, "model")
@@ -136,15 +146,29 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
 
         B, E_, Dm = h.shape
         flat = h.reshape(B * E_, Dm)
-        out = moe_mlp(
-            flat,
-            lp["router"].astype(flat.dtype),
-            dequant(lp["e_gate"], flat.dtype),
-            dequant(lp["e_up"], flat.dtype),
-            dequant(lp["e_down"], flat.dtype),
-            top_k=self.top_k,
-            norm_topk_prob=self.norm_topk,
-        )
+        if self.ep_size > 1:
+            from sglang_npu_tpu.layers.moe import moe_mlp_ep
+
+            out = moe_mlp_ep(
+                flat,
+                lp["router"].astype(flat.dtype),
+                dequant(lp["e_gate"], flat.dtype),
+                dequant(lp["e_up"], flat.dtype),
+                dequant(lp["e_down"], flat.dtype),
+                top_k=self.top_k,
+                norm_topk_prob=self.norm_topk,
+                mesh=self.ep_mesh,
+            )
+        else:
+            out = moe_mlp(
+                flat,
+                lp["router"].astype(flat.dtype),
+                dequant(lp["e_gate"], flat.dtype),
+                dequant(lp["e_up"], flat.dtype),
+                dequant(lp["e_down"], flat.dtype),
+                top_k=self.top_k,
+                norm_topk_prob=self.norm_topk,
+            )
         if self.shared_inter:
             gate = qmm(flat, lp["s_gate"], "td,df->tf")
             up = qmm(flat, lp["s_up"], "td,df->tf")
