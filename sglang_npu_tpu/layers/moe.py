@@ -36,6 +36,21 @@ def topk_routing(
     return weights, ids.astype(jnp.int32)
 
 
+def routing_counts(
+    expert_ids: jax.Array,  # [T, K] i32 logical expert ids
+    num_experts: int,
+    mask: jax.Array | None = None,  # [T] true = count this token
+) -> jax.Array:
+    """Tokens routed per logical expert — the expert-distribution recorder
+    feed (reference `srt/eplb/expert_distribution.py`).  ``mask`` excludes
+    padded batch rows so bucket padding cannot skew EPLB load stats."""
+    flat = expert_ids.reshape(-1)
+    if mask is None:
+        return jnp.bincount(flat, length=num_experts).astype(jnp.int32)
+    w = jnp.repeat(mask.astype(jnp.int32), expert_ids.shape[-1])
+    return jnp.bincount(flat, weights=w, length=num_experts).astype(jnp.int32)
+
+
 def moe_mlp(
     x: jax.Array,  # [T, Dm]
     router_w: jax.Array,  # [Dm, E]
@@ -44,8 +59,14 @@ def moe_mlp(
     w_down: jax.Array,  # [E, F, Dm]
     top_k: int,
     norm_topk_prob: bool = True,
-) -> jax.Array:
-    """Dropless top-k MoE: sort tokens by expert, grouped matmuls, unsort."""
+    collect_stats: bool = False,
+    stats_mask: jax.Array | None = None,  # [T]
+):
+    """Dropless top-k MoE: sort tokens by expert, grouped matmuls, unsort.
+
+    With ``collect_stats`` returns ``(out, counts[E] i32)`` — tokens routed
+    per logical expert this call (the expert-distribution recorder feed,
+    reference `srt/eplb/expert_distribution.py`)."""
     T, Dm = x.shape
     E = router_w.shape[-1]
 
@@ -53,6 +74,9 @@ def moe_mlp(
         "td,de->te", x, router_w, preferred_element_type=jnp.float32
     )
     weights, expert_ids = topk_routing(router_logits, top_k, norm_topk_prob)
+    stats = (
+        routing_counts(expert_ids, E, stats_mask) if collect_stats else None
+    )
 
     flat_experts = expert_ids.reshape(-1)  # [T*K]
     order = jnp.argsort(flat_experts)  # stable
@@ -69,20 +93,25 @@ def moe_mlp(
 
     out_flat = jnp.zeros((T * top_k, Dm), out_sorted.dtype).at[order].set(out_sorted)
     out = out_flat.reshape(T, top_k, Dm) * weights[..., None].astype(out_sorted.dtype)
-    return out.sum(axis=1).astype(x.dtype)
+    out = out.sum(axis=1).astype(x.dtype)
+    return (out, stats) if collect_stats else out
 
 
 def moe_mlp_ep(
     x: jax.Array,  # [T, Dm] (replicated)
     router_w: jax.Array,  # [Dm, E] (replicated)
-    w_gate: jax.Array,  # [E, Dm, F] sharded on E over `axis`
+    w_gate: jax.Array,  # [P, Dm, F] sharded on the physical-slot dim
     w_up: jax.Array,
-    w_down: jax.Array,  # [E, F, Dm]
+    w_down: jax.Array,  # [P, F, Dm]
     top_k: int,
     norm_topk_prob: bool,
     mesh,
     axis: str = "model",
-) -> jax.Array:
+    l2p: jax.Array | None = None,  # [E, R] logical -> physical replicas
+    rc: jax.Array | None = None,  # [E] live replica count per expert
+    collect_stats: bool = False,
+    stats_mask: jax.Array | None = None,  # [T]
+):
     """Expert-parallel MoE: the TPU-native replacement for the reference's
     EP dispatch stack (`layers/moe/token_dispatcher/deepep.py`,
     `ep_moe/layer.py`).  Instead of an all-to-all token shuffle, expert
@@ -93,12 +122,22 @@ def moe_mlp_ep(
     the quantity that bounds MoE decode — while the only collective is a
     single ICI all-reduce (same cost class as a TP matmul reduction).
     Routing runs identically on every device (replicated), so there is no
-    capacity factor and no token dropping."""
-    E = router_w.shape[-1]
-    ep = mesh.shape[axis]
-    assert E % ep == 0, f"{E} experts not divisible by ep={ep}"
+    capacity factor and no token dropping.
 
-    def local_fn(x, router_w, wg, wu, wd):
+    EPLB (reference `srt/eplb/eplb_manager.py`): when ``l2p``/``rc`` tables
+    are given, the weight arrays hold PHYSICAL expert slots — a per-layer
+    placement of logical experts onto ranks, possibly with redundant
+    replicas of hot experts.  Routing stays logical; each assignment picks
+    replica ``token_idx % rc[e]`` (spreads a hot expert's tokens across
+    its copies; numerics identical since replicas share weights).  With
+    ``collect_stats`` the call also returns per-LOGICAL-expert token
+    counts [E] for the next rebalance."""
+    E = router_w.shape[-1]
+    P_slots = w_gate.shape[0]
+    ep = mesh.shape[axis]
+    assert P_slots % ep == 0, f"{P_slots} slots not divisible by ep={ep}"
+
+    def local_fn(x, router_w, wg, wu, wd, l2p, rc, smask):
         T, Dm = x.shape
         E_local = wg.shape[0]
         lo = jax.lax.axis_index(axis) * E_local
@@ -106,6 +145,12 @@ def moe_mlp_ep(
             "td,de->te", x, router_w, preferred_element_type=jnp.float32
         )
         weights, expert_ids = topk_routing(logits, top_k, norm_topk_prob)
+        stats = (
+            routing_counts(expert_ids, E, smask) if collect_stats else None
+        )
+        if l2p is not None:
+            tok = jnp.arange(T, dtype=jnp.int32)[:, None]
+            expert_ids = l2p[expert_ids, tok % rc[expert_ids]]
         rel = expert_ids - lo
         local = (rel >= 0) & (rel < E_local)
         # non-local assignments sort past the last group -> zero rows
@@ -129,13 +174,37 @@ def moe_mlp_ep(
         )
         w_eff = jnp.where(local, weights, 0.0).astype(out_sorted.dtype)
         out = (out_flat.reshape(T, top_k, Dm) * w_eff[..., None]).sum(axis=1)
-        return jax.lax.psum(out.astype(x.dtype), axis)
+        out = jax.lax.psum(out.astype(x.dtype), axis)
+        return (out, stats) if collect_stats else out
 
     wspec = P(axis, *([None] * (w_gate.ndim - 1)))
+    # optional operands enter as replicated extras (routing — and hence the
+    # tables and the stats mask — is identical on every device)
+    have_tables = l2p is not None
+    have_mask = stats_mask is not None
+    args = [x, router_w, w_gate, w_up, w_down]
+    in_specs = [P(), P(), wspec, wspec, wspec]
+    if have_tables:
+        args += [l2p, rc]
+        in_specs += [P(), P()]
+    if have_mask:
+        args += [stats_mask]
+        in_specs += [P()]
+
+    def fn(x, r, wg, wu, wd, *rest):
+        tl = tr = sm = None
+        i = 0
+        if have_tables:
+            tl, tr = rest[0], rest[1]
+            i = 2
+        if have_mask:
+            sm = rest[i]
+        return local_fn(x, r, wg, wu, wd, tl, tr, sm)
+
     return jax.shard_map(
-        local_fn,
+        fn,
         mesh=mesh,
-        in_specs=(P(), P(), wspec, wspec, wspec),
-        out_specs=P(),
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P()) if collect_stats else P(),
         check_vma=False,
-    )(x, router_w, w_gate, w_up, w_down)
+    )(*args)

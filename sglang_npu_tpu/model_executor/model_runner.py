@@ -86,6 +86,20 @@ class ModelRunner:
                 )
             self.model.ep_size = server_args.ep_size
             self.model.ep_mesh = self.mesh
+        self.eplb = None  # EplbState when --enable-eplb
+        self._moe_acc = None  # device [n_moe_layers, E] routed-token counts
+        if server_args.enable_eplb:
+            if server_args.ep_size <= 1:
+                raise ValueError("--enable-eplb requires ep_size > 1")
+            red = server_args.ep_num_redundant_experts
+            n_e = self.model.num_experts
+            if (n_e + red) % server_args.ep_size:
+                raise ValueError(
+                    f"{n_e}+{red} physical expert slots not divisible by "
+                    f"ep={server_args.ep_size}"
+                )
+            # sized into param_shapes BEFORE the loader allocates weights
+            self.model.num_redundant = red
         self._init_attention_backend()
 
         # Sliding-window hybrid pool (ops/hybrid_kv.py): split layers into
@@ -149,6 +163,37 @@ class ModelRunner:
             self.params = dict(self.params)
             self.params["layers"] = {**self.params["layers"], **additions}
             self.params["lora_scaling"] = scaling
+        if server_args.enable_eplb:
+            # Identity placement; redundant slots stay unread (rc=1) until
+            # the first rebalance copies live weights into them.
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as PSpec
+
+            from sglang_npu_tpu.layers.eplb import EplbState
+
+            self.eplb = EplbState.initial(
+                self.model.eplb_layer_count(),
+                self.model.num_experts,
+                server_args.ep_num_redundant_experts,
+                server_args.ep_size,
+            )
+            repl = NamedSharding(self.mesh, PSpec())
+            l2p0, rc0 = self.eplb.initial_tables()
+            self.params = self.model.eplb_install_tables(
+                self.params,
+                jax.device_put(jnp.asarray(l2p0), repl),
+                jax.device_put(jnp.asarray(rc0), repl),
+            )
+            self._moe_acc = jax.device_put(
+                jnp.zeros(
+                    (self.model.eplb_layer_count(), self.model.num_experts),
+                    jnp.int32,
+                ),
+                repl,
+            )
+            self._eplb_interval = server_args.eplb_rebalance_interval
+            self._eplb_steps = 0
+            self.eplb_rebalance_count = 0
         self.param_bytes = sum(
             x.nbytes for x in jax.tree_util.tree_leaves(self.params)
         )
@@ -601,6 +646,8 @@ class ModelRunner:
             has_fsm=False,
             swa_page_tables=None,
             mrope_delta=None,
+            moe_acc=None,
+            track_moe=False,
         ):
             if has_penalties:
                 vocab = params["embed"].shape[0]
@@ -618,8 +665,10 @@ class ModelRunner:
             else:
                 gs0 = jnp.zeros_like(tokens)
 
+            acc0 = moe_acc if track_moe else jnp.zeros((), jnp.int32)
+
             def body(carry, k):
-                kv_pool, toks, lens, co, ca, gs = carry
+                kv_pool, toks, lens, co, ca, gs, acc = carry
                 active = lens < limits
                 pos = jnp.maximum(lens - 1, 0)
                 page = jnp.take_along_axis(
@@ -638,7 +687,16 @@ class ModelRunner:
                     swa_page_tables=swa_page_tables,
                     mrope_delta=mrope_delta,
                 )
-                logits, kv_pool = model(params, kv_pool, fb, ps)
+                if track_moe:
+                    # EPLB load recorder: per-expert routed-token counts
+                    # accumulate on device; fetched only at rebalance time
+                    logits, kv_pool, stats = model(
+                        params, kv_pool, fb, ps,
+                        collect_moe=True, moe_mask=active,
+                    )
+                    acc = acc + stats
+                else:
+                    logits, kv_pool = model(params, kv_pool, fb, ps)
                 if has_penalties:
                     logits = sampler_ops.apply_penalties(logits, sampling, co, ca)
                 if sampling.vocab_mask is not None:
@@ -687,22 +745,26 @@ class ModelRunner:
                     ys = (nt, chosen, tv, ti)
                 else:
                     ys = nt
-                return (kv_pool, nt, lens, co, ca, gs), ys
+                return (kv_pool, nt, lens, co, ca, gs, acc), ys
 
-            (kv_pool, _, _, _, _, _), ys = jax.lax.scan(
+            (kv_pool, _, _, _, _, _, acc), ys = jax.lax.scan(
                 body,
-                (kv_pool, tokens, seq_lens, co0, ca0, gs0),
+                (kv_pool, tokens, seq_lens, co0, ca0, gs0, acc0),
                 jnp.arange(n_steps),
             )
             if return_logprob:
                 toks, chosen, tv, ti = ys
-                return (
+                out = (
                     toks.T,
                     chosen.T,
                     jnp.swapaxes(tv, 0, 1),
                     jnp.swapaxes(ti, 0, 1),
-                ), kv_pool
-            return ys.T, kv_pool  # [B, K]
+                )
+            else:
+                out = ys.T  # [B, K]
+            if track_moe:
+                return out, kv_pool, acc
+            return out, kv_pool
 
         return jax.jit(
             multi,
@@ -715,6 +777,7 @@ class ModelRunner:
                 "has_penalties",
                 "has_min_new",
                 "has_fsm",
+                "track_moe",
             ),
         )
 
@@ -935,7 +998,7 @@ class ModelRunner:
                 pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0
             )
             fsm = self._fsm_args(mwb, bs_bucket)
-            out, self.kv_pool = self._multi_fn(
+            res = self._multi_fn(
                 self.params,
                 self.kv_pool,
                 jnp.asarray(pad_to(mwb.input_ids, bs_bucket)),
@@ -967,7 +1030,16 @@ class ModelRunner:
                     if mwb.mrope_delta is not None
                     else None
                 ),
+                moe_acc=self._moe_acc,
+                track_moe=self.eplb is not None,
             )
+            if self.eplb is not None:
+                out, self.kv_pool, self._moe_acc = res
+                self._eplb_steps += K
+                if self._eplb_steps >= self._eplb_interval:
+                    self.rebalance_experts()
+            else:
+                out, self.kv_pool = res
         n = mwb.real_bs
         if not rl:
             return np.asarray(jax.device_get(out))[:n], None
@@ -1285,6 +1357,44 @@ class ModelRunner:
         )
 
     # ------------------------------------------------------------------
+    def rebalance_experts(self) -> bool:
+        """EPLB rebalance (reference `srt/eplb/eplb_manager.py:20`
+        `rebalance_experts`): fetch the accumulated per-expert load, compute
+        a new logical->physical placement (redundant replicas of hot
+        experts), permute the expert weight slots on device (one gather per
+        weight leaf), swap the routing tables, and reset the recorder.
+        Numerics-invariant: replicas share weights, so greedy outputs are
+        bit-identical across a rebalance (tested in tests/test_eplb.py)."""
+        if self.eplb is None:
+            return False
+        counts = np.asarray(jax.device_get(self._moe_acc))
+        self._eplb_steps = 0
+        if counts.sum() == 0:
+            return False
+        gather, l2p, rc = self.eplb.rebalance(counts.astype(np.int64))
+        self.params = self.model.eplb_permute(
+            self.params,
+            jnp.asarray(gather),
+            jnp.asarray(l2p),
+            jnp.asarray(rc),
+        )
+        self._moe_acc = jnp.zeros_like(self._moe_acc)
+        self.eplb_rebalance_count += 1
+        logger.info(
+            "EPLB rebalance #%d applied (load imbalance max/mean = %.2f)",
+            self.eplb_rebalance_count,
+            float(counts.sum(0).max() / max(counts.sum(0).mean(), 1e-9)),
+        )
+        return True
+
+    def expert_load_snapshot(self) -> Optional[np.ndarray]:
+        """Current accumulated per-layer per-expert routed-token counts
+        (reference `expert_distribution.py` dump RPC)."""
+        if self._moe_acc is None:
+            return None
+        return np.asarray(jax.device_get(self._moe_acc))
+
+    # ------------------------------------------------------------------
     def update_weights_from_disk(self, model_path: str, load_format: str = "auto"):
         """Live weight swap (reference `model_runner.py:731`
         `update_weights_from_disk`, used for RL rollout weight sync)."""
@@ -1297,6 +1407,28 @@ class ModelRunner:
         old = self.params
         self.params = new_params
         del old
+        if self.eplb is not None:
+            # fresh weights land in identity placement; reset the tables
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as PSpec
+
+            from sglang_npu_tpu.layers.eplb import EplbState
+
+            self.eplb = EplbState.initial(
+                self.model.eplb_layer_count(),
+                self.model.num_experts,
+                self.server_args.ep_num_redundant_experts,
+                self.server_args.ep_size,
+            )
+            repl = NamedSharding(self.mesh, PSpec())
+            l2p0, rc0 = self.eplb.initial_tables()
+            self.params = self.model.eplb_install_tables(
+                self.params,
+                jax.device_put(jnp.asarray(l2p0), repl),
+                jax.device_put(jnp.asarray(rc0), repl),
+            )
+            self._moe_acc = jnp.zeros_like(self._moe_acc)
+            self._eplb_steps = 0
         self.server_args.model_path = model_path
         return True, "weights updated"
 

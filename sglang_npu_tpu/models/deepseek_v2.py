@@ -40,6 +40,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     ep_size = 1  # >1: expert-parallel placement (set by ModelRunner)
     ep_mesh = None
     num_experts = 0  # alias for the runner's EP validation
+    num_redundant = 0  # EPLB redundant physical expert slots
 
     def __init__(self, config: ModelConfig, attn_backend=None):
         super().__init__(config, attn_backend)
@@ -74,6 +75,49 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         return self.n_experts > 0 and i >= self.first_dense
 
     # ------------------------------------------------------------------
+    # EPLB hooks (reference `srt/eplb/eplb_manager.py`) — per-layer param
+    # dicts (the model runs a Python layer loop, not a scan)
+    # ------------------------------------------------------------------
+    def eplb_layer_count(self) -> int:
+        return sum(
+            self._is_moe(i) for i in range(self.config.num_hidden_layers)
+        )
+
+    def _moe_layer_ids(self):
+        return [
+            i
+            for i in range(self.config.num_hidden_layers)
+            if self._is_moe(i)
+        ]
+
+    def eplb_install_tables(self, params, l2p, rc):
+        params = dict(params)
+        for j, i in enumerate(self._moe_layer_ids()):
+            params[_lk(i)] = {
+                **params[_lk(i)],
+                "eplb_l2p": l2p[j],  # [E, R]
+                "eplb_rc": rc[j],  # [E]
+            }
+        return params
+
+    def eplb_permute(self, params, gather, l2p, rc):
+        params = dict(params)
+        for j, i in enumerate(self._moe_layer_ids()):
+            lp = dict(params[_lk(i)])
+            g = gather[j].astype(jnp.int32)  # [P]
+            for k in ("e_gate", "e_up", "e_down"):
+                lp[k] = jax.tree.map(
+                    lambda a: jax.device_put(
+                        jnp.take(a, g, axis=0), a.sharding
+                    ),
+                    lp[k],
+                )
+            lp["eplb_l2p"] = jax.device_put(l2p[j], lp["eplb_l2p"].sharding)
+            lp["eplb_rc"] = jax.device_put(rc[j], lp["eplb_rc"].sharding)
+            params[_lk(i)] = lp
+        return params
+
+    # ------------------------------------------------------------------
     def param_shapes(self) -> Dict[str, Any]:
         c = self.config
         D = c.hidden_size
@@ -102,10 +146,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 lp["wq"] = ((D, H * self.k_dim), dt)
             if self._is_moe(i):
                 E, Fm = self.n_experts, self.moe_inter
+                P_slots = E + self.num_redundant  # EPLB physical slots
                 lp["router"] = ((D, E), jnp.float32)
-                lp["e_gate"] = ((E, D, Fm), dt)
-                lp["e_up"] = ((E, D, Fm), dt)
-                lp["e_down"] = ((E, Fm, D), dt)
+                lp["e_gate"] = ((P_slots, D, Fm), dt)
+                lp["e_up"] = ((P_slots, D, Fm), dt)
+                lp["e_down"] = ((P_slots, Fm, D), dt)
                 if self.n_shared:
                     Fs = self.moe_inter * self.n_shared
                     lp["s_gate"] = ((D, Fs), dt)
@@ -272,12 +317,14 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         q_abs = jnp.einsum("behn,rhn->behr", q_nope, w_kb_k)  # [B, E, H, R]
         return q_abs, q_pe, c_kv, k_pe, w_kb_v
 
-    def _ffn(self, lp, h2, i):
-        """Post-attention MLP / MoE block (returns the residual delta)."""
+    def _ffn(self, lp, h2, i, collect_stats=False, stats_mask=None):
+        """Post-attention MLP / MoE block (returns the residual delta;
+        with ``collect_stats`` on a MoE layer, (delta, counts[E]))."""
         c = self.config
         B, E = h2.shape[:2]
         if self._is_moe(i):
             flat = h2.reshape(B * E, c.hidden_size)
+            stats = None
             if self.ep_size > 1:
                 from sglang_npu_tpu.layers.moe import moe_mlp_ep
 
@@ -290,6 +337,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     top_k=self.top_k,
                     norm_topk_prob=self.norm_topk,
                     mesh=self.ep_mesh,
+                    l2p=lp.get("eplb_l2p"),
+                    rc=lp.get("eplb_rc"),
+                    collect_stats=collect_stats,
+                    stats_mask=stats_mask,
                 )
             else:
                 out = moe_mlp(
@@ -300,7 +351,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     lp["e_down"],
                     top_k=self.top_k,
                     norm_topk_prob=self.norm_topk,
+                    collect_stats=collect_stats,
+                    stats_mask=stats_mask,
                 )
+            if collect_stats:
+                out, stats = out
             out = out * jnp.asarray(self.routed_scaling, flat.dtype)
             if self.n_shared:
                 g = jnp.einsum("td,df->tf", flat, lp["s_gate"])
@@ -308,13 +363,24 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 out = out + jnp.einsum(
                     "tf,fd->td", jax.nn.silu(g) * u, lp["s_down"]
                 )
-            return out.reshape(B, E, c.hidden_size)
+            out = out.reshape(B, E, c.hidden_size)
+            return (out, stats) if collect_stats else out
         g = jnp.einsum("bed,df->bef", h2, lp["w_gate"])
         u = jnp.einsum("bed,df->bef", h2, lp["w_up"])
-        return jnp.einsum("bef,fd->bed", jax.nn.silu(g) * u, lp["w_down"])
+        out = jnp.einsum("bef,fd->bed", jax.nn.silu(g) * u, lp["w_down"])
+        return (out, None) if collect_stats else out
 
-    def backbone_forward(self, params, kv_pool, fb: ForwardBatch, page_size: int):
+    def backbone_forward(
+        self, params, kv_pool, fb: ForwardBatch, page_size: int,
+        collect_moe: bool = False, moe_mask=None,
+    ):
         c = self.config
+        moe_stats = []
+        smask = (
+            jnp.repeat(moe_mask, fb.input_ids.shape[1])
+            if collect_moe and moe_mask is not None
+            else None
+        )
         B, E = fb.input_ids.shape
         dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         x = params["embed"][fb.input_ids].astype(dt)
@@ -349,9 +415,20 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
             # ---- MLP / MoE ----
             h2 = rms_norm(x, lp["post_norm"], eps)
-            x = x + self._ffn(lp, h2, i)
+            if collect_moe:
+                delta, stats = self._ffn(
+                    lp, h2, i, collect_stats=True, stats_mask=smask
+                )
+                x = x + delta
+                if stats is not None:
+                    moe_stats.append(stats)
+            else:
+                x = x + self._ffn(lp, h2, i)
 
         x = rms_norm(x, params["final_norm"], eps)
+        if collect_moe:
+            # [n_moe_layers, E], MoE layers in depth order
+            return x, kv_pool, jnp.stack(moe_stats)
         return x, kv_pool
 
     def verify_forward(

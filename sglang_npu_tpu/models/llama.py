@@ -154,9 +154,19 @@ class LlamaForCausalLM:
         kv_pool: jax.Array,  # [L, 2, S, H_kv, D]
         fb: ForwardBatch,
         page_size: int,
+        collect_moe: bool = False,
+        moe_mask=None,  # [B] bool: count this row's tokens in the stats
     ):
-        """Returns (logits [B, vocab], new_kv_pool)."""
-        last, new_kv = self.hidden_forward(params, kv_pool, fb, page_size)
+        """Returns (logits [B, vocab], new_kv_pool); with ``collect_moe``
+        (MoE models only) additionally per-expert routing counts
+        [n_moe_layers, E] for the EPLB recorder."""
+        if collect_moe:
+            last, new_kv, moe_stats = self.hidden_forward(
+                params, kv_pool, fb, page_size,
+                collect_moe=True, moe_mask=moe_mask,
+            )
+        else:
+            last, new_kv = self.hidden_forward(params, kv_pool, fb, page_size)
         # bf16 x bf16 matmul with f32 accumulation — never materialize an
         # f32 copy of the vocab matrix.
         if "lm_head" not in params:
@@ -173,6 +183,8 @@ class LlamaForCausalLM:
                 params["lm_head"],
                 preferred_element_type=jnp.float32,
             )
+        if collect_moe:
+            return logits, new_kv, moe_stats
         return logits, new_kv
 
     def _rope_cos_sin(self, fb: ForwardBatch):
@@ -201,14 +213,24 @@ class LlamaForCausalLM:
         kv_pool: jax.Array,
         fb: ForwardBatch,
         page_size: int,
+        collect_moe: bool = False,
+        moe_mask=None,
     ):
         """Trunk forward; returns (last-token hidden [B, D], new_kv_pool)."""
-        x, new_kv = self.backbone_forward(params, kv_pool, fb, page_size)
+        if collect_moe:
+            x, new_kv, moe_stats = self.backbone_forward(
+                params, kv_pool, fb, page_size,
+                collect_moe=True, moe_mask=moe_mask,
+            )
+        else:
+            x, new_kv = self.backbone_forward(params, kv_pool, fb, page_size)
         if fb.extend_seq_lens is not None:
             idx = jnp.maximum(fb.extend_seq_lens - 1, 0)  # [B]
             last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
         else:
             last = x[:, 0]
+        if collect_moe:
+            return last, new_kv, moe_stats
         return last, new_kv
 
     def backbone_forward(
@@ -217,8 +239,13 @@ class LlamaForCausalLM:
         kv_pool: jax.Array,
         fb: ForwardBatch,
         page_size: int,
+        collect_moe: bool = False,
+        moe_mask=None,
     ):
-        """Full trunk: returns (hidden [B, E, D], new_kv_pool)."""
+        """Full trunk: returns (hidden [B, E, D], new_kv_pool); with
+        ``collect_moe`` (MoE models) additionally the per-layer routed
+        token counts [L, E] as scan ys (EPLB recorder feed).  ``moe_mask``
+        [B] excludes padded batch rows from the counts."""
         c = self.config
         B, E = fb.input_ids.shape
         x = params["embed"][fb.input_ids].astype(
@@ -233,6 +260,13 @@ class LlamaForCausalLM:
         eps = c.rms_norm_eps
         rope = self.rope
         rope_cs = self._rope_cos_sin(fb)
+        # stats mask per flattened [B*E] token row (MoE layers flatten
+        # [B, E, D] -> [B*E, D] with row t = b*E + e)
+        smask = (
+            jnp.repeat(moe_mask, E)
+            if collect_moe and moe_mask is not None
+            else None
+        )
 
         # The KV pool is CARRIED whole through the layer scan and addressed
         # with combined (layer, k/v, slot) gather/scatter indices — XLA then
@@ -276,13 +310,21 @@ class LlamaForCausalLM:
             )
 
             h = rms_norm(x, lp["post_norm"], eps)
+            if collect_moe:
+                delta, stats = self._mlp(
+                    h, lp, _proj, collect_stats=True, stats_mask=smask
+                )
+                x = x + delta
+                return (x, kv_pool, l + 1), stats
             x = x + self._mlp(h, lp, _proj)
             return (x, kv_pool, l + 1), None
 
-        (x, new_kv, _), _ = jax.lax.scan(
+        (x, new_kv, _), ys = jax.lax.scan(
             layer_fn, (x, kv_pool, jnp.int32(0)), params["layers"]
         )
         x = rms_norm(x, params["final_norm"], eps)
+        if collect_moe:
+            return x, new_kv, ys  # ys: [L, E] routed-token counts
         return x, new_kv
 
     def verify_forward(
@@ -367,8 +409,9 @@ class LlamaForCausalLM:
         ).clip(1e-9)
         return normed, kv_pool
 
-    def _mlp(self, h, lp, proj=None):
+    def _mlp(self, h, lp, proj=None, collect_stats=False, stats_mask=None):
         """Dense SwiGLU MLP; overridden by MoE models."""
+        assert not collect_stats, "collect_moe requires a MoE model"
         if proj is None:
             proj = lambda x, lp_, k, eq: qmm(x, lp_[k], eq)
         gate = proj(h, lp, "w_gate", "bed,df->bef")

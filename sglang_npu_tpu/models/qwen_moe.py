@@ -27,6 +27,10 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
 
     ep_size = 1  # >1: expert-parallel placement (set by ModelRunner)
     ep_mesh = None
+    # EPLB (reference `srt/eplb/`): extra physical expert slots for
+    # redundant replicas of hot experts; weight arrays are sized
+    # [L, E + num_redundant, ...] and routed through l2p/rc tables.
+    num_redundant = 0
 
     def __init__(self, config: ModelConfig, attn_backend=None):
         super().__init__(config, attn_backend)
@@ -54,10 +58,11 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
         layers = shapes["layers"]
         for k in ("w_gate", "w_up", "w_down"):
             del layers[k]
+        P_slots = E + self.num_redundant  # physical expert slots (EPLB)
         layers["router"] = ((L, Dm, E), jnp.float32)
-        layers["e_gate"] = ((L, E, Dm, F), dt)
-        layers["e_up"] = ((L, E, Dm, F), dt)
-        layers["e_down"] = ((L, E, F, Dm), dt)
+        layers["e_gate"] = ((L, P_slots, Dm, F), dt)
+        layers["e_up"] = ((L, P_slots, Dm, F), dt)
+        layers["e_down"] = ((L, P_slots, F, Dm), dt)
         if self.shared_inter:
             layers["s_gate"] = ((L, Dm, self.shared_inter), dt)
             layers["s_up"] = ((L, Dm, self.shared_inter), dt)
@@ -140,12 +145,58 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
         return top, per_layer
 
     # ------------------------------------------------------------------
-    def _mlp(self, h, lp, proj=None):
+    # EPLB hooks (reference `srt/eplb/eplb_manager.py`,
+    # `expert_location.py:update_expert_weights`)
+    # ------------------------------------------------------------------
+    def eplb_layer_count(self) -> int:
+        """Number of MoE layers (stats rows / placement rows)."""
+        return self.config.num_hidden_layers
+
+    def eplb_install_tables(self, params, l2p, rc):
+        """Insert the logical->physical routing tables into the stacked
+        layer params so the layer scan slices them per layer."""
+        params = dict(params)
+        params["layers"] = {
+            **params["layers"],
+            "eplb_l2p": l2p,  # [L, E, R] i32
+            "eplb_rc": rc,  # [L, E] i32
+        }
+        return params
+
+    def eplb_permute(self, params, gather, l2p, rc):
+        """Apply a new placement: permute every expert-stacked weight along
+        the physical-slot dim (``gather[l, p]`` = current slot to copy into
+        new slot p — one gather per leaf, quantized pytrees included) and
+        swap the routing tables."""
+        layers = dict(params["layers"])
+        for k in ("e_gate", "e_up", "e_down"):
+            layers[k] = jax.tree.map(
+                lambda a: jax.device_put(
+                    jnp.take_along_axis(
+                        a,
+                        gather.reshape(
+                            gather.shape + (1,) * (a.ndim - 2)
+                        ).astype(jnp.int32),
+                        axis=1,
+                    ),
+                    a.sharding,
+                ),
+                layers[k],
+            )
+        layers["eplb_l2p"] = jax.device_put(l2p, layers["eplb_l2p"].sharding)
+        layers["eplb_rc"] = jax.device_put(rc, layers["eplb_rc"].sharding)
+        params = dict(params)
+        params["layers"] = layers
+        return params
+
+    # ------------------------------------------------------------------
+    def _mlp(self, h, lp, proj=None, collect_stats=False, stats_mask=None):
         from sglang_npu_tpu.layers.quantization import dequant
         from sglang_npu_tpu.layers.quantization import matmul as qmm
 
         B, E_, Dm = h.shape
         flat = h.reshape(B * E_, Dm)
+        stats = None
         if self.ep_size > 1:
             from sglang_npu_tpu.layers.moe import moe_mlp_ep
 
@@ -158,6 +209,10 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
                 top_k=self.top_k,
                 norm_topk_prob=self.norm_topk,
                 mesh=self.ep_mesh,
+                l2p=lp.get("eplb_l2p"),
+                rc=lp.get("eplb_rc"),
+                collect_stats=collect_stats,
+                stats_mask=stats_mask,
             )
         else:
             out = moe_mlp(
@@ -168,7 +223,11 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
                 dequant(lp["e_down"], flat.dtype),
                 top_k=self.top_k,
                 norm_topk_prob=self.norm_topk,
+                collect_stats=collect_stats,
+                stats_mask=stats_mask,
             )
+        if collect_stats:
+            out, stats = out
         if self.shared_inter:
             gate = qmm(flat, lp["s_gate"], "td,df->tf")
             up = qmm(flat, lp["s_up"], "td,df->tf")
@@ -177,4 +236,5 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
                 jnp.einsum("td,d->t", flat, lp["s_gate_w"])
             )[:, None]
             out = out + sg.astype(shared.dtype) * shared
-        return out.reshape(B, E_, Dm)
+        out = out.reshape(B, E_, Dm)
+        return (out, stats) if collect_stats else out

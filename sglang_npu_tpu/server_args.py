@@ -102,6 +102,10 @@ class ServerArgs:
     tp_size: int = 1  # "model" mesh axis size
     dp_size: int = 1  # "data" mesh axis size
     ep_size: int = 1  # "expert" mesh axis size (MoE)
+    # EPLB: expert-parallel load balancing (reference srt/eplb/)
+    enable_eplb: bool = False
+    ep_num_redundant_experts: int = 0  # extra physical slots for replicas
+    eplb_rebalance_interval: int = 512  # decode steps between rebalances
     pp_size: int = 1  # pipeline stages (rarely useful on TPU; kept for parity)
     nnodes: int = 1
     node_rank: int = 0
