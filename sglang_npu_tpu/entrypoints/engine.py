@@ -70,7 +70,11 @@ class Engine:
         if server_args.nnodes > 1 and server_args.node_rank == 0:
             self._init_multihost_entry(server_args)
             return
-        if server_args.dp_size > 1:
+        if server_args.dp_size > 1 and not server_args.enable_dp_attention:
+            # request-level DP: one engine replica per tp submesh.  With
+            # --enable-dp-attention the dp axis instead lives INSIDE one
+            # SPMD program (model_executor/dp_attention.py): single
+            # scheduler, KV pages sharded over the mesh data axis.
             self._init_data_parallel(server_args)
             return
 

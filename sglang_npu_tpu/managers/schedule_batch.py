@@ -109,6 +109,8 @@ class Req:
         self.prefix_len: int = 0  # tree-owned prefix tokens
         self.kv_slots: np.ndarray = np.empty((0,), dtype=np.int32)
         self.pages: List[int] = []
+        # DP-attention: page-allocation rank (model_executor/dp_attention.py)
+        self.dp_rank: int = 0
         # Sliding-window models: ring of pages in the window pool; slot r
         # holds pages with index ≡ r (mod NW).  Grown lazily to NW pages,
         # then reused in place (ops/hybrid_kv.py).
@@ -352,6 +354,8 @@ class ModelWorkerBatch:
     mm_reqs: Optional[List] = None
     mrope_positions: Optional[np.ndarray] = None
     mrope_delta: Optional[np.ndarray] = None
+    # DP-attention: per-request page-allocation rank [B]
+    dp_ranks: Optional[np.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -496,20 +500,30 @@ class ScheduleBatch:
         return len(self.reqs)
 
     # ------------------------------------------------------------------
-    def _evict_for(self, num_pages: int) -> bool:
-        """Try to make `num_pages` available by evicting the radix tree."""
-        need = num_pages - self.allocator.available_pages()
-        if need <= 0:
-            return True
-        self.tree_cache.evict(need * self.allocator.page_size)
-        return self.allocator.available_pages() >= num_pages
+    def _evict_for(self, num_pages: int, rank: int = 0) -> bool:
+        """Try to make `num_pages` available (in ``rank``'s partition under
+        DP-attention) by evicting the radix tree.  Eviction is LRU-global,
+        so loop while it makes progress — freed pages may belong to other
+        ranks."""
+        ps = self.allocator.page_size
+        while self.allocator.available_pages_rank(rank) < num_pages:
+            before = self.tree_cache.evictable_size()
+            if before <= 0:
+                return False
+            self.tree_cache.evict(
+                (num_pages - self.allocator.available_pages_rank(rank)) * ps
+            )
+            if self.tree_cache.evictable_size() >= before:  # no progress
+                return False
+        return True
 
     def alloc_extend_slots(self, req: Req, new_len: int) -> np.ndarray:
         old_len = len(req.kv_slots)
+        rank = req.dp_rank
         need = self.allocator.pages_needed(old_len, new_len)
-        if not self._evict_for(need):
+        if not self._evict_for(need, rank):
             raise RuntimeError("KV cache out of memory during extend alloc")
-        slots = self.allocator.alloc_extend(old_len, new_len, req.pages)
+        slots = self.allocator.alloc_extend(old_len, new_len, req.pages, rank)
         assert slots is not None
         req.kv_slots = np.concatenate([req.kv_slots, slots])
         if self.swa is not None:
@@ -675,6 +689,9 @@ class ScheduleBatch:
             ),
             lora_ids=lora_ids,
             swa_page_tables=swa_pt,
+            dp_ranks=np.array(
+                [r.dp_rank for r in self.reqs], dtype=np.int64
+            ),
         )
 
     # ------------------------------------------------------------------

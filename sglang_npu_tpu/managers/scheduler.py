@@ -104,8 +104,14 @@ class Scheduler:
         self.tokenizer = tokenizer
         self.page_size = server_args.page_size
 
+        # DP-attention: page-id space partitions into per-rank ranges that
+        # mirror the pool's page-dim sharding over the mesh data axis
+        # (model_executor/dp_attention.py)
+        self.dp_attn = getattr(model_runner, "dp_attn", 0) or 0
         self.allocator = PagedAllocator(
-            num_pages=model_runner.num_pages, page_size=self.page_size
+            num_pages=model_runner.num_pages,
+            page_size=self.page_size,
+            num_ranks=max(self.dp_attn, 1),
         )
         # Sliding-window hybrid pool: second allocator over the window pool
         # (ops/hybrid_kv.py; reference SWATokenToKVPoolAllocator)
@@ -395,6 +401,14 @@ class Scheduler:
             else 0
         )
         req.queue_time = time.time()
+        if self.dp_attn:
+            from sglang_npu_tpu.model_executor.dp_attention import (
+                assign_dp_rank,
+            )
+
+            req.dp_rank = assign_dp_rank(
+                req.origin_input_ids, self.page_size, self.dp_attn
+            )
         if len(req.origin_input_ids) == 0:
             req.finished_reason = FINISH_ABORT("empty input not allowed")
             self._emit_finished_stub(req)
@@ -1013,15 +1027,23 @@ class Scheduler:
             stream=item.stream,
         )
         self._rid_to_req[req.rid] = req
+        if self.dp_attn:
+            from sglang_npu_tpu.model_executor.dp_attention import (
+                assign_dp_rank,
+            )
+
+            req.dp_rank = assign_dp_rank(
+                item.input_ids, self.page_size, self.dp_attn
+            )
         need_pages = self.allocator.pages_needed(0, n)
         if (
             self.allocator.available_pages() < need_pages
-            and not self.running_batch._evict_for(need_pages)
+            and not self.running_batch._evict_for(need_pages, req.dp_rank)
         ):
             req.finished_reason = FINISH_ABORT("decode server out of KV memory")
             self._emit_finished_stub(req)
             return
-        slots = self.allocator.alloc_extend(0, n, req.pages)
+        slots = self.allocator.alloc_extend(0, n, req.pages, req.dp_rank)
         req.kv_slots = slots
         self.runner.scatter_kv(slots, item.kv_data)
         req.output_ids = [item.first_token]

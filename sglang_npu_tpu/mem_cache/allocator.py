@@ -26,40 +26,74 @@ import numpy as np
 
 
 class PagedAllocator:
-    """Free-list page allocator over the device KV pool."""
+    """Free-list page allocator over the device KV pool.
 
-    def __init__(self, num_pages: int, page_size: int):
+    With ``num_ranks > 1`` (DP-attention, see
+    `model_executor/dp_attention.py`) the page-id space is partitioned into
+    contiguous per-rank ranges — rank ``r`` owns global ids
+    ``[r*pages_local, (r+1)*pages_local)`` matching the pool's page-dim
+    sharding over the mesh ``data`` axis — and each rank's local page 0 is
+    reserved as its padding/garbage page.  Allocations draw from the
+    request's rank; frees route by id.
+    """
+
+    def __init__(self, num_pages: int, page_size: int, num_ranks: int = 1):
+        assert num_pages % num_ranks == 0
         self.num_pages = num_pages
         self.page_size = page_size
+        self.num_ranks = num_ranks
+        self.pages_local = num_pages // num_ranks
         self.size = num_pages * page_size  # total token slots
         self.release_pages: List[int] = []
         self.clear()
 
     def clear(self):
-        # LIFO free list; page 0 is reserved as the "padding page" so that
-        # padded page-table entries always point at valid memory.
-        self.free_list = list(range(self.num_pages - 1, 0, -1))
+        # LIFO free lists; each rank's local page 0 is reserved as the
+        # "padding page" so padded page-table entries point at valid memory.
+        self.free_lists = [
+            list(
+                range(
+                    (r + 1) * self.pages_local - 1, r * self.pages_local, -1
+                )
+            )
+            for r in range(self.num_ranks)
+        ]
+
+    @property
+    def free_list(self):  # single-rank view (tests, debug)
+        assert self.num_ranks == 1
+        return self.free_lists[0]
 
     # ------------------------------------------------------------------
     def available_pages(self) -> int:
-        return len(self.free_list)
+        """Admission-safe free-page count: with per-rank partitions the
+        bound is the tightest rank (a request draws from one rank only)."""
+        if self.num_ranks == 1:
+            return len(self.free_lists[0])
+        return min(len(fl) for fl in self.free_lists) * self.num_ranks
+
+    def available_pages_rank(self, rank: int) -> int:
+        return len(self.free_lists[rank])
 
     def available_size(self) -> int:
         """Free token slots (reference `available_size`)."""
-        return len(self.free_list) * self.page_size
+        return self.available_pages() * self.page_size
 
     # ------------------------------------------------------------------
-    def alloc_pages(self, n: int) -> Optional[List[int]]:
-        if n > len(self.free_list):
+    def alloc_pages(self, n: int, rank: int = 0) -> Optional[List[int]]:
+        fl = self.free_lists[rank]
+        if n > len(fl):
             return None
         if n == 0:
             return []
-        pages = self.free_list[-n:][::-1]
-        del self.free_list[-n:]
+        pages = fl[-n:][::-1]
+        del fl[-n:]
         return pages
 
     def free_page_ids(self, pages) -> None:
-        self.free_list.extend(int(p) for p in pages)
+        for p in pages:
+            p = int(p)
+            self.free_lists[p // self.pages_local].append(p)
 
     # ------------------------------------------------------------------
     def pages_needed(self, old_len: int, new_len: int) -> int:
@@ -67,7 +101,7 @@ class PagedAllocator:
         return -(-new_len // ps) - (-(-old_len // ps))
 
     def alloc_extend(
-        self, old_len: int, new_len: int, pages: List[int]
+        self, old_len: int, new_len: int, pages: List[int], rank: int = 0
     ) -> Optional[np.ndarray]:
         """Extend a request from ``old_len`` to ``new_len`` tokens.
 
@@ -77,7 +111,7 @@ class PagedAllocator:
         """
         ps = self.page_size
         need = self.pages_needed(old_len, new_len)
-        new_pages = self.alloc_pages(need)
+        new_pages = self.alloc_pages(need, rank)
         if new_pages is None:
             return None
         pages.extend(new_pages)

@@ -1,0 +1,190 @@
+"""DP-attention: data-parallel attention inside one SPMD program.
+
+TPU-native counterpart of the reference's DP-attention stack
+(`srt/layers/dp_attention.py:62-366`, `srt/layers/communicator.py`): there,
+each DP rank owns its own requests' KV cache (no duplication across TP
+ranks) and explicit gather/scatter collectives reshard activations between
+the attention region (batch-sharded) and the rest of the model.  Here the
+same partitioning is expressed to XLA instead of hand-coded:
+
+  * the KV pool shards its PAGE dim over the mesh's ``data`` axis — each
+    data shard physically stores only its own requests' pages (the memory
+    win that motivates DP-attention, especially for wide-TP MoE serving
+    where per-rank KV replication is the limiter);
+  * requests are assigned a dp rank by hashing their FIRST PAGE of tokens,
+    so radix-cache prefix matches are always rank-consistent (matches are
+    page-aligned: any non-empty match implies an identical first page and
+    hence the same rank) and prefix KV reuse needs no cross-rank traffic;
+  * the attention region runs in a `shard_map` that is MANUAL over ``data``
+    (each shard attends its local batch rows against its local page slab —
+    page-table gathers never cross shards) and AUTO over ``model`` — the
+    TP sharding of heads/weights inside stays GSPMD-managed, which is the
+    region-reshard planning the reference does by hand;
+  * everything outside attention (embed, FFN/MoE, logits, sampling) remains
+    ordinary GSPMD; XLA inserts the boundary reshards that
+    `communicator.py` implements explicitly.
+
+Host side, `dp_reorder_mwb` groups batch rows rank-major and pads each
+rank's block to a common power-of-two so the `data` axis splits the batch
+dim evenly, and rewrites page ids to rank-local ones (global page
+``g`` lives on rank ``g // pages_local`` at local id ``g % pages_local``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import zlib
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from sglang_npu_tpu.managers.schedule_batch import ModelWorkerBatch
+from sglang_npu_tpu.ops.xla_attention import (
+    QuantKVPool,
+    paged_attention_xla,
+    write_kv,
+)
+from sglang_npu_tpu.utils.common import next_power_of_2
+
+
+def assign_dp_rank(input_ids, page_size: int, dp: int) -> int:
+    """Rank by first-page hash (reference dp dispatch is request-level;
+    hashing the first page keeps page-aligned radix matches rank-local)."""
+    head = np.asarray(input_ids[:page_size], dtype=np.int64)
+    return zlib.crc32(head.tobytes()) % dp
+
+
+def pool_dp_spec(kv_pool):
+    """PartitionSpec pytree putting the page dim of every pool leaf on the
+    ``data`` axis (bf16 pool dim 3; QuantKVPool scale dim 3 as well)."""
+    if isinstance(kv_pool, QuantKVPool):
+        return QuantKVPool(
+            data=P(None, None, None, "data", None, None),
+            scale=P(None, None, None, "data", None),
+        )
+    return P(None, None, None, "data", None, None)
+
+
+class DPAttentionBackend:
+    """Drop-in `model.attn_backend`: per-data-shard KV write + paged
+    attention over the rank-local page slab (manual ``data``, auto
+    ``model``)."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __call__(
+        self, q, k, v, kv_pool, layer_idx, fb, page_size, scale, config
+    ):
+        pspec = pool_dp_spec(kv_pool)
+        sliding = config.sliding_window or -1
+
+        def local(q, k, v, pool, out_slots, pt, seq_lens, positions):
+            pool = write_kv(pool, layer_idx, k, v, out_slots)
+            out = paged_attention_xla(
+                q, pool, layer_idx, pt, seq_lens, positions,
+                page_size, scale, sliding_window=sliding,
+            )
+            return out, pool
+
+        return jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P("data"), P("data"), P("data"), pspec,
+                P("data"), P("data"), P("data"), P("data"),
+            ),
+            out_specs=(P("data"), pspec),
+            axis_names={"data"},
+            check_vma=False,
+        )(
+            q, k, v, kv_pool,
+            fb.out_slots, fb.page_tables, fb.seq_lens, fb.positions,
+        )
+
+
+# ----------------------------------------------------------------------
+# host-side batch regrouping
+# ----------------------------------------------------------------------
+def _localize_slots(slots: np.ndarray, pages_local: int, ps: int):
+    pages = slots // ps
+    return ((pages % pages_local) * ps + slots % ps).astype(np.int32)
+
+
+def dp_reorder_mwb(
+    mwb: ModelWorkerBatch, dp: int, pages_local: int, page_size: int
+) -> Tuple[ModelWorkerBatch, np.ndarray]:
+    """Reorder batch rows rank-major with per-rank padding to a common
+    power-of-two block, and localize page/slot ids.  Returns
+    ``(mwb2, restore)`` where ``restore[i]`` is original row ``i``'s
+    position in the reordered batch (gather model outputs with it)."""
+    B = len(mwb.seq_lens)
+    assert mwb.real_bs == B, "reorder expects an unpadded batch"
+    ranks = mwb.dp_ranks
+    assert ranks is not None and len(ranks) == B
+    rows = [np.flatnonzero(ranks == r) for r in range(dp)]
+    per = next_power_of_2(max(1, max(len(x) for x in rows)))
+    idx = np.full(dp * per, -1, dtype=np.int64)
+    for r in range(dp):
+        idx[r * per : r * per + len(rows[r])] = rows[r]
+    live = idx >= 0
+    src = np.maximum(idx, 0)
+    restore = np.empty(B, dtype=np.int64)
+    restore[idx[live]] = np.flatnonzero(live)
+
+    def row(a, neutral=0):
+        out = a[src]
+        out[~live] = neutral
+        return out
+
+    pt = mwb.page_tables[src] % pages_local
+    pt[~live] = 0
+    kw = dict(
+        seq_lens=row(mwb.seq_lens),
+        page_tables=pt.astype(mwb.page_tables.dtype),
+        rids=[mwb.rids[i] if i >= 0 else "" for i in idx],
+        real_bs=dp * per,
+        dp_ranks=None,
+    )
+    si = mwb.sampling_info
+    rep = {}
+    for f in dataclasses.fields(si):
+        val = getattr(si, f.name)
+        if isinstance(val, np.ndarray) and val.ndim >= 1 and val.shape[0] == B:
+            # pad rows duplicate row src=0 (their samples are discarded)
+            rep[f.name] = val[src]
+        else:
+            rep[f.name] = val
+    kw["sampling_info"] = dataclasses.replace(si, **rep)
+
+    if mwb.extend_seq_lens is not None:
+        ext = mwb.extend_seq_lens
+        starts = np.concatenate([[0], np.cumsum(ext)])
+        order = idx[live]
+        flat_idx = np.concatenate(
+            [np.arange(starts[i], starts[i + 1]) for i in order]
+        ) if len(order) else np.zeros(0, dtype=np.int64)
+        kw["input_ids"] = mwb.input_ids[flat_idx]
+        kw["positions"] = mwb.positions[flat_idx]
+        kw["out_slots"] = _localize_slots(
+            mwb.out_slots[flat_idx], pages_local, page_size
+        )
+        kw["extend_seq_lens"] = row(ext)
+        kw["extend_prefix_lens"] = row(mwb.extend_prefix_lens)
+    else:
+        kw["input_ids"] = row(mwb.input_ids)
+        kw["positions"] = row(mwb.positions)
+        kw["out_slots"] = _localize_slots(
+            row(mwb.out_slots), pages_local, page_size
+        )
+    if mwb.decode_limits is not None:
+        kw["decode_limits"] = row(mwb.decode_limits)
+    if mwb.lora_ids is not None:
+        kw["lora_ids"] = row(mwb.lora_ids)
+    if mwb.grammar_fsm is not None:
+        g = mwb.grammar_fsm
+        kw["grammar_fsm"] = (g[0], row(g[1]), row(g[2]), g[3])
+    return dataclasses.replace(mwb, **kw), restore

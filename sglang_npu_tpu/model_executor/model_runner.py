@@ -100,6 +100,34 @@ class ModelRunner:
                 )
             # sized into param_shapes BEFORE the loader allocates weights
             self.model.num_redundant = red
+        # DP-attention: KV pages shard over the data axis; attention runs
+        # in a manual-'data' shard_map (model_executor/dp_attention.py)
+        self.dp_attn = 0
+        if server_args.enable_dp_attention:
+            dp = server_args.dp_size
+            if dp <= 1 or dp & (dp - 1):
+                raise ValueError(
+                    "--enable-dp-attention needs a power-of-two dp_size > 1"
+                )
+            if model_config.is_mla:
+                raise ValueError(
+                    "DP-attention for MLA models is not supported yet"
+                )
+            if server_args.attention_backend not in (None, "xla"):
+                raise ValueError(
+                    "DP-attention currently requires the XLA attention "
+                    "backend"
+                )
+            if server_args.speculative_draft_model_path:
+                raise ValueError(
+                    "DP-attention + speculative decoding is not supported"
+                )
+            if server_args.enable_hierarchical_cache:
+                raise ValueError(
+                    "DP-attention + hierarchical cache is not supported"
+                )
+            server_args.attention_backend = "xla"
+            self.dp_attn = dp
         self._init_attention_backend()
 
         # Sliding-window hybrid pool (ops/hybrid_kv.py): split layers into
@@ -114,6 +142,7 @@ class ModelRunner:
             and not model_config.swa_uniform
             and getattr(self.model, "supports_hybrid_swa", False)
             and not model_config.is_mla
+            and not self.dp_attn  # hybrid ring pool not dp-sharded yet
             and self.kv_dtype in (jnp.bfloat16, jnp.float32)
         ):
             from sglang_npu_tpu.ops.hybrid_kv import num_ring_pages
@@ -204,6 +233,18 @@ class ModelRunner:
         )
 
         self.num_pages = self._profile_num_pages()
+        if self.dp_attn:
+            # page-id space partitions evenly across data shards; the
+            # model.attn_backend swap routes attention through the
+            # manual-'data' shard_map over the rank-local page slab
+            self.num_pages -= self.num_pages % self.dp_attn
+            assert self.num_pages >= 2 * self.dp_attn
+            self.pages_local = self.num_pages // self.dp_attn
+            from sglang_npu_tpu.model_executor.dp_attention import (
+                DPAttentionBackend,
+            )
+
+            self.model.attn_backend = DPAttentionBackend(self.mesh)
         self.max_total_tokens = self.num_pages * self.page_size
         self.kv_pool = self._alloc_kv_pool()
         pool_bytes = sum(
@@ -414,11 +455,11 @@ class ModelRunner:
             self.kv_head_dim,  # lane-padded to 128 on the pallas path
         )
         tp = tp_degree(self.mesh)
-        spec = (
-            P(None, None, "model", None, None, None)
-            if c.num_key_value_heads % tp == 0
-            else P()
-        )
+        head_ax = "model" if c.num_key_value_heads % tp == 0 else None
+        # DP-attention: pages shard over the data axis — each data shard
+        # stores only its own requests' KV (dp_attention.py)
+        page_ax = "data" if self.dp_attn else None
+        spec = P(None, None, head_ax, page_ax, None, None)
         sharding = NamedSharding(self.mesh, spec)
         if self._swa_layers:
             # hybrid: full-attention layers' pool + windowed layers' ring
@@ -936,6 +977,15 @@ class ModelRunner:
         Decode: runs mwb.decode_steps fused steps; tokens [real_bs, K].
         logprob_info = {"chosen": ..., "top_vals": ..., "top_ids": ...}.
         """
+        restore = None
+        if self.dp_attn:
+            from sglang_npu_tpu.model_executor.dp_attention import (
+                dp_reorder_mwb,
+            )
+
+            mwb, restore = dp_reorder_mwb(
+                mwb, self.dp_attn, self.pages_local, self.page_size
+            )
         bs_bucket, pages_bucket = self._buckets(mwb)
         sampling = build_sampling_device(mwb, bs_bucket)
         self.step_counter += 1
@@ -1041,8 +1091,15 @@ class ModelRunner:
             else:
                 out, self.kv_pool = res
         n = mwb.real_bs
+        # dp_attn rows are rank-major; `restore` maps them back to the
+        # scheduler's original request order
+        take = (
+            (lambda a: a[restore])
+            if restore is not None
+            else (lambda a: a[:n])
+        )
         if not rl:
-            return np.asarray(jax.device_get(out))[:n], None
+            return take(np.asarray(jax.device_get(out))), None
         got = jax.device_get(out)
         if len(got) == 5:
             toks, chosen, tv, ti, inp_lp = got
@@ -1050,12 +1107,14 @@ class ModelRunner:
             toks, chosen, tv, ti = got
             inp_lp = None
         info = {
-            "chosen": np.asarray(chosen)[:n],
-            "top_vals": np.asarray(tv)[:n] if tk > 0 else None,
-            "top_ids": np.asarray(ti)[:n] if tk > 0 else None,
-            "input_logprobs": np.asarray(inp_lp)[:n] if inp_lp is not None else None,
+            "chosen": take(np.asarray(chosen)),
+            "top_vals": take(np.asarray(tv)) if tk > 0 else None,
+            "top_ids": take(np.asarray(ti)) if tk > 0 else None,
+            "input_logprobs": (
+                take(np.asarray(inp_lp)) if inp_lp is not None else None
+            ),
         }
-        return np.asarray(toks)[:n], info
+        return take(np.asarray(toks)), info
 
     def _step_rng(self, step: int):
         """Per-step RNG key. fold_in is jitted with a device scalar so the
@@ -1133,8 +1192,18 @@ class ModelRunner:
             pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0
         )
 
+    def _maybe_dp_reorder(self, mwb):
+        if not self.dp_attn:
+            return mwb, None
+        from sglang_npu_tpu.model_executor.dp_attention import dp_reorder_mwb
+
+        return dp_reorder_mwb(
+            mwb, self.dp_attn, self.pages_local, self.page_size
+        )
+
     def forward_embedding(self, mwb: ModelWorkerBatch) -> np.ndarray:
         """Pooled embeddings for a prefill batch; [real_bs, hidden] f32."""
+        mwb, restore = self._maybe_dp_reorder(mwb)
         bs_bucket, pages_bucket = self._buckets(mwb)
         extend_bucket = max(next_power_of_2(int(np.max(mwb.extend_seq_lens))), 16)
         fb = build_extend_forward_batch(
@@ -1149,11 +1218,13 @@ class ModelRunner:
 
             self._embed_fn = jax.jit(step, donate_argnums=(1,))
         emb, self.kv_pool = self._embed_fn(self.params, self.kv_pool, fb)
-        return np.asarray(jax.device_get(emb))[: mwb.real_bs]
+        emb = np.asarray(jax.device_get(emb))
+        return emb[restore] if restore is not None else emb[: mwb.real_bs]
 
     def forward_logits(self, mwb: ModelWorkerBatch) -> np.ndarray:
         """Run one step returning last-token logits [real_bs, vocab]
         (numerics tests, scoring, logprobs)."""
+        mwb, restore = self._maybe_dp_reorder(mwb)
         bs_bucket, pages_bucket = self._buckets(mwb)
         if mwb.forward_mode == ForwardMode.EXTEND:
             extend_bucket = max(
@@ -1169,7 +1240,10 @@ class ModelRunner:
         logits, self.kv_pool = self._step_fn(
             self.params, self.kv_pool, fb, sampling, rng, sample_mode="logits"
         )
-        return np.asarray(jax.device_get(logits))[: mwb.real_bs]
+        logits = np.asarray(jax.device_get(logits))
+        return (
+            logits[restore] if restore is not None else logits[: mwb.real_bs]
+        )
 
     # ------------------------------------------------------------------
     def flush_kv(self):

@@ -101,6 +101,12 @@ class ServerArgs:
     # ------------------------------------------------------------------
     tp_size: int = 1  # "model" mesh axis size
     dp_size: int = 1  # "data" mesh axis size
+    # DP-attention (reference srt/layers/dp_attention.py): ONE SPMD program
+    # over a (data=dp, model=tp) mesh — KV pages shard over the data axis
+    # (no per-TP-rank KV duplication) with attention in a manual-'data'
+    # shard_map; requests hash to a rank by first page.  Without this flag,
+    # dp_size > 1 runs request-level DP (one engine replica per tp submesh).
+    enable_dp_attention: bool = False
     ep_size: int = 1  # "expert" mesh axis size (MoE)
     # EPLB: expert-parallel load balancing (reference srt/eplb/)
     enable_eplb: bool = False

@@ -1,0 +1,179 @@
+"""DP-attention on the virtual CPU mesh.
+
+Reference behaviors: `srt/layers/dp_attention.py:62-366` (per-DP-rank
+attention with batch-sharded activations) and `srt/layers/communicator.py`
+(region resharding between attention and FFN) — here realized as ONE SPMD
+program: KV pages shard over the mesh ``data`` axis, attention runs in a
+manual-'data' shard_map over the rank-local page slab, and XLA inserts the
+region reshards from sharding constraints
+(`model_executor/dp_attention.py`).
+
+Greedy outputs must exactly match single-chip HF generation regardless of
+which rank each request hashes to.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+
+from sglang_npu_tpu.entrypoints.engine import Engine
+from sglang_npu_tpu.mem_cache.allocator import PagedAllocator
+from sglang_npu_tpu.model_executor.dp_attention import (
+    assign_dp_rank,
+    dp_reorder_mwb,
+)
+
+VOCAB = 128
+
+
+# ----------------------------------------------------------------------
+# units
+# ----------------------------------------------------------------------
+def test_rank_assignment_is_first_page_stable():
+    ps, dp = 4, 2
+    a = [5, 9, 11, 3, 7, 7, 7]
+    b = [5, 9, 11, 3, 1, 2]  # same first page, different tail
+    assert assign_dp_rank(a, ps, dp) == assign_dp_rank(b, ps, dp)
+    ranks = {assign_dp_rank([i, i + 1, i + 2, i + 3], ps, 4) for i in range(64)}
+    assert len(ranks) > 1  # spreads across ranks
+
+
+def test_rank_partitioned_allocator():
+    al = PagedAllocator(num_pages=16, page_size=4, num_ranks=2)
+    # each rank reserves its local page 0: ids 0 and 8
+    p0 = al.alloc_pages(7, rank=0)
+    assert p0 is not None and all(1 <= p < 8 for p in p0)
+    assert al.alloc_pages(1, rank=0) is None  # rank 0 exhausted
+    p1 = al.alloc_pages(3, rank=1)
+    assert all(9 <= p < 16 for p in p1)
+    al.free_page_ids(p0[:2] + p1[:1])  # frees route back by id
+    assert al.available_pages_rank(0) == 2
+    assert al.available_pages_rank(1) == 5
+    # admission-safe global view = tightest rank x ranks
+    assert al.available_pages() == 4
+
+
+# ----------------------------------------------------------------------
+# e2e: dp x tp engine, exact HF greedy parity
+# ----------------------------------------------------------------------
+def _llama_cfg():
+    return transformers.LlamaConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        torch_dtype="float32", eos_token_id=2,
+    )
+
+
+def _hf_ref(hf, prompts, n):
+    refs = []
+    for p in prompts:
+        with torch.no_grad():
+            refs.append(
+                hf.generate(
+                    torch.tensor([p]), max_new_tokens=n, do_sample=False
+                )[0][len(p):].tolist()
+            )
+    return refs
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 1), (2, 2), (4, 2)])
+def test_dp_attention_matches_hf(tmp_path_factory, dp, tp):
+    if jax.device_count() < dp * tp:
+        pytest.skip("not enough devices")
+    torch.manual_seed(0)
+    hf = transformers.LlamaForCausalLM(_llama_cfg())
+    hf.eval()
+    d = tmp_path_factory.mktemp(f"dpattn_{dp}x{tp}")
+    hf.save_pretrained(d, safe_serialization=True)
+    e = Engine(
+        model_path=str(d), dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=4096, attention_backend="xla",
+        random_seed=0, dp_size=dp, tp_size=tp, enable_dp_attention=True,
+    )
+    try:
+        runner = e.model_runner
+        assert runner.dp_attn == dp
+        # pool pages sharded over the data axis
+        assert runner.kv_pool.sharding.spec[3] == "data"
+        assert e.scheduler.allocator.num_ranks == dp
+
+        rng = np.random.default_rng(0)
+        # enough prompts that (with high probability) both ranks get work,
+        # mixed lengths to exercise per-rank padding
+        prompts = [
+            rng.integers(3, VOCAB, size=k).tolist()
+            for k in (6, 14, 25, 5, 9, 17)
+        ]
+        outs = e.generate(
+            input_ids=prompts,
+            sampling_params={"max_new_tokens": 8, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        refs = _hf_ref(hf, prompts, 8)
+        for o, ref, p in zip(outs, refs, prompts):
+            assert o["output_ids"] == ref, (p, o["output_ids"], ref)
+        # requests really spread across ranks
+        ranks = {assign_dp_rank(p, 4, dp) for p in prompts}
+        assert len(ranks) > 1
+    finally:
+        e.shutdown()
+
+
+def test_dp_attention_prefix_reuse_and_logprobs(tmp_path_factory):
+    if jax.device_count() < 4:
+        pytest.skip("not enough devices")
+    torch.manual_seed(1)
+    hf = transformers.LlamaForCausalLM(_llama_cfg())
+    hf.eval()
+    d = tmp_path_factory.mktemp("dpattn_prefix")
+    hf.save_pretrained(d, safe_serialization=True)
+    e = Engine(
+        model_path=str(d), dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=4096, attention_backend="xla",
+        random_seed=0, dp_size=2, tp_size=2, enable_dp_attention=True,
+    )
+    try:
+        base = [7, 13, 4, 2, 9, 21, 33, 8]
+        sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+        first = e.generate(input_ids=[base], sampling_params=sp)
+        # shares the first two pages -> same rank -> radix prefix hit
+        extended = base + [11, 5]
+        second = e.generate(input_ids=[extended], sampling_params=sp)
+        refs = _hf_ref(hf, [base, extended], 6)
+        assert first[0]["output_ids"] == refs[0]
+        assert second[0]["output_ids"] == refs[1]
+
+        # logprob plumbing survives the rank reorder
+        outs = e.generate(
+            input_ids=[base, extended],
+            sampling_params=sp,
+            return_logprob=True,
+            top_logprobs_num=3,
+        )
+        for o, ref in zip(outs, refs):
+            assert o["output_ids"] == ref
+            lp = o["meta_info"]["output_token_logprobs"]
+            assert len(lp) == 6
+    finally:
+        e.shutdown()
+
+
+def test_dp_attention_flag_validation(tmp_path_factory):
+    if jax.device_count() < 2:
+        pytest.skip("not enough devices")
+    torch.manual_seed(0)
+    d = tmp_path_factory.mktemp("dpattn_bad")
+    transformers.LlamaForCausalLM(_llama_cfg()).save_pretrained(
+        d, safe_serialization=True
+    )
+    with pytest.raises(Exception, match="power-of-two"):
+        Engine(
+            model_path=str(d), dtype="float32", skip_tokenizer_init=True,
+            page_size=4, max_total_tokens=1024, attention_backend="xla",
+            random_seed=0, dp_size=1, enable_dp_attention=True,
+        )
