@@ -63,7 +63,9 @@ class ModelRunner:
         self._model_path = model_path_override or server_args.model_path
         self.page_size = server_args.page_size
         self.mesh = mesh if mesh is not None else build_mesh(
-            tp_size=server_args.tp_size, dp_size=server_args.dp_size
+            tp_size=server_args.tp_size,
+            dp_size=server_args.dp_size,
+            pp_size=server_args.pp_size,
         )
         self.kv_dtype = self._resolve_kv_dtype()
 
@@ -100,6 +102,35 @@ class ModelRunner:
                 )
             # sized into param_shapes BEFORE the loader allocates weights
             self.model.num_redundant = red
+        # Pipeline parallelism: the stacked layer dim shards over the mesh
+        # 'pipe' axis; the model forward runs a GPipe microbatch schedule
+        # (models/llama.py _pp_backbone_forward)
+        self.pp = server_args.pp_size
+        if self.pp > 1:
+            from sglang_npu_tpu.models.llama import LlamaForCausalLM
+
+            if self.pp & (self.pp - 1):
+                raise ValueError("pp_size must be a power of two")
+            if (
+                type(self.model).backbone_forward
+                is not LlamaForCausalLM.backbone_forward
+            ):
+                raise ValueError(
+                    f"{type(self.model).__name__} does not support "
+                    "pipeline parallelism yet (custom backbone)"
+                )
+            if model_config.num_hidden_layers % self.pp:
+                raise ValueError(
+                    f"{model_config.num_hidden_layers} layers not divisible "
+                    f"by pp={self.pp}"
+                )
+            if server_args.attention_backend not in (None, "xla"):
+                raise ValueError("PP currently requires the XLA backend")
+            if server_args.speculative_draft_model_path or server_args.lora_paths:
+                raise ValueError("PP + speculative/LoRA is not supported")
+            server_args.attention_backend = "xla"
+            self.model.pp_size = self.pp
+            self.model.pp_mesh = self.mesh
         # DP-attention: KV pages shard over the data axis; attention runs
         # in a manual-'data' shard_map (model_executor/dp_attention.py)
         self.dp_attn = 0
@@ -457,9 +488,12 @@ class ModelRunner:
         tp = tp_degree(self.mesh)
         head_ax = "model" if c.num_key_value_heads % tp == 0 else None
         # DP-attention: pages shard over the data axis — each data shard
-        # stores only its own requests' KV (dp_attention.py)
+        # stores only its own requests' KV (dp_attention.py).  PP: the
+        # layer dim shards over the pipe axis — each stage stores only its
+        # layer slab's KV (llama._pp_backbone_forward).
         page_ax = "data" if self.dp_attn else None
-        spec = P(None, None, head_ax, page_ax, None, None)
+        layer_ax = "pipe" if self.pp > 1 else None
+        spec = P(layer_ax, None, head_ax, page_ax, None, None)
         sharding = NamedSharding(self.mesh, spec)
         if self._swa_layers:
             # hybrid: full-attention layers' pool + windowed layers' ring
@@ -826,6 +860,10 @@ class ModelRunner:
     def _buckets(self, mwb: ModelWorkerBatch):
         B = len(mwb.seq_lens)
         bs_bucket = next_power_of_2(B)
+        if self.pp > 1:
+            # GPipe microbatching needs the bucket divisible by the stage
+            # count (pp is a power of two, so any bucket >= pp works)
+            bs_bucket = max(bs_bucket, self.pp)
         max_pages = mwb.page_tables.shape[1]
         pages_bucket = max(next_power_of_2(max_pages), 8)
         return bs_bucket, pages_bucket

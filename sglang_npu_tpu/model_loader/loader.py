@@ -256,9 +256,25 @@ def init_dummy_weights(model, seed: int = 0) -> Dict[str, Any]:
     return init(model.param_shapes())
 
 
+
+def resolved_shardings(model):
+    """Model PartitionSpecs, with the pipeline-stage axis prepended to the
+    stacked layer dim when the model runs pipeline-parallel (the layer dim
+    IS the stage dim: weights [L, ...] shard over 'pipe' in L/S slabs)."""
+    out = model.param_shardings()
+    if getattr(model, "pp_size", 1) > 1:
+        from jax.sharding import PartitionSpec as _P
+
+        out = dict(out)
+        out["layers"] = {
+            k: _P("pipe", *tuple(sp)[1:]) for k, sp in out["layers"].items()
+        }
+    return out
+
+
 def device_put_params(host_params, model, mesh) -> Dict[str, Any]:
     """Transfer host params to devices with the model's TP shardings."""
-    specs = model.param_shardings()
+    specs = resolved_shardings(model)
 
     def put_w4(v, spec):
         """W4 stack: q/s/b inherit the dense weight's spec (their K-ish
@@ -330,7 +346,7 @@ def init_dummy_weights_device(
     )
 
     key = jax.random.key(seed)
-    specs = model.param_shardings()
+    specs = resolved_shardings(model)
     counter = [0]
 
     def make(shape, dtype, sharding, kind="normal"):

@@ -37,6 +37,12 @@ class LlamaForCausalLM:
     """Functional Llama. Weights live in a pytree; this object holds config
     and the attention backend callable."""
 
+    # pipeline parallelism (set by ModelRunner): stages shard the stacked
+    # layer dim over the mesh 'pipe' axis; forward runs the GPipe
+    # microbatch schedule in _pp_backbone_forward
+    pp_size = 1
+    pp_mesh = None
+
     def __init__(self, config: ModelConfig, attn_backend=None):
         self.config = config
         self.attn_backend = attn_backend  # set by ModelRunner
@@ -246,6 +252,9 @@ class LlamaForCausalLM:
         ``collect_moe`` (MoE models) additionally the per-layer routed
         token counts [L, E] as scan ys (EPLB recorder feed).  ``moe_mask``
         [B] excludes padded batch rows from the counts."""
+        if self.pp_size > 1:
+            assert not collect_moe, "EPLB stats not supported under PP"
+            return self._pp_backbone_forward(params, kv_pool, fb, page_size)
         c = self.config
         B, E = fb.input_ids.shape
         x = params["embed"][fb.input_ids].astype(
@@ -325,6 +334,131 @@ class LlamaForCausalLM:
         x = rms_norm(x, params["final_norm"], eps)
         if collect_moe:
             return x, new_kv, ys  # ys: [L, E] routed-token counts
+        return x, new_kv
+
+    def _pp_backbone_forward(self, params, kv_pool, fb: ForwardBatch, page_size: int):
+        """Pipeline-parallel trunk (reference PP worker loop,
+        `srt/managers/scheduler.py` pp_rank plumbing + 1F1B micro-batching
+        in `tp_worker`): TPU-natively, the stacked layer dim IS the stage
+        dim — weights [L, ...] and the KV pool [L, ...] shard over the mesh
+        'pipe' axis in L/S slabs, and ONE program runs the GPipe schedule:
+        the batch splits into M = S microbatches; each tick every stage
+        runs its layer slab on its current microbatch and `ppermute`s the
+        hidden to the next stage.  The 'model' axis stays GSPMD-auto inside
+        (same partial-manual trick as dp_attention.py), so PP composes with
+        TP.  Microbatch t finishes after S ticks; total T = M + S - 1."""
+        c = self.config
+        S = self.pp_size
+        mesh = self.pp_mesh
+        B, E = fb.input_ids.shape
+        M = S  # microbatches
+        assert B % M == 0, f"batch bucket {B} not divisible by pp={M}"
+        mb = B // M
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        eps = c.rms_norm_eps
+
+        x_all = params["embed"][fb.input_ids].astype(dt)  # [B, E, D]
+        cos, sin = self._rope_cos_sin(fb)
+
+        def split(a):  # [B, ...] -> [M, mb, ...]
+            return a.reshape((M, mb) + a.shape[1:])
+
+        xs, cs, ss = split(x_all), split(cos), split(sin)
+        pts, sls = split(fb.page_tables), split(fb.seq_lens)
+        poss, oss = split(fb.positions), split(fb.out_slots)
+
+        def local(layers, pool, xs, cs, ss, pts, sls, poss, oss):
+            s = jax.lax.axis_index("pipe")
+            T = M + S - 1
+
+            def run_slab(h, midx, pool, active):
+                fb_mb = ForwardBatch(
+                    input_ids=None,
+                    positions=poss[midx],
+                    # inactive ticks write to slot 0 (the garbage page)
+                    out_slots=jnp.where(active, oss[midx], 0),
+                    page_tables=pts[midx],
+                    seq_lens=sls[midx],
+                    extend_seq_lens=None,
+                    extend_prefix_lens=None,
+                )
+                rope_cs = (cs[midx], ss[midx])
+
+                def layer_fn(carry, lp):
+                    x, pool, l = carry
+                    h = rms_norm(x, lp["input_norm"], eps)
+                    q = qmm(h, lp["wq"], "bed,dh->beh")
+                    k = qmm(h, lp["wk"], "bed,dh->beh")
+                    v = qmm(h, lp["wv"], "bed,dh->beh")
+                    if "bq" in lp:
+                        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+                    q = q.reshape(mb, E, c.num_attention_heads, c.head_dim)
+                    k = k.reshape(mb, E, c.num_key_value_heads, c.head_dim)
+                    v = v.reshape(mb, E, c.num_key_value_heads, c.head_dim)
+                    if "q_norm" in lp:
+                        q = rms_norm(q, lp["q_norm"], eps)
+                        k = rms_norm(k, lp["k_norm"], eps)
+                    q, k = apply_rope_cs(q, k, *rope_cs)
+                    att, pool = self._attention(
+                        q, k, v, pool, l, fb_mb, page_size
+                    )
+                    x = x + qmm(
+                        att.reshape(mb, E, self.q_size), lp["wo"],
+                        "beh,hd->bed",
+                    )
+                    h2 = rms_norm(x, lp["post_norm"], eps)
+                    x = x + self._mlp(h2, lp)
+                    return (x, pool, l + 1), None
+
+                (h, pool, _), _ = jax.lax.scan(
+                    layer_fn, (h, pool, jnp.int32(0)), layers
+                )
+                return h, pool
+
+            def tick(carry, t):
+                pool, h_prev, out = carry
+                mb_idx = t - s  # microbatch this stage handles this tick
+                active = (mb_idx >= 0) & (mb_idx < M)
+                midx = jnp.clip(mb_idx, 0, M - 1)
+                h_in = jnp.where(s == 0, xs[midx], h_prev)
+                h_out, pool = run_slab(h_in, midx, pool, active)
+                done = active & (s == S - 1)
+                out = out.at[midx].set(
+                    jnp.where(done, h_out, out[midx])
+                )
+                h_next = jax.lax.ppermute(
+                    h_out, "pipe", [(i, i + 1) for i in range(S - 1)]
+                )
+                return (pool, h_next, out), None
+
+            out0 = jnp.zeros((M, mb, E, x_all.shape[-1]), x_all.dtype)
+            (pool, _, out), _ = jax.lax.scan(
+                tick,
+                (pool, jnp.zeros_like(xs[0]), out0),
+                jnp.arange(M + S - 1),
+            )
+            # only the last stage holds real outputs; replicate via psum
+            out = jnp.where(s == S - 1, out, 0)
+            out = jax.lax.psum(out, "pipe")
+            return out.reshape(B, E, -1), pool
+
+        pipe0 = P("pipe")
+        pool_specs = jax.tree_util.tree_map(lambda _: pipe0, kv_pool)
+        layer_specs = jax.tree_util.tree_map(
+            lambda _: pipe0, params["layers"]
+        )
+        x, new_kv = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                layer_specs, pool_specs,
+                P(), P(), P(), P(), P(), P(), P(),
+            ),
+            out_specs=(P(), pool_specs),
+            axis_names={"pipe"},
+            check_vma=False,
+        )(params["layers"], kv_pool, xs, cs, ss, pts, sls, poss, oss)
+        x = rms_norm(x, params["final_norm"], eps)
         return x, new_kv
 
     def verify_forward(

@@ -24,6 +24,7 @@ logger = logging.getLogger(__name__)
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 EXPERT_AXIS = "expert"
+PIPE_AXIS = "pipe"
 
 
 @dataclasses.dataclass
@@ -40,17 +41,24 @@ class ParallelConfig:
 def build_mesh(
     tp_size: int = 1,
     dp_size: int = 1,
+    pp_size: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, model) mesh. ``expert`` reuses the model axis for now
-    (EP groups derived from TP ranks, like reference `engine.py:723`)."""
+    """Build a (data, model) mesh — or (pipe, data, model) when pipeline
+    stages are requested.  ``expert`` reuses the model axis for now (EP
+    groups derived from TP ranks, like reference `engine.py:723`)."""
     devices = list(devices if devices is not None else jax.devices())
-    need = tp_size * dp_size
+    need = tp_size * dp_size * pp_size
     if need > len(devices):
         raise ValueError(
-            f"mesh needs {need} devices (tp={tp_size} x dp={dp_size}), "
-            f"only {len(devices)} available"
+            f"mesh needs {need} devices (tp={tp_size} x dp={dp_size} x "
+            f"pp={pp_size}), only {len(devices)} available"
         )
+    if pp_size > 1:
+        dev_array = np.asarray(devices[:need]).reshape(
+            pp_size, dp_size, tp_size
+        )
+        return Mesh(dev_array, (PIPE_AXIS, DATA_AXIS, MODEL_AXIS))
     dev_array = np.asarray(devices[:need]).reshape(dp_size, tp_size)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 

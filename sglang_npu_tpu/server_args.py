@@ -197,8 +197,8 @@ class ServerArgs:
             raise ValueError(f"Bad disaggregation_mode {self.disaggregation_mode}")
         if self.schedule_policy not in ("fcfs", "lpm", "random", "lof", "dfs-weight"):
             raise ValueError(f"Unknown schedule policy {self.schedule_policy}")
-        if self.pp_size != 1:
-            raise NotImplementedError("pipeline parallelism not yet supported")
+        if self.pp_size < 1:
+            raise ValueError("pp_size must be >= 1")
 
     # ------------------------------------------------------------------
     @property
