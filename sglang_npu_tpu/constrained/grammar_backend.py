@@ -55,9 +55,7 @@ class FsmGrammar:
             self.finished = True
             return True
         try:
-            text = None
-            # re-derive bytes from the trie would be costly; decode lazily
-            bs = self._token_bytes(token_id)
+            bs = self.vocab.token_bytes(token_id)
         except Exception:
             bs = b""
         s = self.state
@@ -69,26 +67,12 @@ class FsmGrammar:
         self.state = s
         return True
 
-    _token_bytes_cache: Dict[Tuple[int, int], bytes] = {}
-
-    def _token_bytes(self, token_id: int) -> bytes:
-        key = (id(self.vocab), token_id)
-        cache = FsmGrammar._token_bytes_cache
-        if key not in cache:
-            # walk trie to find the token's byte path (built once per vocab)
-            if not hasattr(self.vocab, "_id_to_bytes"):
-                m = {}
-
-                def rec(node, path):
-                    for tid in node.token_ids:
-                        m[tid] = bytes(path)
-                    for b, ch in node.children.items():
-                        rec(ch, path + [b])
-
-                rec(self.vocab.root, [])
-                self.vocab._id_to_bytes = m
-            cache[key] = self.vocab._id_to_bytes.get(token_id, b"")
-        return cache[key]
+    def forced_continuation(self, max_len: int = 512) -> bytes:
+        """The unique forced byte continuation from the current state —
+        the jump-forward string (reference `outlines_jump_forward.py`)."""
+        if self.finished or self.error:
+            return b""
+        return self.dfa.forced_path(self.state, max_len)
 
     def reset(self):
         """Back to the start state (request retraction replays the FSM)."""
@@ -140,7 +124,28 @@ class GrammarBackend:
             self._vocab = TokenVocab.get(self.tokenizer, self.vocab_size)
         return self._vocab
 
-    def _compile(self, kind: str, spec: str) -> FsmGrammar:
+    def _compile(self, kind: str, spec: str):
+        if kind == "structural_tag":
+            # composite grammar: free text until a trigger, then a
+            # per-trigger DFA (constrained/structural_tag.py); the inner
+            # DFAs cache inside the object via the (kind, spec) cache below
+            from sglang_npu_tpu.constrained.structural_tag import (
+                StructuralTagGrammar,
+            )
+
+            key = (kind, spec)
+            with self._lock:
+                cached = self._dfa_cache.get(key)
+            if cached is None:
+                cached = (StructuralTagGrammar(spec, self._get_vocab()), None)
+                with self._lock:
+                    self._dfa_cache[key] = cached
+            import copy
+
+            g = copy.copy(cached[0])  # fresh per-request mutable state
+            g.reset()
+            g._stack = []
+            return g
         key = (kind, spec)
         with self._lock:
             cached = self._dfa_cache.get(key)
@@ -149,6 +154,10 @@ class GrammarBackend:
                 pattern = build_json_regex(spec)
             elif kind == "regex":
                 pattern = spec
+            elif kind == "ebnf":
+                from sglang_npu_tpu.constrained.ebnf import ebnf_to_regex
+
+                pattern = ebnf_to_regex(spec)
             else:
                 raise ValueError(f"unsupported grammar kind {kind}")
             dfa = LazyDFA(pattern)

@@ -354,3 +354,34 @@ class LazyDFA:
             if s == self.DEAD:
                 return False
         return self.is_accepting(s)
+
+    def allowed_bytes(self, state: int) -> List[int]:
+        """Bytes with a live transition out of ``state``."""
+        if state == self.DEAD:
+            return []
+        sset = self._sets[state]
+        out = set()
+        for s in sset:
+            for label in self.nfa.transitions[s]:
+                if label != EPS:
+                    out.add(label)
+        return sorted(out)
+
+    def forced_path(self, state: int, max_len: int = 512) -> bytes:
+        """The unique forced byte continuation from ``state`` — the
+        jump-forward string (reference `outlines_jump_forward.py`,
+        xgrammar's jump-ahead): follow states that allow EXACTLY ONE next
+        byte and are not accepting (an accepting state makes stopping an
+        alternative) until a branch, an accept, or ``max_len``."""
+        out = bytearray()
+        s = state
+        while len(out) < max_len:
+            if s == self.DEAD or self.is_accepting(s):
+                break
+            allowed = self.allowed_bytes(s)
+            if len(allowed) != 1:
+                break
+            b = allowed[0]
+            out.append(b)
+            s = self.step(s, b)
+        return bytes(out)

@@ -59,6 +59,22 @@ class TokenVocab:
         return _VOCAB_CACHE[key]
 
     # ------------------------------------------------------------------
+    def token_bytes(self, token_id: int) -> bytes:
+        """UTF-8 bytes of one token (trie walk inverted lazily, once)."""
+        if not hasattr(self, "_id_to_bytes"):
+            m: Dict[int, bytes] = {}
+
+            def rec(node: TrieNode, path: list):
+                for tid in node.token_ids:
+                    m[tid] = bytes(path)
+                for b, ch in node.children.items():
+                    rec(ch, path + [b])
+
+            rec(self.root, [])
+            self._id_to_bytes = m
+        return self._id_to_bytes.get(token_id, b"")
+
+    # ------------------------------------------------------------------
     def compute_mask(self, dfa, state: int) -> np.ndarray:
         """Allowed-token bitmask (packed uint32 [ceil(V/32)]) for a DFA
         state: a token is allowed iff all its bytes keep the DFA alive.

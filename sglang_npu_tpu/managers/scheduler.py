@@ -193,6 +193,12 @@ class Scheduler:
         # `scheduler.py:2017 move_ready_grammar_requests`).
         self.grammar_backend = None
         self.grammar_queue: List[tuple] = []  # (req, future)
+        # Jump-forward (reference outlines_jump_forward / xgrammar jump
+        # ahead): grammar requests whose forced continuation was appended
+        # and now need ONE extend round to write its KV + sample the next
+        # free token.
+        self.jump_queue: List[Req] = []
+        self.num_jump_forward_tokens = 0
 
         # Multi-turn sessions (reference session_controller.py)
         from sglang_npu_tpu.managers.session_controller import SessionController
@@ -295,6 +301,7 @@ class Scheduler:
             or not self.running_batch.is_empty()
             or self.chunked_req is not None
             or bool(self.grammar_queue)
+            or bool(self.jump_queue)
         )
 
     # ------------------------------------------------------------------
@@ -539,6 +546,7 @@ class Scheduler:
         )
         self.chunked_req = None
         self.last_prefill_batch = None
+        self.jump_queue = []
         # drop all KV state: requests' slots are unrecoverable mid-error
         self.tree_cache.reset()
         self.allocator.clear()
@@ -594,6 +602,22 @@ class Scheduler:
         """Returns (ModelWorkerBatch, is_prefill) or None."""
         if self.paused:
             return None
+        if self.jump_queue:
+            # jump-forward extend: forced tokens already appended; write
+            # their KV in one extend and sample the following free token
+            reqs = [r for r in self.jump_queue if not r.finished]
+            self.jump_queue = []
+            if reqs:
+                for r in reqs:
+                    r.prefix_len = len(r.kv_slots)
+                    r.extend_input_len = len(r.fill_ids) - r.prefix_len
+                batch = ScheduleBatch.init_new(
+                    reqs, self.allocator, self.tree_cache, self.swa
+                )
+                self.last_prefill_batch = batch
+                mwb = batch.prepare_for_extend()
+                self._attach_grammar_masks(mwb, batch.reqs)
+                return mwb, True
         prefill = self.get_new_batch_prefill()
         if prefill is not None:
             self.last_prefill_batch = prefill
@@ -940,6 +964,8 @@ class Scheduler:
                     self._attach_logprob(req, logprob_info, i, None)
                 if req.finished:
                     self._cache_finished(req)
+                elif not req.return_logprob and self._try_jump_forward(req):
+                    pass  # queued for a jump extend; not in running batch
                 else:
                     new_running.append(req)
             if new_running:
@@ -953,6 +979,7 @@ class Scheduler:
             # decode window: next_tokens is [B, K]; consume per req until
             # finish, then return unused preallocated KV slots.
             K = mwb.decode_steps
+            jumped = []
             for i, req in enumerate(self.running_batch.reqs):
                 for k in range(K):
                     if req.finished:
@@ -964,7 +991,14 @@ class Scheduler:
                 self.allocator.shrink_req(req, len(req.fill_ids) - 1)
                 if req.finished:
                     self._cache_finished(req)
+                elif not req.return_logprob and self._try_jump_forward(req):
+                    jumped.append(req)
             self._emit_outputs(self.running_batch.reqs)
+            if jumped:
+                js = set(id(r) for r in jumped)
+                self.running_batch.reqs = [
+                    r for r in self.running_batch.reqs if id(r) not in js
+                ]
             self.running_batch.filter_batch()
         self._maybe_log()
 
@@ -1085,6 +1119,54 @@ class Scheduler:
             req.output_top_logprobs.append(
                 [[float(v), int(t), None] for v, t in zip(tv[:n], ti[:n])]
             )
+
+    def _try_jump_forward(self, req: Req) -> bool:
+        """Jump-forward decoding (reference `outlines_jump_forward.py`,
+        xgrammar jump-ahead): when the grammar forces a unique byte
+        continuation, retokenize it, validate every token through the
+        grammar (rolls back on any retokenization mismatch), append the
+        tokens, and queue the request for a KV-writing extend round —
+        replacing len(tokens) sequential decode steps with one extend."""
+        if self.server_args.disable_jump_forward or self.tokenizer is None:
+            return False
+        g = req.grammar
+        if g is None or g.finished or g.error:
+            return False
+        forced = getattr(g, "forced_continuation", lambda: b"")()
+        if len(forced) < 2:
+            return False
+        try:
+            text = forced.decode("utf-8")
+        except UnicodeDecodeError:
+            return False  # forced path split a multi-byte char; skip
+        remaining = req.sampling_params.max_new_tokens - len(req.output_ids)
+        try:
+            toks = self.tokenizer.encode(text, add_special_tokens=False)
+        except TypeError:
+            toks = self.tokenizer.encode(text)
+        toks = toks[: max(remaining - 1, 0)]
+        if len(toks) < 2:
+            return False
+        accepted = 0
+        ok = True
+        for t in toks:
+            if not g.accept_token(t):
+                accepted += 1  # failed accept still pushed a state
+                ok = False
+                break
+            accepted += 1
+            if g.finished:
+                ok = False  # keep the finish transition on the normal path
+                break
+        if not ok:
+            g.rollback(accepted)
+            return False
+        for t in toks:
+            req.output_ids.append(t)
+            req.fill_ids.append(t)
+        self.num_jump_forward_tokens += len(toks)
+        self.jump_queue.append(req)
+        return True
 
     def _append_token(self, req: Req, token: int):
         if req.sampling_params.max_new_tokens == 0:

@@ -122,6 +122,8 @@ class ServerArgs:
     # ------------------------------------------------------------------
     # Sampling / decoding extensions
     # ------------------------------------------------------------------
+    # grammar jump-forward (reference --disable-jump-forward)
+    disable_jump_forward: bool = False
     max_new_tokens_default: int = 128
     grammar_backend: str = "none"  # none | fsm (built-in) | xgrammar
     reasoning_parser: Optional[str] = None
