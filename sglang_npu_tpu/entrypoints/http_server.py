@@ -477,12 +477,37 @@ class HttpServer:
         return await self.chat_serving.handle(request)
 
 
+def _warmup(engine, server_args: ServerArgs):
+    """Pre-bind warmup generate (reference `srt/warmup.py:56` +
+    launch_server's wait_until_ready request): compiles the common
+    extend/decode buckets so the first real request doesn't pay the
+    first-trace latency.  Failures are non-fatal."""
+    import time as _t
+
+    t0 = _t.time()
+    try:
+        if server_args.is_embedding or (
+            server_args.disaggregation_mode == "prefill"
+        ):
+            return
+        sp = {"max_new_tokens": 4, "temperature": 0.0, "ignore_eos": True}
+        if engine.tokenizer is None:
+            engine.generate(input_ids=[[5, 9, 11, 7]], sampling_params=sp)
+        else:
+            engine.generate("The capital city of France is", sp)
+        logger.info("warmup complete in %.1fs", _t.time() - t0)
+    except Exception:
+        logger.exception("warmup failed (continuing)")
+
+
 def launch_server(server_args: ServerArgs):
     """Blocking server launch (reference `launch_server`)."""
     from sglang_npu_tpu.entrypoints.engine import Engine
 
     logging.basicConfig(level=getattr(logging, server_args.log_level.upper(), 20))
     engine = Engine(server_args)
+    if not server_args.skip_server_warmup:
+        _warmup(engine, server_args)
     server = HttpServer(engine)
     app = server.build_app()
     logger.info("serving on %s", server_args.url())

@@ -27,17 +27,40 @@ from sglang_npu_tpu.managers.io_struct import GenerateReqInput
 logger = logging.getLogger(__name__)
 
 
-def apply_chat_template(tokenizer, messages, add_generation_prompt=True):
-    """Render messages -> prompt (text or token ids)."""
+def apply_chat_template(
+    tokenizer, messages, add_generation_prompt=True,
+    template_name=None, model_path="",
+):
+    """Render messages -> (prompt, extra_stop_strs).
+
+    Resolution order (reference TemplateManager): an explicit
+    ``--chat-template`` (named or JSON file) wins; else the HF tokenizer's
+    jinja template; else a model-path match against the named registry
+    (`conversation.py`); else a plain role-prefixed fallback."""
+    from sglang_npu_tpu.conversation import (
+        load_template,
+        match_model_template,
+    )
+
+    if template_name:
+        conv = load_template(template_name)
+        return (
+            conv.render(messages, add_generation_prompt), list(conv.stop_strs)
+        )
     if tokenizer is not None and hasattr(tokenizer, "apply_chat_template"):
         try:
             return tokenizer.apply_chat_template(
                 messages,
                 tokenize=False,
                 add_generation_prompt=add_generation_prompt,
-            )
+            ), []
         except Exception:
             pass
+    conv = match_model_template(model_path) if model_path else None
+    if conv is not None:
+        return (
+            conv.render(messages, add_generation_prompt), list(conv.stop_strs)
+        )
     # Fallback plain template (byte tokenizer / template-less models).
     parts = []
     for m in messages:
@@ -49,7 +72,7 @@ def apply_chat_template(tokenizer, messages, add_generation_prompt=True):
         parts.append(f"{m['role']}: {content}")
     if add_generation_prompt:
         parts.append("assistant:")
-    return "\n".join(parts)
+    return "\n".join(parts), []
 
 
 class ChatServing:
@@ -86,10 +109,21 @@ class ChatServing:
                             url = url.get("url")
                         if url:
                             images.append(url)
-        prompt = apply_chat_template(self.tm.tokenizer, req.messages)
+        sa = self.engine.server_args
+        prompt, extra_stops = apply_chat_template(
+            self.tm.tokenizer, req.messages,
+            template_name=sa.chat_template, model_path=sa.model_path,
+        )
+        sp = req.to_sampling_params()
+        if extra_stops:
+            stop = sp.get("stop")
+            stop = (
+                [stop] if isinstance(stop, str) else list(stop or [])
+            )
+            sp["stop"] = stop + [s for s in extra_stops if s not in stop]
         obj = GenerateReqInput(
             text=prompt,
-            sampling_params=req.to_sampling_params(),
+            sampling_params=sp,
             stream=req.stream,
             rid=rid,
             image_data=images or None,

@@ -41,6 +41,20 @@ class CompletionServing:
 
         rid = gen_request_id("cmpl")
         prompt = req.prompt
+        if req.suffix and isinstance(prompt, str):
+            # fill-in-the-middle: render the model family's FIM format
+            # (reference code_completion_parser.generate_completion_prompt)
+            from sglang_npu_tpu.code_completion import build_fim_prompt
+
+            sa = self.engine.server_args
+            try:
+                prompt = build_fim_prompt(
+                    prompt, req.suffix, sa.model_path, sa.completion_template
+                )
+            except ValueError as e:
+                return web.json_response(
+                    {"error": {"message": str(e)}}, status=400
+                )
         kwargs = {}
         if isinstance(prompt, str):
             kwargs["text"] = prompt

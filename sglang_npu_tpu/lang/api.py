@@ -126,13 +126,13 @@ class ProgramState:
         # if mid-assistant turn, render with generation prompt + partial
         msgs = self.messages
         if msgs and msgs[-1]["role"] == "assistant":
-            prefix = apply_chat_template(
+            prefix, _ = apply_chat_template(
                 self.backend.tokenizer, msgs[:-1], add_generation_prompt=True
             )
             return prefix + msgs[-1]["content"]
         return apply_chat_template(
             self.backend.tokenizer, msgs, add_generation_prompt=True
-        )
+        )[0]
 
     def _run_gen(self, g: SglGen):
         prompt = self._render_prompt()

@@ -125,6 +125,15 @@ class ServerArgs:
     # grammar jump-forward (reference --disable-jump-forward)
     disable_jump_forward: bool = False
     max_new_tokens_default: int = 128
+    # named chat template / template JSON file (reference --chat-template,
+    # conversation.py registry); None = HF jinja, then model-path match
+    chat_template: Optional[str] = None
+    # FIM template for /v1/completions with suffix (reference
+    # --completion-template, code_completion_parser.py)
+    completion_template: Optional[str] = None
+    # send a warmup generate before the HTTP server binds (reference
+    # srt/warmup.py; --skip-server-warmup)
+    skip_server_warmup: bool = False
     grammar_backend: str = "none"  # none | fsm (built-in) | xgrammar
     reasoning_parser: Optional[str] = None
     tool_call_parser: Optional[str] = None
