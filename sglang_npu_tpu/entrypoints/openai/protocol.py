@@ -237,4 +237,6 @@ def map_finish_reason(reason: Optional[Dict[str, Any]]) -> Optional[str]:
         return "length"
     if t == "abort":
         return "abort"
+    if t == "tool_calls":
+        return "tool_calls"
     return "stop"

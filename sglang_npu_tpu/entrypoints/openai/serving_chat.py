@@ -191,33 +191,65 @@ class ChatServing:
         sent_len = 0
         first = True
         usage = UsageInfo()
-        try:
-            async for chunk in self.tm.generate_request(obj):
-                meta = chunk["meta_info"]
-                delta_text = chunk["text"][sent_len:]
-                sent_len = len(chunk["text"])
-                delta = {}
+        # streaming tool-call detection (reference streaming detectors +
+        # partial-json): content before a marker streams as text; the call
+        # name arrives as its own delta, arguments as raw JSON fragments
+        tool_parser = None
+        if req.tools and req.tool_choice != "none":
+            from sglang_npu_tpu.function_call.streaming import (
+                StreamingToolCallParser,
+            )
+
+            tool_parser = StreamingToolCallParser()
+
+        async def _write(deltas, meta, final=False):
+            nonlocal first
+            for d in deltas:
+                delta = dict(d)
                 if first:
                     delta["role"] = "assistant"
                     first = False
-                if delta_text:
-                    delta["content"] = delta_text
+                fin = meta["finish_reason"] if final else None
                 data = {
                     "id": rid,
                     "object": "chat.completion.chunk",
                     "created": int(time.time()),
                     "model": req.model,
-                    "choices": [
-                        {
-                            "index": 0,
-                            "delta": delta,
-                            "finish_reason": map_finish_reason(meta["finish_reason"]),
-                        }
-                    ],
+                    "choices": [{
+                        "index": 0,
+                        "delta": delta,
+                        "finish_reason": map_finish_reason(fin),
+                    }],
                 }
+                await resp.write(
+                    b"data: " + json.dumps(data).encode() + b"\n\n"
+                )
+
+        meta = {"finish_reason": None, "prompt_tokens": 0,
+                "completion_tokens": 0}
+        try:
+            async for chunk in self.tm.generate_request(obj):
+                meta = chunk["meta_info"]
+                delta_text = chunk["text"][sent_len:]
+                sent_len = len(chunk["text"])
+                if tool_parser is not None:
+                    deltas = tool_parser.feed(delta_text)
+                else:
+                    deltas = [{"content": delta_text}] if delta_text else []
+                if first and not deltas:
+                    deltas = [{}]
                 usage.prompt_tokens = meta["prompt_tokens"]
                 usage.completion_tokens = meta["completion_tokens"]
-                await resp.write(b"data: " + json.dumps(data).encode() + b"\n\n")
+                await _write(deltas, meta)
+            if tool_parser is not None:
+                tail = tool_parser.finish()
+                if tail:
+                    await _write(tail, meta)
+                if tool_parser.saw_tool_call:
+                    meta = dict(meta)
+                    meta["finish_reason"] = {"type": "tool_calls"}
+            # final chunk carries the finish_reason
+            await _write([{}], meta, final=True)
             if req.stream_options and req.stream_options.get("include_usage"):
                 usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
                 await resp.write(

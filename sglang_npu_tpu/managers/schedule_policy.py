@@ -44,27 +44,97 @@ class SchedulePolicy:
         evictions (HiRadixCache restore), which must not free req N's
         matched-but-not-yet-admitted prefix."""
         policy = self.policy
-        if policy == "lpm" and not isinstance(self.tree_cache, RadixCache):
+        if policy in ("lpm", "dfs-weight") and not isinstance(
+            self.tree_cache, RadixCache
+        ):
             policy = "fcfs"
         self.effective_policy = policy
         if policy == "fcfs":
             return []
-        if policy == "lpm":
-            # Longest-prefix-match: refresh each request's radix match and
-            # sort by matched prefix length descending (cache-aware).
+        if policy in ("lpm", "dfs-weight"):
+            # Cache-aware: refresh each request's radix match first.
             temp_locked = []
             for r in waiting_queue:
                 r.init_next_round_input(self.tree_cache, page_size)
                 if r.last_node is not None and r.prefix_len > 0:
                     self.tree_cache.inc_lock_ref(r.last_node)
                     temp_locked.append(r.last_node)
-            waiting_queue.sort(key=lambda r: -r.prefix_len)
+            if policy == "dfs-weight":
+                self._sort_dfs_weight(waiting_queue)
+            else:
+                # longest-prefix-match descending
+                waiting_queue.sort(key=lambda r: -r.prefix_len)
+            self._mark_in_batch_duplicates(waiting_queue, page_size)
             return temp_locked
         elif policy == "lof":
             waiting_queue.sort(key=lambda r: -len(r.origin_input_ids))
         elif policy == "random":
             random.shuffle(waiting_queue)
         return []
+
+    def _sort_dfs_weight(self, waiting_queue: List[Req]) -> None:
+        """DFS-weight order (reference `_calc_priority` dfs-weight,
+        schedule_policy.py): order requests by a depth-first walk of the
+        radix tree with heavier subtrees (more waiting requests) first, so
+        admitted batches maximize shared prefixes and evictions touch cold
+        subtrees last."""
+        node_reqs: dict = {}
+        weight: dict = {}
+        roots: dict = {}
+        unmatched: List[Req] = []
+        for r in waiting_queue:
+            node = r.last_node
+            if node is None or r.prefix_len == 0:
+                unmatched.append(r)
+                continue
+            node_reqs.setdefault(id(node), (node, []))[1].append(r)
+            n = node
+            while n is not None:
+                weight[id(n)] = weight.get(id(n), 0) + 1
+                if n.parent is None:
+                    roots[id(n)] = n
+                n = n.parent
+
+        order: List[Req] = []
+
+        def dfs(node):
+            entry = node_reqs.get(id(node))
+            if entry is not None:
+                order.extend(entry[1])
+            kids = [c for c in node.children.values() if id(c) in weight]
+            kids.sort(key=lambda c: -weight[id(c)])
+            for c in kids:
+                dfs(c)
+
+        for root in sorted(roots.values(), key=lambda n: -weight[id(n)]):
+            dfs(root)
+        order.extend(unmatched)  # no cached prefix: after the cache-hot set
+        if len(order) == len(waiting_queue):
+            waiting_queue[:] = order
+
+    IN_BATCH_DEDUP_THRESHOLD = 32
+
+    def _mark_in_batch_duplicates(
+        self, waiting_queue: List[Req], page_size: int
+    ) -> None:
+        """In-batch prefix dedup (reference in-batch prefix caching check):
+        when several waiting requests share a long UNCACHED prefix, admit
+        only the first this round — once it lands in the radix cache, the
+        rest prefill against it instead of each recomputing the prefix.
+        Deferred requests get `defer_in_batch`; the admission loop skips
+        them for one round."""
+        thr = self.IN_BATCH_DEDUP_THRESHOLD
+        seen: set = set()
+        for r in waiting_queue:
+            r.defer_in_batch = False
+            uncached = r.fill_ids[r.prefix_len:]
+            if len(uncached) < thr:
+                continue
+            key = tuple(uncached[:thr])
+            if key in seen:
+                r.defer_in_batch = True
+            else:
+                seen.add(key)
 
 
 class PrefillAdder:

@@ -710,8 +710,13 @@ class Scheduler:
         temp_locked = self.policy.calc_priority(self.waiting_queue, self.page_size)
         admitted = []
         for req in self.waiting_queue:
-            if self.policy.effective_policy != "lpm":
+            if self.policy.effective_policy not in ("lpm", "dfs-weight"):
                 req.init_next_round_input(self.tree_cache, self.page_size)
+            if getattr(req, "defer_in_batch", False):
+                # in-batch prefix dedup: wait one round for the twin
+                # request's shared prefix to land in the radix cache
+                req.defer_in_batch = False
+                continue
             res = adder.add_one_req(req)
             if req in adder.can_run_list:
                 admitted.append(req)
