@@ -332,6 +332,12 @@ class HttpServer:
             jax.profiler.start_trace(out_dir)
         except Exception as e:
             return _json_error(f"profiler start failed: {e}", 500)
+        num_steps = body.get("num_steps")
+        if num_steps:
+            # bounded capture: the scheduler stops the trace after N
+            # forwards (reference /start_profile num_steps)
+            for sched in getattr(self.engine, "schedulers", []):
+                sched.profile_steps_remaining = int(num_steps)
         self._profile_dir = out_dir
         return web.json_response({"success": True, "output_dir": out_dir})
 

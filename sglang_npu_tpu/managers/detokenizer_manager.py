@@ -119,6 +119,7 @@ class DetokenizerManager:
             completion_tokens=b.completion_tokens,
             cached_tokens=b.cached_tokens,
             spec_accepted_tokens=b.spec_accepted_tokens,
+            time_stats=b.time_stats,
             input_token_logprobs=b.input_token_logprobs,
             output_token_logprobs=b.output_token_logprobs,
             input_top_logprobs=b.input_top_logprobs,

@@ -129,6 +129,8 @@ class BatchTokenIDOut:
     input_top_logprobs: List[Optional[list]] = None
     output_top_logprobs: List[Optional[list]] = None
     spec_accepted_tokens: List[int] = dataclasses.field(default_factory=list)
+    # per-request stage timings, set when finished (reference TimeStats)
+    time_stats: List[Optional[Dict]] = None
 
 
 @dataclasses.dataclass
@@ -145,6 +147,7 @@ class BatchStrOut:
     input_top_logprobs: List[Optional[list]] = None
     output_top_logprobs: List[Optional[list]] = None
     spec_accepted_tokens: List[int] = dataclasses.field(default_factory=list)
+    time_stats: List[Optional[Dict]] = None
 
 
 @dataclasses.dataclass

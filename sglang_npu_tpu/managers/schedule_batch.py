@@ -164,7 +164,12 @@ class Req:
         self.decoded_tail = ""
         self.vid = 0  # version id for overlap-safety on retraction
 
+        # per-stage time stats (reference Req.time_stats): admission,
+        # first forward, first output token, finish
         self.queue_time: Optional[float] = None
+        self.forward_entry_time: Optional[float] = None
+        self.first_token_time: Optional[float] = None
+        self.finish_time: Optional[float] = None
         self.created_time: Optional[float] = None
 
         # EAGLE speculative state (hidden-buffer slot + lifecycle flags)

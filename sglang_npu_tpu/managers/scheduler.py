@@ -199,6 +199,18 @@ class Scheduler:
         # free token.
         self.jump_queue: List[Req] = []
         self.num_jump_forward_tokens = 0
+        # speculative acceptance accounting (exported as
+        # sglang:spec_accept_length; reference spec_accept_length metric)
+        self.total_spec_rounds = 0
+        self.total_spec_accepted = 0
+        # crash-dump ring of recent request summaries (reference
+        # tokenizer_manager crash dump, `--crash-dump-folder`)
+        from collections import deque
+
+        self._recent_reqs = deque(maxlen=64)
+        # profiler: stop the jax trace after N forwards (reference
+        # /start_profile num_steps)
+        self.profile_steps_remaining: Optional[int] = None
 
         # Multi-turn sessions (reference session_controller.py)
         from sglang_npu_tpu.managers.session_controller import SessionController
@@ -246,6 +258,7 @@ class Scheduler:
                 if self.server_args.is_embedding:
                     embeddings = self.runner.forward_embedding(mwb)
                     self.forward_ct += 1
+                    self._profile_tick()
                     self.process_embedding_result(embeddings)
                     self._consecutive_failures = 0
                     continue
@@ -255,10 +268,12 @@ class Scheduler:
                     else:
                         self.run_spec_round(mwb)
                     self.forward_ct += 1
+                    self._profile_tick()
                     self._consecutive_failures = 0
                     continue
                 next_tokens, logprob_info = self.runner.forward_and_sample(mwb)
                 self.forward_ct += 1
+                self._profile_tick()
                 if is_prefill and self.draft_runner is not None:
                     # keep the draft model's KV in lockstep (same slots)
                     self.draft_runner.forward_and_sample(mwb)
@@ -536,6 +551,7 @@ class Scheduler:
             self._emit_finished_stub(req)
 
     def _abort_all_inflight(self, message: str):
+        self._write_crash_dump(message)
         for req in list(self._rid_to_req.values()):
             req.finished_reason = FINISH_ABORT(message)
             self._emit_finished_stub(req)
@@ -587,6 +603,12 @@ class Scheduler:
             "token_usage": self._token_usage(),
             "cache_hit_rate": (
                 self.total_cached_tokens / max(self.total_prompt_tokens, 1)
+            ),
+            "num_jump_forward_tokens": self.num_jump_forward_tokens,
+            "spec_accept_length": (
+                1.0 + self.total_spec_accepted / self.total_spec_rounds
+                if self.total_spec_rounds
+                else 0.0
             ),
         }
 
@@ -733,6 +755,8 @@ class Scheduler:
         if not adder.can_run_list:
             return None
         for req in adder.can_run_list:
+            if req.forward_entry_time is None:
+                req.forward_entry_time = time.time()
             self.total_prompt_tokens += req.extend_input_len
             self.total_cached_tokens += req.prefix_len
         return ScheduleBatch.init_new(
@@ -825,6 +849,8 @@ class Scheduler:
                 self._append_token(req, t)
                 self.num_generated_tokens += 1
             req.spec_accepted_tokens += m
+            self.total_spec_rounds += 1
+            self.total_spec_accepted += int(m)
             self.allocator.shrink_req(req, len(req.fill_ids) - 1)
             if req.finished:
                 self._cache_finished(req)
@@ -887,6 +913,8 @@ class Scheduler:
                 self._append_token(req, t)
                 self.num_generated_tokens += 1
             req.spec_accepted_tokens += commit_lens[i] - 1
+            self.total_spec_rounds += 1
+            self.total_spec_accepted += int(commit_lens[i]) - 1
             self.allocator.shrink_req(req, len(req.fill_ids) - 1)
             if req.finished:
                 self._cache_finished(req)
@@ -1181,6 +1209,8 @@ class Scheduler:
             req.finished_reason = FINISH_LENGTH(0)
             self._rid_to_req.pop(req.rid, None); self._release_hidden_slot(req)
             return
+        if req.first_token_time is None:
+            req.first_token_time = time.time()
         req.output_ids.append(token)
         req.fill_ids.append(token)
         if req.grammar is not None:
@@ -1201,12 +1231,121 @@ class Scheduler:
                 )
 
     # ------------------------------------------------------------------
+    def _profile_tick(self):
+        """Per-stage profiler capture: stop the jax trace after the
+        requested number of forwards (reference /start_profile num_steps,
+        `model_runner.py` profiler step bounds)."""
+        if self.profile_steps_remaining is None:
+            return
+        self.profile_steps_remaining -= 1
+        if self.profile_steps_remaining <= 0:
+            self.profile_steps_remaining = None
+            try:
+                import jax
+
+                jax.profiler.stop_trace()
+                logger.info("profiler trace stopped (num_steps reached)")
+            except Exception:
+                logger.exception("profiler stop failed")
+
+    def _record_recent(self, req: Req):
+        self._recent_reqs.append({
+            "rid": req.rid,
+            "prompt_tokens": len(req.origin_input_ids),
+            "output_tokens": len(req.output_ids),
+            "finish_reason": (
+                req.finished_reason.to_json() if req.finished_reason else None
+            ),
+            "queue_time": req.queue_time,
+            "finish_time": req.finish_time,
+        })
+
+    def _write_crash_dump(self, message: str):
+        """Dump recent + in-flight request summaries on an unrecoverable
+        error (reference tokenizer_manager crash dump,
+        `--crash-dump-folder`)."""
+        folder = self.server_args.crash_dump_folder
+        if not folder:
+            return
+        import json as _json
+        import os as _os
+
+        try:
+            _os.makedirs(folder, exist_ok=True)
+            path = _os.path.join(
+                folder, f"crash_dump_{int(time.time())}.json"
+            )
+            inflight = [
+                {
+                    "rid": r.rid,
+                    "prompt_tokens": len(r.origin_input_ids),
+                    "output_tokens": len(r.output_ids),
+                    "queue_time": r.queue_time,
+                }
+                for r in list(self._rid_to_req.values())[:128]
+            ]
+            with open(path, "w") as f:
+                _json.dump(
+                    {
+                        "message": message,
+                        "time": time.time(),
+                        "inflight": inflight,
+                        "recent_finished": list(self._recent_reqs),
+                    },
+                    f,
+                    indent=1,
+                )
+            logger.error("crash dump written to %s", path)
+        except Exception:
+            logger.exception("crash dump failed")
+
+    def _time_stats(self, req: Req) -> Optional[dict]:
+        """Stage-latency breakdown of a finished request (reference
+        `Req.time_stats` / TokenizerMetricsCollector observations)."""
+        if not req.finished or req.queue_time is None:
+            return None
+        now = req.finish_time or time.time()
+        ttft = (
+            req.first_token_time - req.queue_time
+            if req.first_token_time
+            else None
+        )
+        e2e = now - req.queue_time
+        n_out = len(req.output_ids)
+        itl = (
+            (now - req.first_token_time) / (n_out - 1)
+            if req.first_token_time and n_out > 1
+            else None
+        )
+        ts = {"e2e_latency": round(e2e, 6)}
+        if ttft is not None:
+            ts["ttft"] = round(ttft, 6)
+        if req.forward_entry_time is not None:
+            ts["queue_duration"] = round(
+                req.forward_entry_time - req.queue_time, 6
+            )
+        if itl is not None:
+            ts["itl_mean"] = round(itl, 6)
+        try:
+            from sglang_npu_tpu.metrics.collector import observe_request
+
+            observe_request(
+                self.server_args.served_model_name or "default",
+                len(req.origin_input_ids), n_out, ttft, e2e, itl,
+            )
+        except Exception:
+            pass
+        return ts
+
     def _emit_outputs(self, reqs: List[Req]):
         out_reqs = []
         for req in reqs:
             if req.is_chunked > 0:
                 continue
             if req.finished:
+                if req.finish_time is None:
+                    req.finish_time = time.time()
+                self._record_recent(req)
                 out_reqs.append(req)
             elif req.stream and (
                 len(req.output_ids) - req.stream_sent
@@ -1236,6 +1375,9 @@ class Scheduler:
             completion_tokens=[len(r.output_ids) for r in out_reqs],
             cached_tokens=[r.cached_tokens for r in out_reqs],
             spec_accepted_tokens=[r.spec_accepted_tokens for r in out_reqs],
+            time_stats=[
+                self._time_stats(r) if r.finished else None for r in out_reqs
+            ],
             output_token_logprobs=[
                 r.output_token_logprobs[r.stream_sent :]
                 if r.return_logprob

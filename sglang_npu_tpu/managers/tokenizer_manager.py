@@ -132,6 +132,9 @@ class TokenizerManager:
             }
             if b.spec_accepted_tokens and i < len(b.spec_accepted_tokens):
                 meta["spec_accepted_tokens"] = b.spec_accepted_tokens[i]
+            if b.time_stats and b.time_stats[i] is not None:
+                # per-stage latency breakdown (reference Req.time_stats)
+                meta.update(b.time_stats[i])
             if b.output_token_logprobs and b.output_token_logprobs[i] is not None:
                 state.output_token_logprobs.extend(b.output_token_logprobs[i])
                 meta["output_token_logprobs"] = list(state.output_token_logprobs)

@@ -95,6 +95,9 @@ class ServerArgs:
     random_seed: Optional[int] = None
     watchdog_timeout: float = 300.0
     enable_nan_detection: bool = False
+    # on unrecoverable scheduler errors, dump recent + in-flight request
+    # summaries here (reference --crash-dump-folder)
+    crash_dump_folder: Optional[str] = None
 
     # ------------------------------------------------------------------
     # Parallelism (mesh axes: data x model x expert)
