@@ -52,6 +52,12 @@ class Engine:
         from sglang_npu_tpu.model_executor.model_runner import ModelRunner
         from sglang_npu_tpu.tokenizer.byte_tokenizer import get_tokenizer
 
+        from sglang_npu_tpu.connector import is_remote_url, pull_model
+
+        if is_remote_url(server_args.model_path):
+            # remote weights (reference srt/connector/): materialize into
+            # the local cache, then load as a normal directory
+            server_args.model_path = pull_model(server_args.model_path)
         self.model_config = ModelConfig.from_model_path(
             server_args.model_path,
             dtype=server_args.dtype,
@@ -466,6 +472,19 @@ class Engine:
 
         self._sched_in.put(
             UpdateWeightFromDiskReqInput(model_path=model_path, load_format=load_format)
+        )
+        out = self.tokenizer_manager.control_mailbox.get(timeout=600)
+        return out.success, out.message
+
+    def update_weights_from_tensor(self, named_tensors):
+        """In-memory weight sync: [(hf_name, np.ndarray)] (reference
+        `Engine.update_weights_from_tensor`, RL trainer push)."""
+        from sglang_npu_tpu.managers.io_struct import (
+            UpdateWeightsFromTensorReqInput,
+        )
+
+        self._sched_in.put(
+            UpdateWeightsFromTensorReqInput(named_tensors=named_tensors)
         )
         out = self.tokenizer_manager.control_mailbox.get(timeout=600)
         return out.success, out.message

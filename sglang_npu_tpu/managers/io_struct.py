@@ -227,6 +227,14 @@ class UpdateWeightFromDiskReqInput:
 class UpdateWeightFromDiskReqOutput:
     success: bool
     message: str
+
+
+@dataclasses.dataclass
+class UpdateWeightsFromTensorReqInput:
+    """In-memory weight sync (reference `update_weights_from_tensor`,
+    RL rollout <-> trainer colocation): HF-named tensors."""
+
+    named_tensors: list  # [(hf_name, np.ndarray)]
     num_paused_requests: int = 0
 
 

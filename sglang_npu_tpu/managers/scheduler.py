@@ -48,6 +48,7 @@ from sglang_npu_tpu.managers.io_struct import (
     TokenizedGenerateReqInput,
     UpdateWeightFromDiskReqInput,
     UpdateWeightFromDiskReqOutput,
+    UpdateWeightsFromTensorReqInput,
 )
 from sglang_npu_tpu.managers.schedule_batch import (
     FINISH_ABORT,
@@ -363,6 +364,16 @@ class Scheduler:
             try:
                 ok, msg = self.runner.update_weights_from_disk(
                     item.model_path, item.load_format or "auto"
+                )
+            except Exception as e:
+                ok, msg = False, str(e)
+            self.output_queue.put(
+                UpdateWeightFromDiskReqOutput(success=ok, message=msg)
+            )
+        elif isinstance(item, UpdateWeightsFromTensorReqInput):
+            try:
+                ok, msg = self.runner.update_weights_from_tensor(
+                    item.named_tensors
                 )
             except Exception as e:
                 ok, msg = False, str(e)

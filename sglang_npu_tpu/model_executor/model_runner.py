@@ -1544,6 +1544,54 @@ class ModelRunner:
         self.server_args.model_path = model_path
         return True, "weights updated"
 
+    def update_weights_from_tensor(self, named_tensors):
+        """In-memory weight sync (reference
+        `update_weights_from_tensor`, RL rollout weight push): HF-named
+        host tensors resolve through the model's weight map and update the
+        device pytree in place — stacked layer weights via a per-row
+        `.at[layer].set`, top-level weights via a sharded device_put."""
+        from sglang_npu_tpu.model_loader.loader import _get_path, _set_path
+
+        top_map, per_layer_map = self.model.hf_weight_map()
+        params = self.params
+        n = 0
+        for name, arr in named_tensors:
+            arr = np.asarray(arr)
+            dest = transform = None
+            layer_idx = None
+            if name in top_map:
+                dest, transform = top_map[name]
+            elif name.startswith("model.layers."):
+                parts = name.split(".")
+                layer_idx = int(parts[2])
+                suffix = ".".join(parts[3:])
+                if suffix in per_layer_map:
+                    dest, transform = per_layer_map[suffix]
+            if dest is None or ".__expert__" in (dest or ""):
+                raise ValueError(f"cannot map weight {name!r}")
+            if transform == "transpose":
+                arr = arr.T
+            elif transform == "squeeze":
+                arr = arr.reshape(-1)
+            elif transform == "flatten_oc_transpose":
+                arr = arr.reshape(arr.shape[0], -1).T
+            leaf = _get_path(params, dest)
+            if not isinstance(leaf, jax.Array):
+                raise ValueError(
+                    f"{name!r} targets a quantized stack; push dense "
+                    "weights or reload from disk"
+                )
+            val = jnp.asarray(
+                np.ascontiguousarray(arr), dtype=leaf.dtype
+            )
+            if layer_idx is not None:
+                new = leaf.at[layer_idx].set(val)
+            else:
+                new = jax.device_put(val, leaf.sharding)
+            _set_path(params, dest, new)
+            n += 1
+        return True, f"updated {n} tensors"
+
     def release_memory(self):
         """Drop the KV pool to free HBM (reference
         `release_memory_occupation`, RL colocation)."""
