@@ -173,6 +173,57 @@ class ProgramState:
     def text_output(self) -> str:
         return self.text if not self.chat_mode else str(self.messages)
 
+    # ------------------------------------------------------------------
+    def _clone(self) -> "ProgramState":
+        import copy as _copy
+
+        c = ProgramState(self.backend)
+        c.messages = _copy.deepcopy(self.messages)
+        c.text = self.text
+        c.chat_mode = self.chat_mode
+        c.variables = dict(self.variables)
+        c._cur_role = self._cur_role
+        return c
+
+    def fork(self, n: int) -> "ForkedStates":
+        """Fork the state into ``n`` independent branches (reference
+        `sglang.lang` fork): each branch owns a copy of the prompt so
+        far; branches sharing the parent prefix hit the radix cache on
+        the server side, so forked generations reuse the common KV."""
+        return ForkedStates([self._clone() for _ in range(n)])
+
+
+class ForkedStates:
+    """The branches returned by `ProgramState.fork` (reference
+    `SglFork`): index/iterate to drive each branch, or `map` a program
+    fragment over all branches concurrently."""
+
+    def __init__(self, states: List["ProgramState"]):
+        self.states = states
+
+    def __len__(self):
+        return len(self.states)
+
+    def __getitem__(self, i: int) -> "ProgramState":
+        return self.states[i]
+
+    def __iter__(self):
+        return iter(self.states)
+
+    def map(self, fn, parallel: bool = True) -> "ForkedStates":
+        """Run ``fn(state, index)`` on every branch — concurrently by
+        default (the engine batches the overlapping requests; the shared
+        parent prefix is one radix-cache entry)."""
+        import concurrent.futures as _cf
+
+        if not parallel or len(self.states) <= 1:
+            for i, s in enumerate(self.states):
+                fn(s, i)
+            return self
+        with _cf.ThreadPoolExecutor(len(self.states)) as pool:
+            list(pool.map(lambda t: fn(t[1], t[0]), enumerate(self.states)))
+        return self
+
 
 class SglFunction:
     def __init__(self, fn):
@@ -187,8 +238,27 @@ class SglFunction:
         self.fn(s, *args, **kwargs)
         return s
 
-    def run_batch(self, batch_kwargs: List[Dict[str, Any]], backend=None):
-        return [self.run(backend=backend, **kw) for kw in batch_kwargs]
+    def run_batch(
+        self,
+        batch_kwargs: List[Dict[str, Any]],
+        backend=None,
+        num_threads: int = 8,
+    ):
+        """Run the program over a batch of inputs — concurrently, so the
+        engine's continuous batching overlaps them (reference
+        `SglFunction.run_batch` with its thread executor)."""
+        if num_threads <= 1 or len(batch_kwargs) <= 1:
+            return [self.run(backend=backend, **kw) for kw in batch_kwargs]
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(
+            min(num_threads, len(batch_kwargs))
+        ) as pool:
+            futs = [
+                pool.submit(self.run, backend=backend, **kw)
+                for kw in batch_kwargs
+            ]
+            return [f.result() for f in futs]
 
     def __call__(self, *args, **kwargs):
         return self.run(*args, **kwargs)

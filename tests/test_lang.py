@@ -93,3 +93,59 @@ def test_regex_constrained_gen(backend):
 
     state = num.run()
     assert re.fullmatch(r"\d{3}", state["n"]), state["n"]
+
+
+def test_fork_branches_independent(backend):
+    @sgl.function
+    def tool_use(s, question):
+        s += "Q: " + question + "\n"
+        forks = s.fork(3)
+        forks.map(
+            lambda f, i: f.append(
+                sgl.gen(f"ans{i}", max_tokens=4 + i, temperature=0.0,
+                        ignore_eos=True)
+            )
+        )
+        # branches diverged independently; parent unchanged
+        for i, f in enumerate(forks):
+            assert len(f[f"ans{i}"]) > 0
+            assert f.text.startswith("Q: " + question + "\n")
+        assert "ans0" not in s.variables
+        s += sgl.gen("final", max_tokens=3, temperature=0.0, ignore_eos=True)
+
+    st = tool_use.run(question="why?")
+    assert len(st["final"]) > 0
+
+
+def test_fork_map_parallel_equals_serial(backend):
+    @sgl.function
+    def prog(s):
+        s += "count: "
+        forks = s.fork(2)
+        forks.map(
+            lambda f, i: f.append(
+                sgl.gen("x", max_tokens=5, temperature=0.0, ignore_eos=True)
+            ),
+            parallel=True,
+        )
+        s.variables["a"] = forks[0]["x"]
+        s.variables["b"] = forks[1]["x"]
+
+    st = prog.run()
+    # same prefix + greedy -> both branches sample identical continuations
+    assert st["a"] == st["b"]
+
+
+def test_run_batch_parallel(backend):
+    @sgl.function
+    def prog(s, prefix):
+        s += prefix
+        s += sgl.gen("out", max_tokens=4, temperature=0.0, ignore_eos=True)
+
+    outs = prog.run_batch(
+        [{"prefix": f"p{i}: "} for i in range(4)], num_threads=4
+    )
+    assert len(outs) == 4
+    for i, st in enumerate(outs):
+        assert st.text.startswith(f"p{i}: ")
+        assert len(st["out"]) > 0
