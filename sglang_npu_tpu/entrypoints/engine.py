@@ -406,7 +406,10 @@ class Engine:
         )
         state = self.tokenizer_manager.submit(t)
         chunk, _ = state.mailbox.get(timeout=600)
-        return chunk["kv_handoff"]
+        handoff = chunk["kv_handoff"]
+        if getattr(handoff, "error", None):
+            raise RuntimeError(f"PD handoff failed: {handoff.error}")
+        return handoff
 
     def inject_decode(self, handoff, sampling_params=None, stream=False):
         """Enter a transferred request in decode state; returns the result

@@ -291,7 +291,8 @@ class KvHandoffOut:
     rid: str
     fill_ids: List[int]  # prompt tokens (KV computed for all of them)
     first_token: int
-    kv_data: Any  # np.ndarray [L, 2, H, n, D]
+    kv_data: Any  # np.ndarray [L, 2, H, n, D]; None on fetch error
+    error: Optional[str] = None
 
 
 @dataclasses.dataclass

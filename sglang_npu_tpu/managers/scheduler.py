@@ -1076,22 +1076,50 @@ class Scheduler:
             )
 
     def _handoff_prefill(self, req: Req, first_token: int):
+        """PD prefill-side handoff (reference
+        `event_loop_normal_disagg_prefill` + `send_kv_chunk`): the
+        on-device row gather is dispatched on the scheduler thread (cheap
+        — a fresh device array, so the source pages can be freed
+        immediately), while the slow device->host fetch over the narrow
+        link runs on a background thread so prefill scheduling never
+        blocks on the transfer (reference streams chunks through an
+        inflight queue, `disaggregation/prefill.py:568`)."""
         from sglang_npu_tpu.managers.io_struct import KvHandoffOut
         from sglang_npu_tpu.managers.schedule_batch import FINISH_LENGTH
 
-        kv_data = self.runner.gather_kv(req.kv_slots)
-        out = KvHandoffOut(
-            rid=req.rid,
-            fill_ids=list(req.fill_ids),
-            first_token=first_token,
-            kv_data=kv_data,
-        )
+        handle = self.runner.gather_kv_dispatch(req.kv_slots)
+        fill_ids = list(req.fill_ids)
+        rid = req.rid
         req.output_ids.append(first_token)
         req.fill_ids.append(first_token)
         req.finished_reason = FINISH_LENGTH(0)
         self._rid_to_req.pop(req.rid, None); self._release_hidden_slot(req)
         self._cache_finished(req)
-        self.output_queue.put(out)
+
+        def fetch_and_emit():
+            try:
+                kv_data = self.runner.gather_kv_fetch(handle)
+                self.output_queue.put(
+                    KvHandoffOut(
+                        rid=rid,
+                        fill_ids=fill_ids,
+                        first_token=first_token,
+                        kv_data=kv_data,
+                    )
+                )
+            except Exception as e:
+                logger.exception("PD handoff fetch failed")
+                self.output_queue.put(
+                    KvHandoffOut(
+                        rid=rid, fill_ids=fill_ids,
+                        first_token=first_token, kv_data=None,
+                        error=str(e),
+                    )
+                )
+
+        threading.Thread(
+            target=fetch_and_emit, daemon=True, name=f"pd-handoff-{rid[:8]}"
+        ).start()
 
     def inject_decode_req(self, item):
         """Enter a transferred request directly in decode state."""
