@@ -479,6 +479,26 @@ class Engine:
         out = self.tokenizer_manager.control_mailbox.get(timeout=600)
         return out.success, out.message
 
+    def score(self, query: str, items):
+        """Mean per-token logprob of each item continuation after the
+        query (the `/v1/score` computation as a library call; reference
+        `Engine.score`)."""
+        if self.tokenizer is None:
+            raise ValueError("scoring requires a tokenizer")
+        ids_q = self.tokenizer.encode(query)
+        out = []
+        for item in items:
+            ids_full = self.tokenizer.encode(query + item)
+            r = self.generate(
+                input_ids=ids_full,
+                sampling_params={"max_new_tokens": 0, "temperature": 0.0},
+                return_logprob=True,
+                logprob_start_len=len(ids_q),
+            )
+            entries = r["meta_info"].get("input_token_logprobs", [])
+            out.append(sum(e[0] for e in entries) / max(len(entries), 1))
+        return out
+
     def update_weights_from_tensor(self, named_tensors):
         """In-memory weight sync: [(hf_name, np.ndarray)] (reference
         `Engine.update_weights_from_tensor`, RL trainer push)."""

@@ -136,3 +136,34 @@ def test_bench_one_batch_runs(tmp_path, capsys):
     assert lines
     res = json.loads(lines[0])
     assert res["decode_tok_s"] and res["prefill_latency_s"] > 0
+
+
+def test_mmlu_harness_and_engine_score(tmp_path):
+    d = tmp_path / "m"
+    d.mkdir()
+    _save_tiny(d)
+    rows = [
+        {"question": f"What is {i}+{i}?",
+         "choices": [str(2 * i), str(2 * i + 1), "zero", "many"],
+         "answer": 0}
+        for i in range(8)
+    ]
+    data = str(tmp_path / "mmlu.jsonl")
+    with open(data, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    e = Engine(
+        model_path=str(d), dtype="float32", tokenizer_mode="byte",
+        page_size=4, max_total_tokens=4096, attention_backend="xla",
+        random_seed=0,
+    )
+    try:
+        from sglang_npu_tpu.eval.mmlu import run_eval
+
+        res = run_eval(e, data, num_questions=4, num_shots=2)
+        assert res["num_questions"] == 4
+        assert 0.0 <= res["accuracy"] <= 1.0
+        scores = e.score("choose:", [" A", " B", " C"])
+        assert len(scores) == 3
+    finally:
+        e.shutdown()
