@@ -148,9 +148,20 @@ class ModelConfig:
         context_length: Optional[int] = None,
         json_override: str = "{}",
     ) -> "ModelConfig":
-        cfg_path = os.path.join(model_path, "config.json")
-        with open(cfg_path) as f:
-            cfg = json.load(f)
+        if model_path.endswith(".gguf"):
+            # single-file GGUF checkpoint: the HF config synthesizes from
+            # the container metadata (model_loader/gguf_loader.py)
+            from sglang_npu_tpu.model_loader.gguf_loader import (
+                gguf_to_hf_config,
+                read_gguf,
+            )
+
+            meta, tensors = read_gguf(model_path)
+            cfg = gguf_to_hf_config(meta, tensor_names=set(tensors))
+        else:
+            cfg_path = os.path.join(model_path, "config.json")
+            with open(cfg_path) as f:
+                cfg = json.load(f)
         override = json.loads(json_override) if json_override else {}
         cfg.update(override)
         return cls.from_hf_dict(cfg, dtype=dtype, context_length=context_length)

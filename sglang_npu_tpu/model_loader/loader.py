@@ -446,5 +446,50 @@ def load_model_weights(
         return init_dummy_weights_device(
             model, mesh, seed, quantization=quantization
         )
+    if load_format == "gguf" or model_path.endswith(".gguf"):
+        host = load_gguf_weights(model, model_path)
+        return device_put_params(host, model, mesh)
     host = load_safetensors_weights(model, model_path)
     return device_put_params(host, model, mesh)
+
+
+def load_gguf_weights(model, gguf_path: str) -> Dict[str, Any]:
+    """Read a GGUF file into stacked host arrays: parse + dequantize the
+    container, rename llama.cpp tensors to HF conventions (incl. rope
+    un-permute of q/k), then route through the model's HF weight map."""
+    from sglang_npu_tpu.model_loader.gguf_loader import (
+        gguf_to_hf_tensors,
+        read_gguf,
+    )
+
+    meta, raw = read_gguf(gguf_path)
+    named = gguf_to_hf_tensors(meta, raw)
+    host = allocate_host_params(model)
+    top_map, per_layer_map = model.hf_weight_map()
+    n = 0
+    for name, tensor in named.items():
+        dest = transform = None
+        layer_idx = None
+        if name in top_map:
+            dest, transform = top_map[name]
+        elif name.startswith("model.layers."):
+            parts = name.split(".")
+            layer_idx = int(parts[2])
+            suffix = ".".join(parts[3:])
+            if suffix in per_layer_map:
+                dest, transform = per_layer_map[suffix]
+        if dest is None or ".__expert__" in dest:
+            logger.debug("gguf: unmapped HF tensor %s", name)
+            continue
+        if transform == "transpose":
+            tensor = tensor.T
+        elif transform == "squeeze":
+            tensor = tensor.reshape(-1)
+        target = _get_path(host, dest)
+        if layer_idx is not None:
+            target = target[layer_idx]
+        np.copyto(target, tensor.astype(target.dtype))
+        n += 1
+    # gguf llama omits lm_head when tied; embed doubles as the head
+    logger.info("gguf: mapped %d tensors from %s", n, gguf_path)
+    return host
