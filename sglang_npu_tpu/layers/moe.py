@@ -36,6 +36,47 @@ def topk_routing(
     return weights, ids.astype(jnp.int32)
 
 
+def sigmoid_group_topk_routing(
+    router_logits: jax.Array,  # [T, E] (f32 recommended)
+    bias: jax.Array,  # [E] e_score_correction_bias
+    top_k: int,
+    n_group: int = 1,
+    topk_group: int = 1,
+    norm_topk_prob: bool = True,
+    routed_scaling: float = 1.0,
+):
+    """DeepSeek-V3 / GLM-4-MoE "noaux_tc" routing (reference
+    `Glm4MoeTopkRouter.forward` / deepseek_v2.py noaux path): sigmoid
+    scores; expert selection adds a learned correction bias and first
+    restricts to the ``topk_group`` best expert groups (group score = sum
+    of its top-2 member scores); the combine WEIGHTS use the unbiased
+    sigmoid scores.  Returns (weights [T,K] f32, ids [T,K] i32).
+
+    Tie-break caveat: when fewer than ``top_k`` in-group choice scores are
+    positive, the reference's masked-fill produces exact 0.0 ties whose
+    topk order torch leaves unspecified; XLA breaks ties by lowest index,
+    so selections can differ on that pathological case only."""
+    T, E = router_logits.shape
+    scores = jax.nn.sigmoid(router_logits.astype(jnp.float32))
+    choice = scores + bias.astype(jnp.float32)[None, :]
+    if n_group > 1:
+        g = choice.reshape(T, n_group, E // n_group)
+        group_scores = jax.lax.top_k(g, 2)[0].sum(-1)  # [T, G]
+        _, gidx = jax.lax.top_k(group_scores, topk_group)
+        gmask = jnp.zeros((T, n_group), jnp.bool_).at[
+            jnp.arange(T)[:, None], gidx
+        ].set(True)
+        choice = jnp.where(
+            jnp.repeat(gmask, E // n_group, axis=1), choice, 0.0
+        )
+    _, ids = jax.lax.top_k(choice, top_k)
+    weights = jnp.take_along_axis(scores, ids, axis=1)
+    if norm_topk_prob:
+        weights = weights / (weights.sum(-1, keepdims=True) + 1e-20)
+    weights = weights * routed_scaling
+    return weights, ids.astype(jnp.int32)
+
+
 def routing_counts(
     expert_ids: jax.Array,  # [T, K] i32 logical expert ids
     num_experts: int,
@@ -78,6 +119,24 @@ def moe_mlp(
         routing_counts(expert_ids, E, stats_mask) if collect_stats else None
     )
 
+    out = moe_apply(x, w_gate, w_up, w_down, weights, expert_ids)
+    return (out, stats) if collect_stats else out
+
+
+def moe_apply(
+    x: jax.Array,  # [T, Dm]
+    w_gate: jax.Array,  # [E, Dm, F]
+    w_up: jax.Array,
+    w_down: jax.Array,  # [E, F, Dm]
+    weights: jax.Array,  # [T, K] combine weights
+    expert_ids: jax.Array,  # [T, K] i32
+) -> jax.Array:
+    """Dropless grouped-GEMM compute for precomputed routing: sort tokens
+    by expert, `lax.ragged_dot` the groups, unsort, weighted combine."""
+    T, Dm = x.shape
+    E = w_gate.shape[0]
+    top_k = expert_ids.shape[-1]
+
     flat_experts = expert_ids.reshape(-1)  # [T*K]
     order = jnp.argsort(flat_experts)  # stable
     token_idx = order // top_k  # source token for each sorted slot
@@ -93,8 +152,7 @@ def moe_mlp(
 
     out_flat = jnp.zeros((T * top_k, Dm), out_sorted.dtype).at[order].set(out_sorted)
     out = out_flat.reshape(T, top_k, Dm) * weights[..., None].astype(out_sorted.dtype)
-    out = out.sum(axis=1).astype(x.dtype)
-    return (out, stats) if collect_stats else out
+    return out.sum(axis=1).astype(x.dtype)
 
 
 def moe_mlp_ep(
