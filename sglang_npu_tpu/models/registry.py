@@ -27,6 +27,8 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Glm4ForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4ForCausalLM"),
     "GlmForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4MoeForCausalLM"),
     "Glm4MoeForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4MoeForCausalLM"),
+    "BertModel": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
+    "BertForMaskedLM": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
 }
 
 
