@@ -65,6 +65,7 @@ class HttpServer:
         r.add_post("/release_memory_occupation", self.release_memory)
         r.add_post("/resume_memory_occupation", self.resume_memory)
         r.add_post("/pause_generation", self.pause_generation)
+        r.add_get("/kv_events", self.kv_events)
         r.add_post("/continue_generation", self.continue_generation)
         r.add_post("/encode", self.encode)
         r.add_post("/v1/embeddings", self.v1_embeddings)
@@ -365,6 +366,16 @@ class HttpServer:
         body = await request.json()
         self.engine.close_session(body["session_id"])
         return web.Response(status=200)
+
+    async def kv_events(self, request: web.Request) -> web.Response:
+        """Drain KV cache content events (reference kv_events subscriber
+        API; requires --enable-kv-cache-events).  ?since=<seq> resumes."""
+        pub = getattr(self.engine.scheduler.tree_cache, "events", None)
+        if pub is None:
+            return _json_error("kv events not enabled", 400)
+        since = int(request.query.get("since", 0))
+        events = pub.take(since)
+        return web.json_response({"events": events, "seq": pub.seq})
 
     async def pause_generation(self, request: web.Request) -> web.Response:
         ok = await asyncio.to_thread(self.engine.pause_generation)

@@ -161,6 +161,12 @@ class Scheduler:
             )
         else:
             self.tree_cache = RadixCache(self.allocator, self.page_size)
+        if server_args.enable_kv_cache_events:
+            from sglang_npu_tpu.mem_cache.kv_events import KvEventPublisher
+
+            self.tree_cache.events = KvEventPublisher(
+                server_args.kv_events_endpoint
+            )
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
 
         self.waiting_queue: List[Req] = []

@@ -114,6 +114,10 @@ class BasePrefixCache:
 
 
 class RadixCache(BasePrefixCache):
+    # optional KvEventPublisher (mem_cache/kv_events.py): external routers
+    # track exact per-worker prefix residency from stored/removed events
+    events = None
+
     def __init__(self, allocator: PagedAllocator, page_size: int):
         self.allocator = allocator
         self.page_size = page_size
@@ -121,6 +125,8 @@ class RadixCache(BasePrefixCache):
 
     # ------------------------------------------------------------------
     def reset(self):
+        if self.events is not None and getattr(self, "roots", None):
+            self.events.all_cleared()
         # Namespaced roots: KV depends on the applied LoRA adapter, so each
         # adapter id gets its own prefix tree (reference: lora-aware radix
         # keys). Namespace 0 = no adapter.
@@ -199,6 +205,11 @@ class RadixCache(BasePrefixCache):
         new_node.children = {self._child_key(child.key[split_len:]): child}
         new_node.parent.children[self._child_key(new_node.key)] = new_node
 
+        hashes = getattr(child, "kv_hashes", None)
+        if hashes is not None:
+            cut = split_len // self.page_size
+            new_node.kv_hashes = hashes[:cut]
+            child.kv_hashes = hashes[cut:]
         child.key = child.key[split_len:]
         child.value = child.value[split_len:]
         child.parent = new_node
@@ -223,6 +234,19 @@ class RadixCache(BasePrefixCache):
                 new_node.value = np.asarray(value, dtype=np.int32)
                 node.children[self._child_key(key)] = new_node
                 self.evictable_size_ += len(key)
+                if self.events is not None:
+                    from sglang_npu_tpu.mem_cache.kv_events import (
+                        chain_hashes,
+                        node_last_hash,
+                    )
+
+                    parent_h = node_last_hash(node, self.page_size)
+                    new_node.kv_hashes = chain_hashes(
+                        parent_h, new_node.key, self.page_size
+                    )
+                    self.events.block_stored(
+                        new_node.kv_hashes, parent_h, len(key)
+                    )
                 return total_prefix
             child.last_access_time = TreeNode.tick()
             match_len = self._key_match(child.key, key)
@@ -306,6 +330,11 @@ class RadixCache(BasePrefixCache):
             self.allocator.free_slots(node.value)
             evicted += len(node.value)
             self.evictable_size_ -= len(node.value)
+            if self.events is not None:
+                from sglang_npu_tpu.mem_cache.kv_events import node_last_hash
+
+                node_last_hash(node, self.page_size)  # ensure computed
+                self.events.block_removed(node.kv_hashes)
             parent = node.parent
             del parent.children[self._child_key(node.key)]
             if not parent.is_root and not parent.children and parent.lock_ref == 0:

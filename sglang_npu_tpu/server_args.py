@@ -63,6 +63,10 @@ class ServerArgs:
     stream_interval: int = 1
     stream_output: bool = False
     disable_radix_cache: bool = False
+    # KV cache events (reference kv_events / vllm KVEventBatch): publish
+    # block stored/removed content hashes for external cache-aware routers
+    enable_kv_cache_events: bool = False
+    kv_events_endpoint: Optional[str] = None  # optional ZMQ PUB bind
     # hierarchical KV cache: evicted pages back up to host DRAM and restore
     # on prefix match (reference --enable-hierarchical-cache / hicache)
     enable_hierarchical_cache: bool = False
