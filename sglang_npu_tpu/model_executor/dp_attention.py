@@ -106,6 +106,47 @@ class DPAttentionBackend:
         )
 
 
+def dp_mla_attention(
+    mesh, q_abs, q_pe, c_kv, k_pe, kv_pool, layer_idx, fb, page_size, scale
+):
+    """DP-attention for MLA (DeepSeek-class): each data shard writes and
+    attends its own requests' LATENT pages — the latent pool, previously
+    replicated across every rank, shards over the data axis.  Manual over
+    'data' only; 'model' stays GSPMD-auto (absorbed-head TP inside)."""
+    from sglang_npu_tpu.ops.mla_attention import (
+        MLALatentPool,
+        mla_attention_xla,
+        write_latent,
+    )
+
+    pspec = MLALatentPool(
+        ckv=P(None, "data", None, None), kpe=P(None, "data", None, None)
+    )
+
+    def local(q_abs, q_pe, c_kv, k_pe, pool, out_slots, pt, seq_lens, pos):
+        pool = write_latent(pool, layer_idx, c_kv, k_pe, out_slots)
+        ctx = mla_attention_xla(
+            q_abs, q_pe, pool, layer_idx, pt, seq_lens, pos,
+            page_size, scale,
+        )
+        return ctx, pool
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("data"), P("data"), P("data"), P("data"), pspec,
+            P("data"), P("data"), P("data"), P("data"),
+        ),
+        out_specs=(P("data"), pspec),
+        axis_names={"data"},
+        check_vma=False,
+    )(
+        q_abs, q_pe, c_kv, k_pe, kv_pool,
+        fb.out_slots, fb.page_tables, fb.seq_lens, fb.positions,
+    )
+
+
 # ----------------------------------------------------------------------
 # host-side batch regrouping
 # ----------------------------------------------------------------------

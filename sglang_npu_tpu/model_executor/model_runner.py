@@ -140,10 +140,6 @@ class ModelRunner:
                 raise ValueError(
                     "--enable-dp-attention needs a power-of-two dp_size > 1"
                 )
-            if model_config.is_mla:
-                raise ValueError(
-                    "DP-attention for MLA models is not supported yet"
-                )
             if server_args.attention_backend not in (None, "xla"):
                 raise ValueError(
                     "DP-attention currently requires the XLA attention "
@@ -271,11 +267,17 @@ class ModelRunner:
             self.num_pages -= self.num_pages % self.dp_attn
             assert self.num_pages >= 2 * self.dp_attn
             self.pages_local = self.num_pages // self.dp_attn
-            from sglang_npu_tpu.model_executor.dp_attention import (
-                DPAttentionBackend,
-            )
+            if self.model_config.is_mla:
+                # MLA: each data shard stores only its requests' LATENTS —
+                # the pool was previously replicated across all ranks,
+                # which is the duplication DP-attention exists to remove
+                self.model.dp_attn_mesh = self.mesh
+            else:
+                from sglang_npu_tpu.model_executor.dp_attention import (
+                    DPAttentionBackend,
+                )
 
-            self.model.attn_backend = DPAttentionBackend(self.mesh)
+                self.model.attn_backend = DPAttentionBackend(self.mesh)
         self.max_total_tokens = self.num_pages * self.page_size
         self.kv_pool = self._alloc_kv_pool()
         pool_bytes = sum(
@@ -450,7 +452,8 @@ class ModelRunner:
                 if self.kv_dtype in (jnp.bfloat16, jnp.float32)
                 else jnp.bfloat16
             )
-            rep = NamedSharding(self.mesh, P())
+            page_ax = "data" if self.dp_attn else None
+            rep = NamedSharding(self.mesh, P(None, page_ax))
             return MLALatentPool(
                 ckv=jax.device_put(
                     jnp.zeros(

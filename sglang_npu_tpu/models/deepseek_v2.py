@@ -41,6 +41,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     ep_mesh = None
     num_experts = 0  # alias for the runner's EP validation
     num_redundant = 0  # EPLB redundant physical expert slots
+    dp_attn_mesh = None  # DP-attention over the latent pool (ModelRunner)
 
     def __init__(self, config: ModelConfig, attn_backend=None):
         super().__init__(config, attn_backend)
@@ -394,20 +395,30 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 lp, h, fb.positions
             )
 
-            kv_pool = write_latent(
-                kv_pool, jnp.int32(i), c_kv, k_pe, fb.out_slots
-            )
-            ctx = mla_attention_xla(
-                q_abs,
-                q_pe,
-                kv_pool,
-                jnp.int32(i),
-                fb.page_tables,
-                fb.seq_lens,
-                fb.positions,
-                page_size,
-                self.scale,
-            )  # [B, E, H, R]
+            if self.dp_attn_mesh is not None:
+                from sglang_npu_tpu.model_executor.dp_attention import (
+                    dp_mla_attention,
+                )
+
+                ctx, kv_pool = dp_mla_attention(
+                    self.dp_attn_mesh, q_abs, q_pe, c_kv, k_pe, kv_pool,
+                    jnp.int32(i), fb, page_size, self.scale,
+                )
+            else:
+                kv_pool = write_latent(
+                    kv_pool, jnp.int32(i), c_kv, k_pe, fb.out_slots
+                )
+                ctx = mla_attention_xla(
+                    q_abs,
+                    q_pe,
+                    kv_pool,
+                    jnp.int32(i),
+                    fb.page_tables,
+                    fb.seq_lens,
+                    fb.positions,
+                    page_size,
+                    self.scale,
+                )  # [B, E, H, R]
             att = jnp.einsum("behr,rhv->behv", ctx, w_kb_v)
             x = x + jnp.einsum(
                 "beh,hd->bed", att.reshape(B, E, H * self.v_dim), lp["wo"]

@@ -177,3 +177,52 @@ def test_dp_attention_flag_validation(tmp_path_factory):
             page_size=4, max_total_tokens=1024, attention_backend="xla",
             random_seed=0, dp_size=1, enable_dp_attention=True,
         )
+
+
+def test_dp_attention_mla_deepseek(tmp_path_factory):
+    """DP-attention over the MLA latent pool: each data shard stores only
+    its requests' latents (the pool was replicated across ranks before)."""
+    if jax.device_count() < 2:
+        pytest.skip("not enough devices")
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        first_k_dense_replace=1, moe_layer_freq=1, routed_scaling_factor=1.0,
+        norm_topk_prob=False, topk_method="greedy", n_group=1, topk_group=1,
+        kv_lora_rank=32, q_lora_rank=None, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, max_position_embeddings=256,
+        tie_word_embeddings=False, torch_dtype="float32", eos_token_id=2,
+        rope_scaling=None, attention_bias=False,
+    )
+    torch.manual_seed(0)
+    hf = transformers.DeepseekV2ForCausalLM(cfg)
+    hf.eval()
+    d = tmp_path_factory.mktemp("dpattn_mla")
+    hf.save_pretrained(d, safe_serialization=True)
+    e = Engine(
+        model_path=str(d), dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=4096, attention_backend="xla",
+        random_seed=0, dp_size=2, tp_size=1, enable_dp_attention=True,
+    )
+    try:
+        runner = e.model_runner
+        # latent pool pages sharded over the data axis
+        assert runner.kv_pool.ckv.sharding.spec[1] == "data"
+        assert runner.model.dp_attn_mesh is not None
+        rng = np.random.default_rng(5)
+        prompts = [
+            rng.integers(3, VOCAB, size=k).tolist() for k in (5, 14, 9, 21)
+        ]
+        outs = e.generate(
+            input_ids=prompts,
+            sampling_params={"max_new_tokens": 6, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        refs = _hf_ref(hf, prompts, 6)
+        for o, ref in zip(outs, refs):
+            # HF stops at EOS; we run ignore_eos -> compare its span
+            assert o["output_ids"][: len(ref)] == ref, (o["output_ids"], ref)
+    finally:
+        e.shutdown()
