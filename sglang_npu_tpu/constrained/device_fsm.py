@@ -79,20 +79,30 @@ def build_device_grammar(
     S = len(order)
     nwords = (vocab.vocab_size + 31) // 32
     byte_table = np.full((S, 256), -1, dtype=np.int32)
-    mask_table = np.zeros((S, nwords), dtype=np.uint32)
+    accepting = np.zeros((S,), dtype=np.uint8)
     eos = vocab.eos_token_id
     for s in order:
         j = idx[s]
+        accepting[j] = bool(dfa.is_accepting(s))
         for b in range(256):
             t = dfa.step(s, b)
             if t != dfa.DEAD:
                 byte_table[j, b] = idx[t]
-        row = vocab.compute_mask(dfa, s)
-        if not row.any() and eos is not None:
-            # dead-end escape: allow EOS (matches FsmGrammar.vocab_mask)
-            row = row.copy()
-            row[eos >> 5] |= np.uint32(1 << (eos & 31))
-        mask_table[j] = row
+
+    # all-states mask projection: native C++ trie walk when a toolchain is
+    # available (csrc/token_mask.cpp — the xgrammar-core analogue), else
+    # the per-state Python walk
+    from sglang_npu_tpu.constrained.native_mask import compute_masks_native
+
+    mask_table = compute_masks_native(byte_table, accepting, vocab)
+    if mask_table is None:
+        mask_table = np.zeros((S, nwords), dtype=np.uint32)
+        for s in order:
+            mask_table[idx[s]] = vocab.compute_mask(dfa, s)
+    if eos is not None:
+        # dead-end escape: allow EOS (matches FsmGrammar.vocab_mask)
+        dead_end = ~mask_table.any(axis=1)
+        mask_table[dead_end, eos >> 5] |= np.uint32(1 << (eos & 31))
     return DeviceGrammar(byte_table, mask_table, idx)
 
 

@@ -173,3 +173,29 @@ def test_mixed_batch_grammar_and_free(tmp_path_factory):
         )
     finally:
         e.shutdown()
+
+
+def test_native_mask_matches_python():
+    """csrc/token_mask.cpp projection is bit-identical to the Python
+    per-state trie walk (and device tables use it when g++ exists)."""
+    import numpy as np
+
+    from sglang_npu_tpu.constrained import native_mask
+    from sglang_npu_tpu.constrained.device_fsm import build_device_grammar
+    from sglang_npu_tpu.constrained.regex_engine import LazyDFA
+    from sglang_npu_tpu.constrained.token_vocab import TokenVocab
+    from sglang_npu_tpu.tokenizer.byte_tokenizer import ByteTokenizer
+
+    if native_mask.load() is None:
+        pytest.skip("no C++ toolchain")
+    tok = ByteTokenizer()
+    vocab = TokenVocab.get(tok, tok.vocab_size)
+    dfa = LazyDFA(r'\{"k": "[a-z]+", "n": -?[0-9]{1,4}\}')
+    g = build_device_grammar(dfa, vocab)
+    ref = np.zeros_like(g.mask_table)
+    for s, j in g.state_index.items():
+        ref[j] = vocab.compute_mask(dfa, s)
+    eos = vocab.eos_token_id
+    dead = ~ref.any(axis=1)
+    ref[dead, eos >> 5] |= np.uint32(1 << (eos & 31))
+    assert (g.mask_table == ref).all()
