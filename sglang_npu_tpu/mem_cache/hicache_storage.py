@@ -167,6 +167,52 @@ class MemoryStorage(HiCacheStorage):
         self.store.clear()
 
 
+class ConnectorStorage(HiCacheStorage):
+    """KV pages in a remote blob store (reference `hicache_storage`'s
+    mooncake/hf3fs-class external backends): any `connector/` URL —
+    redis://, s3://, file:// — holds serialized pages keyed by content
+    hash.  Survives restarts and is shareable across engines."""
+
+    def __init__(self, url: str):
+        from sglang_npu_tpu.connector import create_connector
+
+        self.conn = create_connector(url)
+
+    def get(self, key: str) -> Optional[np.ndarray]:
+        import io
+
+        try:
+            raw = self.conn.get(key + ".npz")
+        except Exception:
+            return None
+        try:
+            with np.load(io.BytesIO(raw)) as z:
+                data, dtype = z["data"], str(z["dtype"])
+            # same raw-bytes+dtype scheme as FileStorage: KV rows are often
+            # ml_dtypes types (bfloat16) a bare np.save would mangle
+            return data.view(np.dtype(dtype))
+        except Exception:
+            return None
+
+    def set(self, key: str, value: np.ndarray) -> bool:
+        import io
+
+        buf = io.BytesIO()
+        raw = np.ascontiguousarray(value).view(np.uint8)
+        np.savez(buf, data=raw, dtype=np.str_(value.dtype.name))
+        try:
+            self.conn.set(key + ".npz", buf.getvalue())
+            return True
+        except Exception:
+            return False
+
+    def exists(self, key: str) -> bool:
+        try:
+            return bool(self.conn.list(key + ".npz"))
+        except Exception:
+            return False
+
+
 def make_storage(backend: Optional[str], path: str) -> Optional[HiCacheStorage]:
     if not backend:
         return None
@@ -174,4 +220,9 @@ def make_storage(backend: Optional[str], path: str) -> Optional[HiCacheStorage]:
         return FileStorage(path)
     if backend == "memory":
         return MemoryStorage()
+    if backend in ("redis", "s3", "connector"):
+        # path carries the connector URL (e.g. redis://host/prefix); the
+        # bare backend names accept a URL-less path for file:// parity
+        url = path if "://" in path else f"{backend}://{path}"
+        return ConnectorStorage(url)
     raise ValueError(f"unknown hicache storage backend: {backend!r}")

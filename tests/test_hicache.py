@@ -318,3 +318,26 @@ def test_engine_hicache_storage_backend(tmp_path_factory, tmp_path):
         assert o1b["meta_info"]["cached_tokens"] >= 40
     finally:
         e2.shutdown()
+
+
+def test_connector_storage_roundtrip(tmp_path):
+    """HiCache third tier through a connector URL (redis/s3-class; file://
+    here since the environment has no external services)."""
+    import numpy as np
+
+    try:
+        import ml_dtypes
+        bf16 = ml_dtypes.bfloat16
+    except ImportError:
+        bf16 = np.float32
+    from sglang_npu_tpu.mem_cache.hicache_storage import make_storage
+
+    st = make_storage("connector", f"file://{tmp_path}/kvstore")
+    arr = (np.arange(48, dtype=np.float32) / 7).astype(bf16)
+    assert not st.exists("h123")
+    assert st.set("h123", arr)
+    assert st.exists("h123")
+    back = st.get("h123")
+    assert back.dtype == arr.dtype
+    assert (back == arr).all()
+    assert st.get("missing") is None
