@@ -499,6 +499,15 @@ class Engine:
             out.append(sum(e[0] for e in entries) / max(len(entries), 1))
         return out
 
+    def rebalance_experts(self):
+        """Force an EPLB rebalance on the scheduler thread (reference
+        eplb_manager RPC)."""
+        from sglang_npu_tpu.managers.io_struct import RebalanceExpertsReqInput
+
+        self._sched_in.put(RebalanceExpertsReqInput())
+        out = self.tokenizer_manager.control_mailbox.get(timeout=600)
+        return out.success, out.message
+
     def update_weights_from_tensor(self, named_tensors):
         """In-memory weight sync: [(hf_name, np.ndarray)] (reference
         `Engine.update_weights_from_tensor`, RL trainer push)."""

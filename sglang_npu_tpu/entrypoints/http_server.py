@@ -66,6 +66,8 @@ class HttpServer:
         r.add_post("/resume_memory_occupation", self.resume_memory)
         r.add_post("/pause_generation", self.pause_generation)
         r.add_get("/kv_events", self.kv_events)
+        r.add_get("/expert_distribution", self.expert_distribution)
+        r.add_post("/rebalance_experts", self.rebalance_experts)
         r.add_post("/continue_generation", self.continue_generation)
         r.add_post("/encode", self.encode)
         r.add_post("/v1/embeddings", self.v1_embeddings)
@@ -376,6 +378,26 @@ class HttpServer:
         since = int(request.query.get("since", 0))
         events = pub.take(since)
         return web.json_response({"events": events, "seq": pub.seq})
+
+    async def expert_distribution(self, request: web.Request) -> web.Response:
+        """Accumulated per-layer per-expert routed-token counts (reference
+        /dump_expert_distribution_record; requires --enable-eplb)."""
+        snap = self.engine.model_runner.expert_load_snapshot()
+        if snap is None:
+            return _json_error("EPLB not enabled", 400)
+        return web.json_response({
+            "counts": snap.tolist(),
+            "rebalances": self.engine.model_runner.eplb_rebalance_count,
+        })
+
+    async def rebalance_experts(self, request: web.Request) -> web.Response:
+        """Force an EPLB rebalance now (reference eplb_manager RPC); runs
+        on the scheduler thread (it permutes live expert weights)."""
+        try:
+            ok, msg = await asyncio.to_thread(self.engine.rebalance_experts)
+        except Exception as e:
+            return _json_error(str(e), 500)
+        return web.json_response({"success": bool(ok), "message": msg})
 
     async def pause_generation(self, request: web.Request) -> web.Response:
         ok = await asyncio.to_thread(self.engine.pause_generation)

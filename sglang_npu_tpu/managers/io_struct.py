@@ -230,6 +230,12 @@ class UpdateWeightFromDiskReqOutput:
 
 
 @dataclasses.dataclass
+class RebalanceExpertsReqInput:
+    """Force an EPLB rebalance (reference eplb_manager RPC); must run on
+    the scheduler thread — it permutes live expert weights."""
+
+
+@dataclasses.dataclass
 class UpdateWeightsFromTensorReqInput:
     """In-memory weight sync (reference `update_weights_from_tensor`,
     RL rollout <-> trainer colocation): HF-named tensors."""

@@ -46,6 +46,7 @@ from sglang_npu_tpu.managers.io_struct import (
     ReleaseMemoryOccupationReqInput,
     ResumeMemoryOccupationReqInput,
     TokenizedGenerateReqInput,
+    RebalanceExpertsReqInput,
     UpdateWeightFromDiskReqInput,
     UpdateWeightFromDiskReqOutput,
     UpdateWeightsFromTensorReqInput,
@@ -375,6 +376,15 @@ class Scheduler:
                 ok, msg = False, str(e)
             self.output_queue.put(
                 UpdateWeightFromDiskReqOutput(success=ok, message=msg)
+            )
+        elif isinstance(item, RebalanceExpertsReqInput):
+            try:
+                ok = self.runner.rebalance_experts()
+                msg = "rebalanced" if ok else "no load recorded / disabled"
+            except Exception as e:
+                ok, msg = False, str(e)
+            self.output_queue.put(
+                UpdateWeightFromDiskReqOutput(success=bool(ok), message=msg)
             )
         elif isinstance(item, UpdateWeightsFromTensorReqInput):
             try:

@@ -207,3 +207,52 @@ def test_deepseek_eplb_rebalance_parity(tmp_path_factory):
         assert _gen(e, prompts) == ref
     finally:
         e.shutdown()
+
+
+async def test_eplb_http_rpcs(tmp_path_factory, loop):
+    """/expert_distribution + /rebalance_experts (scheduler-thread safe)."""
+    if jax.device_count() < 2:
+        pytest.skip("not enough devices")
+    torch.manual_seed(0)
+    hf = transformers.Qwen2MoeForCausalLM(_qwen_moe_cfg())
+    hf.eval()
+    d = tmp_path_factory.mktemp("qwen2moe_eplb_http")
+    hf.save_pretrained(d, safe_serialization=True)
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from sglang_npu_tpu.entrypoints.http_server import HttpServer
+
+    e = Engine(
+        model_path=str(d), dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=4096, attention_backend="xla",
+        random_seed=0, tp_size=2, ep_size=2,
+        enable_eplb=True, ep_num_redundant_experts=2,
+        eplb_rebalance_interval=10**9,
+    )
+    client = TestClient(TestServer(HttpServer(e).build_app()))
+    await client.start_server()
+    try:
+        rng = np.random.default_rng(0)
+        prompts = [rng.integers(3, VOCAB, size=8).tolist()]
+        _gen(e, prompts)
+        resp = await client.get("/expert_distribution")
+        assert resp.status == 200
+        data = await resp.json()
+        assert sum(sum(r) for r in data["counts"]) > 0
+        resp = await client.post("/rebalance_experts")
+        assert resp.status == 200
+        out = await resp.json()
+        assert out["success"], out
+        # still generates correctly after the RPC-triggered rebalance
+        refs = []
+        for p in prompts:
+            with torch.no_grad():
+                refs.append(
+                    hf.generate(
+                        torch.tensor([p]), max_new_tokens=6, do_sample=False
+                    )[0][len(p):].tolist()
+                )
+        assert _gen(e, prompts) == refs
+    finally:
+        await client.close()
+        e.shutdown()
