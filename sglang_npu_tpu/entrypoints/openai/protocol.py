@@ -82,7 +82,7 @@ class CompletionRequest:
         kwargs = {k: v for k, v in d.items() if k in known}
         kwargs.setdefault("model", "default")
         req = cls(**kwargs)
-        _expect(req.n == 1, "n>1 is not yet supported")
+        _expect(1 <= req.n <= 16, "n must be in [1, 16]")
         _expect(req.max_tokens >= 0, "max_tokens must be >= 0")
         return req
 
@@ -103,6 +103,7 @@ class CompletionRequest:
             "regex": self.regex,
             "json_schema": self.json_schema,
             "ebnf": self.ebnf,
+            "logit_bias": self.logit_bias,
         }
 
 
@@ -157,7 +158,7 @@ class ChatCompletionRequest:
         kwargs = {k: v for k, v in d.items() if k in known}
         kwargs.setdefault("model", "default")
         req = cls(**kwargs)
-        _expect(req.n == 1, "n>1 is not yet supported")
+        _expect(1 <= req.n <= 16, "n must be in [1, 16]")
         return req
 
     @property
@@ -191,6 +192,7 @@ class ChatCompletionRequest:
             "regex": self.regex,
             "json_schema": json_schema,
             "ebnf": self.ebnf,
+            "logit_bias": self.logit_bias,
         }
 
 

@@ -132,58 +132,79 @@ class ChatServing:
         if req.stream:
             return await self._stream(request, req, obj, rid)
 
-        last = None
-        try:
-            async for chunk in self.tm.generate_request(obj):
+        # n>1: fan out n engine requests (the shared prompt prefix is one
+        # radix-cache entry; sampling noise differs per row) — reference
+        # serving_chat n handling
+        import asyncio as _asyncio
+        import dataclasses as _dc
+
+        async def _collect(o):
+            last = None
+            async for chunk in self.tm.generate_request(o):
                 last = chunk
+            return last
+
+        objs = [obj]
+        for i in range(1, req.n):
+            objs.append(_dc.replace(obj, rid=f"{rid}-{i}"))
+        try:
+            lasts = await _asyncio.gather(*[_collect(o) for o in objs])
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
 
-        meta = last["meta_info"]
-        text = last.get("text", "")
-        reasoning = None
-        if req.separate_reasoning:
-            from sglang_npu_tpu.reasoning_parser import split_reasoning
+        usage = UsageInfo()
+        choices = []
+        for i, last in enumerate(lasts):
+            meta = last["meta_info"]
+            text = last.get("text", "")
+            reasoning = None
+            if req.separate_reasoning:
+                from sglang_npu_tpu.reasoning_parser import split_reasoning
 
-            reasoning, text = split_reasoning(
-                text, self.engine.server_args.reasoning_parser
+                reasoning, text = split_reasoning(
+                    text, self.engine.server_args.reasoning_parser
+                )
+            message = {"role": "assistant", "content": text}
+            if reasoning:
+                message["reasoning_content"] = reasoning
+            tool_calls = None
+            if req.tools and req.tool_choice != "none":
+                from sglang_npu_tpu.function_call.parser import (
+                    parse_tool_calls,
+                )
+
+                tool_calls, text_rest = parse_tool_calls(
+                    text, self.engine.server_args.tool_call_parser
+                )
+                if tool_calls:
+                    message["content"] = text_rest or None
+                    message["tool_calls"] = tool_calls
+            usage.prompt_tokens = meta["prompt_tokens"]
+            usage.completion_tokens += meta["completion_tokens"]
+            if meta.get("cached_tokens"):
+                usage.prompt_tokens_details = {
+                    "cached_tokens": meta.get("cached_tokens", 0)
+                }
+            finish = (
+                "tool_calls"
+                if tool_calls
+                else map_finish_reason(meta["finish_reason"])
             )
-        message = {"role": "assistant", "content": text}
-        if reasoning:
-            message["reasoning_content"] = reasoning
-        tool_calls = None
-        if req.tools and req.tool_choice != "none":
-            from sglang_npu_tpu.function_call.parser import parse_tool_calls
-
-            tool_calls, text_rest = parse_tool_calls(
-                text, self.engine.server_args.tool_call_parser
-            )
-            if tool_calls:
-                message["content"] = text_rest or None
-                message["tool_calls"] = tool_calls
-
-        usage = UsageInfo(
-            prompt_tokens=meta["prompt_tokens"],
-            completion_tokens=meta["completion_tokens"],
-            total_tokens=meta["prompt_tokens"] + meta["completion_tokens"],
-            prompt_tokens_details=(
-                {"cached_tokens": meta.get("cached_tokens", 0)}
-                if meta.get("cached_tokens")
-                else None
-            ),
-        )
-        finish = "tool_calls" if tool_calls else map_finish_reason(meta["finish_reason"])
-        choices = [
-            {
-                "index": 0,
+            choices.append({
+                "index": i,
                 "message": message,
                 "logprobs": None,
                 "finish_reason": finish,
-            }
-        ]
+            })
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
         return web.json_response(chat_response(rid, req.model, choices, usage))
 
     async def _stream(self, request, req, obj, rid) -> web.StreamResponse:
+        if req.n > 1:
+            return web.json_response(
+                {"error": {"message": "n>1 with stream is not supported"}},
+                status=400,
+            )
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
         )

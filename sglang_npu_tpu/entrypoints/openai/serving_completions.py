@@ -73,17 +73,45 @@ class CompletionServing:
         )
 
         if req.stream:
+            if req.n > 1:
+                return web.json_response(
+                    {"error": {"message": "n>1 with stream is not supported"}},
+                    status=400,
+                )
             return await self._stream(request, req, obj, rid)
 
-        results = []
+        if req.n > 1 and not isinstance(prompt, str):
+            return web.json_response(
+                {"error": {"message": "n>1 needs a single string prompt"}},
+                status=400,
+            )
+
+        async def _run(o):
+            out = []
+            async for chunk in self.tm.generate_request(o):
+                out.append(chunk)
+            return out
+
         try:
-            async for chunk in self.tm.generate_request(obj):
-                results.append(chunk)
+            if req.n > 1:
+                # fan out n requests; the shared prompt is one radix entry
+                import asyncio as _asyncio
+                import dataclasses as _dc
+
+                objs = [obj] + [
+                    _dc.replace(obj, rid=f"{rid}-{i}")
+                    for i in range(1, req.n)
+                ]
+                finals = [
+                    rs[-1] for rs in await _asyncio.gather(
+                        *[_run(o) for o in objs]
+                    )
+                ]
+            else:
+                results = await _run(obj)
+                finals = [results[-1]] if obj.is_single else results
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
-
-        obj_single = obj.is_single
-        finals = [results[-1]] if obj_single else results
         choices, usage = [], UsageInfo()
         for i, r in enumerate(finals):
             meta = r["meta_info"]
@@ -100,6 +128,9 @@ class CompletionServing:
             )
             usage.prompt_tokens += meta["prompt_tokens"]
             usage.completion_tokens += meta["completion_tokens"]
+        if req.n > 1:
+            # the shared prompt is billed once (OpenAI semantics)
+            usage.prompt_tokens = finals[0]["meta_info"]["prompt_tokens"]
         usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
         return web.json_response(
             completion_response(rid, req.model, choices, usage)

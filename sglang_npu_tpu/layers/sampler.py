@@ -126,6 +126,16 @@ def update_penalty_counts(counts_out, counts_all, tokens, active):
     return counts_out, counts_all
 
 
+def apply_logit_bias(logits: jax.Array, sampling: SamplingDevice) -> jax.Array:
+    """OpenAI logit_bias: sparse per-request (token, bias) scatter-add
+    (reference sampling_batch_info logit_bias tensor; kept sparse here —
+    a dense [B, V] bias would not fit the narrow host link)."""
+    B = logits.shape[0]
+    return logits.at[
+        jnp.arange(B)[:, None], sampling.logit_bias_ids
+    ].add(sampling.logit_bias_vals, mode="drop")
+
+
 def apply_min_new_tokens(
     logits: jax.Array, sampling: SamplingDevice, step_idx
 ) -> jax.Array:

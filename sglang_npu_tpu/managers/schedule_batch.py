@@ -398,6 +398,11 @@ class SamplingBatchNumpy:
     min_new_remaining: Optional[np.ndarray] = None  # [B] int32
     stop_mask_tokens: Optional[np.ndarray] = None  # [B, S] int32, -1 padded
     has_min_new: bool = False
+    # OpenAI logit_bias: sparse per-request (token id, bias) pairs; ids
+    # padded with an out-of-vocab sentinel so the device scatter drops them
+    logit_bias_ids: Optional[np.ndarray] = None  # [B, K] int32
+    logit_bias_vals: Optional[np.ndarray] = None  # [B, K] f32
+    has_logit_bias: bool = False
 
     @classmethod
     def from_reqs(cls, reqs: List[Req]) -> "SamplingBatchNumpy":
@@ -464,6 +469,26 @@ class SamplingBatchNumpy:
                 stop[i, : len(t)] = t
             out.min_new_remaining = remaining
             out.stop_mask_tokens = stop
+
+        if any(r.sampling_params.logit_bias for r in reqs):
+            out.has_logit_bias = True
+            K = max(
+                max(
+                    (len(r.sampling_params.logit_bias or {}) for r in reqs),
+                    default=1,
+                ),
+                1,
+            )
+            SENTINEL = 1 << 30  # out-of-vocab: device scatter drops it
+            ids = np.full((len(reqs), K), SENTINEL, dtype=np.int32)
+            vals = np.zeros((len(reqs), K), dtype=np.float32)
+            for i, r in enumerate(reqs):
+                lb = r.sampling_params.logit_bias or {}
+                for j, (tid, b) in enumerate(sorted(lb.items())):
+                    ids[i, j] = tid
+                    vals[i, j] = b
+            out.logit_bias_ids = ids
+            out.logit_bias_vals = vals
         return out
 
 

@@ -72,6 +72,9 @@ class SamplingDevice:
     # min_new_tokens EOS/stop suppression
     min_new_remaining: Optional[jax.Array] = None  # [B] int32
     stop_mask_tokens: Optional[jax.Array] = None  # [B, S] int32, -1 padded
+    # OpenAI logit_bias (sparse): ids padded with an out-of-vocab sentinel
+    logit_bias_ids: Optional[jax.Array] = None  # [B, K] int32
+    logit_bias_vals: Optional[jax.Array] = None  # [B, K] f32
 
 
 def pad_to(arr: np.ndarray, size: int, fill=0, axis: int = 0) -> np.ndarray:
@@ -190,5 +193,12 @@ def build_sampling_device(mwb: ModelWorkerBatch, bs_bucket: int) -> SamplingDevi
         )
         out.stop_mask_tokens = jnp.asarray(
             pad_to(s.stop_mask_tokens, bs_bucket, fill=-1)
+        )
+    if s.has_logit_bias:
+        out.logit_bias_ids = jnp.asarray(
+            pad_to(s.logit_bias_ids, bs_bucket, fill=1 << 30)
+        )
+        out.logit_bias_vals = jnp.asarray(
+            pad_to(s.logit_bias_vals, bs_bucket)
         )
     return out

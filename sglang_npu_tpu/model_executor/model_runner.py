@@ -564,6 +564,7 @@ class ModelRunner:
             params, kv_pool, fb: ForwardBatch, sampling, rng, sample_mode,
             return_logprob=False, top_logprobs_k=0, has_penalties=False,
             return_input_logprob=False, has_min_new=False,
+            has_logit_bias=False,
             d_params=None, eagle_state=None, hidden_slots=None,
             eagle_first=None, with_eagle=False,
         ):
@@ -596,6 +597,8 @@ class ModelRunner:
                     logits = sampler_ops.apply_penalties(
                         logits, sampling, co, ca
                     )
+                if has_logit_bias:
+                    logits = sampler_ops.apply_logit_bias(logits, sampling)
                 if sampling.vocab_mask is not None:
                     logits = sampler_ops.apply_packed_vocab_mask(
                         logits, sampling.vocab_mask
@@ -660,6 +663,8 @@ class ModelRunner:
                     sampling, logits.shape[-1]
                 )
                 logits = sampler_ops.apply_penalties(logits, sampling, co, ca)
+            if has_logit_bias:
+                logits = sampler_ops.apply_logit_bias(logits, sampling)
             if sampling.vocab_mask is not None:
                 logits = sampler_ops.apply_packed_vocab_mask(
                     logits, sampling.vocab_mask
@@ -692,6 +697,7 @@ class ModelRunner:
                 "has_penalties",
                 "return_input_logprob",
                 "has_min_new",
+                "has_logit_bias",
                 "with_eagle",
             ),
         )
@@ -719,6 +725,7 @@ class ModelRunner:
             top_logprobs_k=0,
             has_penalties=False,
             has_min_new=False,
+            has_logit_bias=False,
             lora_ids=None,
             fsm=None,
             has_fsm=False,
@@ -777,6 +784,8 @@ class ModelRunner:
                     logits, kv_pool = model(params, kv_pool, fb, ps)
                 if has_penalties:
                     logits = sampler_ops.apply_penalties(logits, sampling, co, ca)
+                if has_logit_bias:
+                    logits = sampler_ops.apply_logit_bias(logits, sampling)
                 if sampling.vocab_mask is not None:
                     logits = sampler_ops.apply_packed_vocab_mask(
                         logits, sampling.vocab_mask
@@ -854,6 +863,7 @@ class ModelRunner:
                 "top_logprobs_k",
                 "has_penalties",
                 "has_min_new",
+                "has_logit_bias",
                 "has_fsm",
                 "track_moe",
             ),
@@ -1081,6 +1091,7 @@ class ModelRunner:
                 has_penalties=mwb.sampling_info.has_penalties,
                 return_input_logprob=mwb.return_input_logprob and rl,
                 has_min_new=mwb.sampling_info.has_min_new,
+                has_logit_bias=mwb.sampling_info.has_logit_bias,
             )
         else:
             # decode: fused multi-step window
@@ -1104,6 +1115,7 @@ class ModelRunner:
                 top_logprobs_k=tk,
                 has_penalties=mwb.sampling_info.has_penalties,
                 has_min_new=mwb.sampling_info.has_min_new,
+                has_logit_bias=mwb.sampling_info.has_logit_bias,
                 lora_ids=(
                     jnp.asarray(pad_to(mwb.lora_ids, bs_bucket))
                     if mwb.lora_ids is not None

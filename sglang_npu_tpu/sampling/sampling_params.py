@@ -36,8 +36,14 @@ class SamplingParams:
     n: int = 1
     no_stop_trim: bool = False
     custom_params: Optional[Dict[str, Any]] = None
+    # OpenAI logit_bias: {token_id: bias in [-100, 100]} added to logits
+    logit_bias: Optional[Dict[Any, float]] = None
 
     def __post_init__(self):
+        if self.logit_bias:
+            self.logit_bias = {
+                int(k): float(v) for k, v in self.logit_bias.items()
+            }
         if self.stop is None:
             self.stop_strs: List[str] = []
         elif isinstance(self.stop, str):
