@@ -163,11 +163,22 @@ class Scheduler:
         else:
             self.tree_cache = RadixCache(self.allocator, self.page_size)
         if server_args.enable_kv_cache_events:
-            from sglang_npu_tpu.mem_cache.kv_events import KvEventPublisher
+            if server_args.enable_hierarchical_cache:
+                # HiRadixCache tombstones device pages while the host tier
+                # keeps them restorable — block-removed semantics are
+                # ambiguous there; not wired yet
+                logger.warning(
+                    "kv cache events are not supported with the "
+                    "hierarchical cache; disabling event publishing"
+                )
+            else:
+                from sglang_npu_tpu.mem_cache.kv_events import (
+                    KvEventPublisher,
+                )
 
-            self.tree_cache.events = KvEventPublisher(
-                server_args.kv_events_endpoint
-            )
+                self.tree_cache.events = KvEventPublisher(
+                    server_args.kv_events_endpoint
+                )
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
 
         self.waiting_queue: List[Req] = []
@@ -609,7 +620,12 @@ class Scheduler:
             req.swa_pages = []
 
     def flush_cache(self) -> bool:
-        if not self.running_batch.is_empty() or self.waiting_queue:
+        if (
+            not self.running_batch.is_empty()
+            or self.waiting_queue
+            or self.jump_queue  # jump-forward reqs still own KV pages
+            or self.chunked_req is not None
+        ):
             return False
         self.tree_cache.reset()
         self.allocator.clear()

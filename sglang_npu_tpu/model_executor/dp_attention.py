@@ -164,6 +164,10 @@ def dp_reorder_mwb(
     position in the reordered batch (gather model outputs with it)."""
     B = len(mwb.seq_lens)
     assert mwb.real_bs == B, "reorder expects an unpadded batch"
+    if mwb.mm_reqs is not None or mwb.mrope_positions is not None:
+        raise ValueError(
+            "DP-attention does not support multimodal batches yet"
+        )
     ranks = mwb.dp_ranks
     assert ranks is not None and len(ranks) == B
     rows = [np.flatnonzero(ranks == r) for r in range(dp)]

@@ -128,6 +128,12 @@ class ModelRunner:
                 raise ValueError("PP currently requires the XLA backend")
             if server_args.speculative_draft_model_path or server_args.lora_paths:
                 raise ValueError("PP + speculative/LoRA is not supported")
+            if server_args.enable_dp_attention:
+                raise ValueError(
+                    "PP + DP-attention is not supported yet (the GPipe "
+                    "microbatch split and the data-axis batch shard both "
+                    "partition the batch dim)"
+                )
             server_args.attention_backend = "xla"
             self.model.pp_size = self.pp
             self.model.pp_mesh = self.mesh
