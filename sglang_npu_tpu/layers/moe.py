@@ -169,6 +169,7 @@ def moe_mlp_ep(
     rc: jax.Array | None = None,  # [E] live replica count per expert
     collect_stats: bool = False,
     stats_mask: jax.Array | None = None,  # [T]
+    routing_fn=None,  # optional logits -> (weights, ids); default topk
 ):
     """Expert-parallel MoE: the TPU-native replacement for the reference's
     EP dispatch stack (`layers/moe/token_dispatcher/deepep.py`,
@@ -202,7 +203,10 @@ def moe_mlp_ep(
         logits = jnp.einsum(
             "td,de->te", x, router_w, preferred_element_type=jnp.float32
         )
-        weights, expert_ids = topk_routing(logits, top_k, norm_topk_prob)
+        if routing_fn is not None:
+            weights, expert_ids = routing_fn(logits)
+        else:
+            weights, expert_ids = topk_routing(logits, top_k, norm_topk_prob)
         stats = (
             routing_counts(expert_ids, E, smask) if collect_stats else None
         )

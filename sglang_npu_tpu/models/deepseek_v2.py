@@ -64,6 +64,17 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         self.routed_scaling = hf.get("routed_scaling_factor", 1.0)
         self.norm_topk = hf.get("norm_topk_prob", False)
         self.num_experts = self.n_experts
+        # DeepSeek-V3/R1: noaux_tc sigmoid router with a learned correction
+        # bias and group-restricted selection (HF DeepseekV3TopkRouter);
+        # V2-class checkpoints keep softmax greedy top-k
+        self.is_v3 = (
+            hf.get("model_type") == "deepseek_v3"
+            or "DeepseekV3ForCausalLM" in (config.architectures or [])
+            or hf.get("topk_method") == "noaux_tc"
+        )
+        self.n_group = hf.get("n_group", 1) or 1
+        self.topk_group = hf.get("topk_group", 1) or 1
+        self.rope_interleave = hf.get("rope_interleave", True)
 
         self.rope = make_rope_tables(
             self.qk_rope,
@@ -149,6 +160,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 E, Fm = self.n_experts, self.moe_inter
                 P_slots = E + self.num_redundant  # EPLB physical slots
                 lp["router"] = ((D, E), jnp.float32)
+                if self.is_v3:
+                    lp["router_bias"] = ((E,), jnp.float32)
                 lp["e_gate"] = ((P_slots, D, Fm), dt)
                 lp["e_up"] = ((P_slots, D, Fm), dt)
                 lp["e_down"] = ((P_slots, Fm, D), dt)
@@ -189,6 +202,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 lp["wq"] = P(None, "model")
             if self._is_moe(i):
                 lp["router"] = P(None, None)
+                if self.is_v3:
+                    lp["router_bias"] = P(None)
                 if self.ep_size > 1:
                     lp["e_gate"] = P("model", None, None)
                     lp["e_up"] = P("model", None, None)
@@ -233,6 +248,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 m[pre + "self_attn.q_proj.weight"] = (f"{k}.wq", "transpose")
             if self._is_moe(i):
                 m[pre + "mlp.gate.weight"] = (f"{k}.router", "transpose")
+                if self.is_v3:
+                    m[pre + "mlp.gate.e_score_correction_bias"] = (
+                        f"{k}.router_bias", None,
+                    )
                 for e in range(self.n_experts):
                     m[pre + f"mlp.experts.{e}.gate_proj.weight"] = (
                         f"{k}.e_gate.__expert__{e}",
@@ -267,11 +286,14 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
     # ------------------------------------------------------------------
     def _rope_interleaved(self, x, positions):
-        """DeepSeek rope: the HF checkpoint stores pe dims interleaved —
-        de-interleave, rotate (neox), matching HF's b/h permutation."""
+        """DeepSeek rope: checkpoints usually store pe dims interleaved —
+        de-interleave, rotate (neox), matching HF's b/h permutation;
+        `rope_interleave: false` configs (some V3 exports) skip the
+        de-interleave."""
         B, E, H, R = x.shape
-        x = x.reshape(B, E, H, R // 2, 2)
-        x = jnp.concatenate([x[..., 0], x[..., 1]], axis=-1)  # de-interleave
+        if self.rope_interleave:
+            x = x.reshape(B, E, H, R // 2, 2)
+            x = jnp.concatenate([x[..., 0], x[..., 1]], axis=-1)
         cos = self.rope["cos"][positions][:, :, None, :]
         sin = self.rope["sin"][positions][:, :, None, :]
         x32 = x.astype(jnp.float32)
@@ -326,6 +348,22 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         if self._is_moe(i):
             flat = h2.reshape(B * E, c.hidden_size)
             stats = None
+            routing_fn = None
+            if self.is_v3:
+                from sglang_npu_tpu.layers.moe import (
+                    sigmoid_group_topk_routing,
+                )
+
+                bias = lp["router_bias"]
+
+                def routing_fn(logits):
+                    return sigmoid_group_topk_routing(
+                        logits, bias, self.top_k,
+                        n_group=self.n_group, topk_group=self.topk_group,
+                        norm_topk_prob=self.norm_topk,
+                        routed_scaling=self.routed_scaling,
+                    )
+
             if self.ep_size > 1:
                 from sglang_npu_tpu.layers.moe import moe_mlp_ep
 
@@ -342,7 +380,26 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     rc=lp.get("eplb_rc"),
                     collect_stats=collect_stats,
                     stats_mask=stats_mask,
+                    routing_fn=routing_fn,
                 )
+            elif self.is_v3:
+                from sglang_npu_tpu.layers.moe import moe_apply
+
+                logits = jnp.einsum(
+                    "td,de->te", flat, lp["router"],
+                    preferred_element_type=jnp.float32,
+                )
+                weights, ids = routing_fn(logits)
+                out = moe_apply(
+                    flat, lp["e_gate"], lp["e_up"], lp["e_down"],
+                    weights, ids,
+                )
+                if collect_stats:
+                    from sglang_npu_tpu.layers.moe import routing_counts
+
+                    out = (out, routing_counts(
+                        ids, self.n_experts, stats_mask
+                    ))
             else:
                 out = moe_mlp(
                     flat,
@@ -357,7 +414,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 )
             if collect_stats:
                 out, stats = out
-            out = out * jnp.asarray(self.routed_scaling, flat.dtype)
+            # V3's routed_scaling is already inside the routing weights
+            if not self.is_v3:
+                out = out * jnp.asarray(self.routed_scaling, flat.dtype)
             if self.n_shared:
                 g = jnp.einsum("td,df->tf", flat, lp["s_gate"])
                 u = jnp.einsum("td,df->tf", flat, lp["s_up"])

@@ -24,6 +24,7 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
         "sglang_npu_tpu.models.qwen2_5_vl", "Qwen2_5_VLForCausalLM",
     ),
     "DeepseekV2ForCausalLM": ("sglang_npu_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
+    "DeepseekV3ForCausalLM": ("sglang_npu_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "Glm4ForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4ForCausalLM"),
     "GlmForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4MoeForCausalLM"),
     "Glm4MoeForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4MoeForCausalLM"),
