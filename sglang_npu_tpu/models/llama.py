@@ -42,6 +42,11 @@ class LlamaForCausalLM:
     # microbatch schedule in _pp_backbone_forward
     pp_size = 1
     pp_mesh = None
+    # Granite-class scalar multipliers (1.0 = plain llama; statically
+    # folded away when unused)
+    embedding_multiplier = 1.0
+    residual_multiplier = 1.0
+    logits_scaling = 1.0
 
     def __init__(self, config: ModelConfig, attn_backend=None):
         self.config = config
@@ -189,6 +194,8 @@ class LlamaForCausalLM:
                 params["lm_head"],
                 preferred_element_type=jnp.float32,
             )
+        if self.logits_scaling != 1.0:
+            logits = logits / self.logits_scaling
         if collect_moe:
             return logits, new_kv, moe_stats
         return logits, new_kv
@@ -260,6 +267,8 @@ class LlamaForCausalLM:
         x = params["embed"][fb.input_ids].astype(
             jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         )  # [B, E, D]
+        if self.embedding_multiplier != 1.0:
+            x = x * jnp.asarray(self.embedding_multiplier, x.dtype)
         if fb.input_embeds is not None:
             # multimodal: image-token rows replaced by vision embeddings
             x = jnp.where(
@@ -314,18 +323,21 @@ class LlamaForCausalLM:
             q, k = apply_rope_cs(q, k, *rope_cs)
 
             att, kv_pool = self._attention(q, k, v, kv_pool, l, fb, page_size)
-            x = x + _proj(
+            rm = self.residual_multiplier
+            att_out = _proj(
                 att.reshape(B, E, self.q_size), lp, "wo", "beh,hd->bed"
             )
+            x = x + (att_out if rm == 1.0 else att_out * jnp.asarray(rm, x.dtype))
 
             h = rms_norm(x, lp["post_norm"], eps)
             if collect_moe:
                 delta, stats = self._mlp(
                     h, lp, _proj, collect_stats=True, stats_mask=smask
                 )
-                x = x + delta
+                x = x + (delta if rm == 1.0 else delta * jnp.asarray(rm, x.dtype))
                 return (x, kv_pool, l + 1), stats
-            x = x + self._mlp(h, lp, _proj)
+            delta = self._mlp(h, lp, _proj)
+            x = x + (delta if rm == 1.0 else delta * jnp.asarray(rm, x.dtype))
             return (x, kv_pool, l + 1), None
 
         (x, new_kv, _), ys = jax.lax.scan(

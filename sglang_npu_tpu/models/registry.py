@@ -28,6 +28,8 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Glm4ForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4ForCausalLM"),
     "GlmForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4MoeForCausalLM"),
     "Glm4MoeForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4MoeForCausalLM"),
+    "Phi3ForCausalLM": ("sglang_npu_tpu.models.phi3", "Phi3ForCausalLM"),
+    "GraniteForCausalLM": ("sglang_npu_tpu.models.granite", "GraniteForCausalLM"),
     "BertModel": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
     "BertForMaskedLM": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
 }

@@ -64,6 +64,8 @@ SUITES = {
         "test_glm4.py",
         "test_bert_embedding.py",
         "test_n_logit_bias.py",
+        "test_phi3.py",
+        "test_granite.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",

@@ -1,0 +1,72 @@
+"""Phi-3 parity vs HF (fused qkv/gate_up projections)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from sglang_npu_tpu.entrypoints.engine import Engine
+
+VOCAB = 128
+
+
+def test_phi3_matches_hf(tmp_path_factory):
+    cfg = transformers.Phi3Config(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        torch_dtype="float32", eos_token_id=2, bos_token_id=1,
+        pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Phi3ForCausalLM(cfg)
+    hf.eval()
+    d = tmp_path_factory.mktemp("phi3")
+    hf.save_pretrained(d, safe_serialization=True)
+    e = Engine(
+        model_path=str(d), dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=2048, attention_backend="xla",
+        random_seed=0,
+    )
+    try:
+        rng = np.random.default_rng(0)
+        for n in (6, 14, 25):
+            p = rng.integers(3, VOCAB, size=n).tolist()
+            out = e.generate(
+                input_ids=[p],
+                sampling_params={"max_new_tokens": 6, "temperature": 0.0,
+                                 "ignore_eos": True},
+            )
+            with torch.no_grad():
+                ref = hf.generate(
+                    torch.tensor([p]), max_new_tokens=6, do_sample=False
+                )[0][n:].tolist()
+            got = out[0]["output_ids"][: len(ref)]
+            assert got == ref, (got, ref)
+    finally:
+        e.shutdown()
+
+
+def test_phi3_longrope_rejected(tmp_path_factory):
+    import json
+    import os
+
+    d = tmp_path_factory.mktemp("phi3_lr")
+    cfg = {
+        "architectures": ["Phi3ForCausalLM"], "model_type": "phi3",
+        "vocab_size": VOCAB, "hidden_size": 64, "intermediate_size": 128,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "torch_dtype": "float32",
+        "rope_scaling": {"rope_type": "longrope",
+                          "short_factor": [1.0], "long_factor": [1.0]},
+    }
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    with pytest.raises(Exception, match="longrope"):
+        Engine(
+            model_path=str(d), dtype="float32", skip_tokenizer_init=True,
+            load_format="dummy", page_size=4, max_total_tokens=512,
+            attention_backend="xla", random_seed=0,
+        )
