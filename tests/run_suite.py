@@ -66,6 +66,7 @@ SUITES = {
         "test_n_logit_bias.py",
         "test_phi3.py",
         "test_granite.py",
+        "test_stress_mix.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",

@@ -199,3 +199,58 @@ def test_native_mask_matches_python():
     dead = ~ref.any(axis=1)
     ref[dead, eos >> 5] |= np.uint32(1 << (eos & 31))
     assert (g.mask_table == ref).all()
+
+
+def test_constrained_throughput_ratio(tmp_path_factory):
+    """Structured decode must stay within striking distance of free decode
+    (round-1 weakness: grammar collapsed the fused window to K=1 host
+    masking; the device FSM + jump-forward keep K>1).  CPU timing is
+    noisy, so the floor is deliberately loose — it catches a collapse
+    back to per-token host work, not small regressions."""
+    import time
+
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from sglang_npu_tpu.entrypoints.engine import Engine
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=512, torch_dtype="float32", eos_token_id=257,
+    )
+    torch.manual_seed(0)
+    d = tmp_path_factory.mktemp("fsm_tput")
+    transformers.LlamaForCausalLM(cfg).save_pretrained(
+        d, safe_serialization=True
+    )
+    e = Engine(
+        model_path=str(d), dtype="float32", tokenizer_mode="byte",
+        page_size=4, max_total_tokens=8192, attention_backend="xla",
+        random_seed=0,
+    )
+    try:
+        prompts = [f"row {i}: " for i in range(8)]
+        free_sp = {"max_new_tokens": 48, "temperature": 0.8,
+                   "ignore_eos": True}
+        json_sp = dict(free_sp)
+        json_sp["regex"] = r'\{"k": "[a-z]+", "v": [0-9]+\}' + r"[a-z ]*"
+
+        def run(sp):
+            # warmup compiles outside the timed region
+            e.generate(prompts[:1], dict(sp))
+            e.flush_cache()
+            t0 = time.time()
+            outs = e.generate(prompts, sp)
+            dt = time.time() - t0
+            total = sum(len(o["output_ids"]) for o in outs)
+            e.flush_cache()
+            return total / dt
+
+        free = run(free_sp)
+        constrained = run(json_sp)
+        ratio = constrained / free
+        assert ratio >= 0.25, f"constrained collapse: {ratio:.2f}x of free"
+    finally:
+        e.shutdown()
