@@ -30,6 +30,7 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Glm4MoeForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4MoeForCausalLM"),
     "Phi3ForCausalLM": ("sglang_npu_tpu.models.phi3", "Phi3ForCausalLM"),
     "GraniteForCausalLM": ("sglang_npu_tpu.models.granite", "GraniteForCausalLM"),
+    "Olmo2ForCausalLM": ("sglang_npu_tpu.models.olmo2", "Olmo2ForCausalLM"),
     "BertModel": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
     "BertForMaskedLM": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
 }

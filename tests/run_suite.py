@@ -67,6 +67,7 @@ SUITES = {
         "test_phi3.py",
         "test_granite.py",
         "test_stress_mix.py",
+        "test_olmo2.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",
