@@ -111,10 +111,18 @@ class ModelConfig:
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=cfg.get("rope_scaling"),
             max_position_embeddings=max_pos,
-            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            tie_word_embeddings=cfg.get(
+                "tie_word_embeddings",
+                # HF omits default-valued keys from config.json; these
+                # families default to tied heads
+                model_type in ("starcoder2", "gemma", "gemma2", "gemma3"),
+            ),
             attention_bias=cfg.get(
                 "attention_bias",
-                model_type in ("qwen2", "qwen2_5_vl", "qwen2_5_vl_text"),
+                cfg.get(  # starcoder2 spells it use_bias
+                    "use_bias",
+                    model_type in ("qwen2", "qwen2_5_vl", "qwen2_5_vl_text"),
+                ),
             ),
             hidden_act=cfg.get("hidden_act", "silu"),
             eos_token_ids=tuple(eos),

@@ -31,6 +31,7 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Phi3ForCausalLM": ("sglang_npu_tpu.models.phi3", "Phi3ForCausalLM"),
     "GraniteForCausalLM": ("sglang_npu_tpu.models.granite", "GraniteForCausalLM"),
     "Olmo2ForCausalLM": ("sglang_npu_tpu.models.olmo2", "Olmo2ForCausalLM"),
+    "Starcoder2ForCausalLM": ("sglang_npu_tpu.models.starcoder2", "Starcoder2ForCausalLM"),
     "BertModel": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
     "BertForMaskedLM": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
 }
