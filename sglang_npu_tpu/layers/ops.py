@@ -52,6 +52,7 @@ def make_rope_tables(
 
     half = head_dim // 2
     inv_freq = 1.0 / (rope_theta ** (np.arange(0, half, dtype=np.float64) / half))
+    mscale = 1.0  # yarn attention factor folded into cos/sin
 
     if rope_scaling:
         rtype = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
@@ -70,7 +71,45 @@ def make_rope_tables(
             inv_freq = np.where(is_mid, mid, scaled)
         elif rtype == "linear":
             inv_freq = inv_freq / rope_scaling["factor"]
-        elif rtype in ("dynamic", "yarn"):
+        elif rtype == "yarn":
+            # Exact HF yarn (`modeling_rope_utils._compute_yarn_parameters`):
+            # per-dim blend of interpolated and extrapolated frequencies via
+            # a linear ramp between the beta-derived correction dims, plus
+            # the attention (mscale) factor folded into cos/sin.
+            factor = rope_scaling.get("factor", 1.0)
+            orig = rope_scaling.get(
+                "original_max_position_embeddings", max_position
+            )
+            beta_fast = rope_scaling.get("beta_fast", 32.0)
+            beta_slow = rope_scaling.get("beta_slow", 1.0)
+            truncate = rope_scaling.get("truncate", True)
+            attn_factor = rope_scaling.get("attention_factor")
+            if attn_factor is None:
+                attn_factor = 0.1 * np.log(factor) + 1.0
+            dim = head_dim
+
+            def corr_dim(num_rot):
+                return (
+                    dim * np.log(orig / (num_rot * 2 * np.pi))
+                ) / (2 * np.log(rope_theta))
+
+            low, high = corr_dim(beta_fast), corr_dim(beta_slow)
+            if truncate:
+                low, high = np.floor(low), np.ceil(high)
+            low = max(low, 0.0)
+            high = min(high, dim - 1.0)
+            ramp = np.clip(
+                (np.arange(half, dtype=np.float64) - low)
+                / max(high - low, 1e-3),
+                0.0, 1.0,
+            )
+            extrap_factor = 1.0 - ramp
+            inv_freq = (
+                inv_freq / factor * (1.0 - extrap_factor)
+                + inv_freq * extrap_factor
+            )
+            mscale = float(attn_factor)
+        elif rtype == "dynamic":
             # Approximate: NTK-style base rescale.
             factor = rope_scaling.get("factor", 1.0)
             base = rope_theta * factor ** (half / max(half - 2, 1))
@@ -81,8 +120,8 @@ def make_rope_tables(
     t = np.arange(max_position, dtype=np.float64)
     freqs = np.outer(t, inv_freq)
     return {
-        "cos": jnp.asarray(np.cos(freqs), dtype=dtype),
-        "sin": jnp.asarray(np.sin(freqs), dtype=dtype),
+        "cos": jnp.asarray(np.cos(freqs) * mscale, dtype=dtype),
+        "sin": jnp.asarray(np.sin(freqs) * mscale, dtype=dtype),
     }
 
 

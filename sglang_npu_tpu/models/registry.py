@@ -32,6 +32,7 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "GraniteForCausalLM": ("sglang_npu_tpu.models.granite", "GraniteForCausalLM"),
     "Olmo2ForCausalLM": ("sglang_npu_tpu.models.olmo2", "Olmo2ForCausalLM"),
     "Starcoder2ForCausalLM": ("sglang_npu_tpu.models.starcoder2", "Starcoder2ForCausalLM"),
+    "GptOssForCausalLM": ("sglang_npu_tpu.models.gpt_oss", "GptOssForCausalLM"),
     "BertModel": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
     "BertForMaskedLM": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
 }

@@ -185,8 +185,13 @@ def paged_attention_xla(
     scale: float,
     logit_cap: float = 0.0,
     sliding_window: int = -1,
+    sinks=None,  # [H_q] learned sink logits (gpt-oss attention sinks)
 ) -> jax.Array:
     """Masked attention of q against the pool KV selected by page_tables.
+
+    With ``sinks``, the softmax denominator includes a per-head learned
+    sink logit (gpt-oss: softmax over [scores | sink], sink column
+    dropped) — attention can "abstain" by dumping mass on the sink.
 
     Returns [B, E, H_q, D].
     """
@@ -232,7 +237,14 @@ def paged_attention_xla(
         mask = mask & (kv_pos > qp - sliding_window)
     scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)
 
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    if sinks is not None:
+        s = sinks.astype(jnp.float32).reshape(1, 1, Hkv, group, 1)
+        m = jnp.maximum(scores.max(axis=-1, keepdims=True), s)
+        p = jnp.exp(scores - m)
+        denom = p.sum(axis=-1, keepdims=True) + jnp.exp(s - m)
+        probs = (p / denom).astype(q.dtype)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum(
         "behgps,bphsd->behgd",
         probs.reshape(B, E, Hkv, group, P, page_size),

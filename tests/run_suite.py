@@ -69,6 +69,7 @@ SUITES = {
         "test_stress_mix.py",
         "test_olmo2.py",
         "test_starcoder2.py",
+        "test_gpt_oss.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",
