@@ -115,7 +115,9 @@ class ModelConfig:
                 "tie_word_embeddings",
                 # HF omits default-valued keys from config.json; these
                 # families default to tied heads
-                model_type in ("starcoder2", "gemma", "gemma2", "gemma3"),
+                model_type in (
+                    "starcoder2", "gemma", "gemma2", "gemma3", "smollm3"
+                ),
             ),
             attention_bias=cfg.get(
                 "attention_bias",

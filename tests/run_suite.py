@@ -70,6 +70,7 @@ SUITES = {
         "test_olmo2.py",
         "test_starcoder2.py",
         "test_gpt_oss.py",
+        "test_smollm3.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",
