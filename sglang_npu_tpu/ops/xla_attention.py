@@ -186,6 +186,7 @@ def paged_attention_xla(
     logit_cap: float = 0.0,
     sliding_window: int = -1,
     sinks=None,  # [H_q] learned sink logits (gpt-oss attention sinks)
+    chunk_size: int = 0,  # llama4 chunked attention (aligned local blocks)
 ) -> jax.Array:
     """Masked attention of q against the pool KV selected by page_tables.
 
@@ -235,6 +236,10 @@ def paged_attention_xla(
     else:
         # traced per-layer window (e.g. Gemma-2 alternating layers)
         mask = mask & (kv_pos > qp - sliding_window)
+    if chunk_size:
+        # llama4 chunked attention: query at position p attends only
+        # within its aligned chunk [floor(p/C)*C, p]
+        mask = mask & (kv_pos >= (qp // chunk_size) * chunk_size)
     scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)
 
     if sinks is not None:

@@ -71,6 +71,7 @@ SUITES = {
         "test_starcoder2.py",
         "test_gpt_oss.py",
         "test_smollm3.py",
+        "test_llama4.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",
