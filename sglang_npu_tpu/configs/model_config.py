@@ -78,6 +78,22 @@ class ModelConfig:
                     merged[k] = v
             merged.pop("text_config", None)
             cfg = merged
+        if "n_embd" in cfg:
+            # GPT-2-family field names (gpt2, gpt_bigcode)
+            cfg = dict(cfg)
+            cfg.setdefault("hidden_size", cfg["n_embd"])
+            cfg.setdefault("num_hidden_layers", cfg["n_layer"])
+            cfg.setdefault("num_attention_heads", cfg["n_head"])
+            cfg.setdefault(
+                "max_position_embeddings", cfg.get("n_positions", 1024)
+            )
+            inner = cfg.get("n_inner")
+            cfg.setdefault(
+                "intermediate_size", inner if inner else 4 * cfg["n_embd"]
+            )
+            cfg.setdefault("rms_norm_eps", cfg.get("layer_norm_epsilon", 1e-5))
+            if cfg.get("multi_query"):
+                cfg.setdefault("num_key_value_heads", 1)
         heads = cfg["num_attention_heads"]
         kv_heads = cfg.get("num_key_value_heads", heads)
         head_dim = cfg.get("head_dim") or cfg["hidden_size"] // heads
@@ -116,14 +132,16 @@ class ModelConfig:
                 # HF omits default-valued keys from config.json; these
                 # families default to tied heads
                 model_type in (
-                    "starcoder2", "gemma", "gemma2", "gemma3", "smollm3"
+                    "starcoder2", "gemma", "gemma2", "gemma3", "smollm3",
+                    "gpt2", "gpt_bigcode",
                 ),
             ),
             attention_bias=cfg.get(
                 "attention_bias",
                 cfg.get(  # starcoder2 spells it use_bias
                     "use_bias",
-                    model_type in ("qwen2", "qwen2_5_vl", "qwen2_5_vl_text"),
+                    model_type
+                    in ("qwen2", "qwen2_5_vl", "qwen2_5_vl_text", "phi"),
                 ),
             ),
             hidden_act=cfg.get("hidden_act", "silu"),

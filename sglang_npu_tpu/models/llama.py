@@ -194,6 +194,8 @@ class LlamaForCausalLM:
                 params["lm_head"],
                 preferred_element_type=jnp.float32,
             )
+        if "lm_head_b" in params:  # phi-style biased head
+            logits = logits + params["lm_head_b"]
         if self.logits_scaling != 1.0:
             logits = logits / self.logits_scaling
         if collect_moe:

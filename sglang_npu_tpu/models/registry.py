@@ -33,6 +33,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Olmo2ForCausalLM": ("sglang_npu_tpu.models.olmo2", "Olmo2ForCausalLM"),
     "Starcoder2ForCausalLM": ("sglang_npu_tpu.models.starcoder2", "Starcoder2ForCausalLM"),
     "GptOssForCausalLM": ("sglang_npu_tpu.models.gpt_oss", "GptOssForCausalLM"),
+    "GPT2LMHeadModel": ("sglang_npu_tpu.models.gpt2", "GPT2LMHeadModel"),
+    "GPTBigCodeForCausalLM": ("sglang_npu_tpu.models.gpt2", "GPTBigCodeForCausalLM"),
+    "PhiForCausalLM": ("sglang_npu_tpu.models.phi", "PhiForCausalLM"),
     "Llama4ForCausalLM": ("sglang_npu_tpu.models.llama4", "Llama4ForCausalLM"),
     "SmolLM3ForCausalLM": ("sglang_npu_tpu.models.smollm3", "SmolLM3ForCausalLM"),
     "BertModel": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),

@@ -72,6 +72,8 @@ SUITES = {
         "test_gpt_oss.py",
         "test_smollm3.py",
         "test_llama4.py",
+        "test_phi.py",
+        "test_gpt2_bigcode.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",
