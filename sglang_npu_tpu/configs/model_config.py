@@ -133,7 +133,7 @@ class ModelConfig:
                 # families default to tied heads
                 model_type in (
                     "starcoder2", "gemma", "gemma2", "gemma3", "smollm3",
-                    "gpt2", "gpt_bigcode",
+                    "gpt2", "gpt_bigcode", "cohere",
                 ),
             ),
             attention_bias=cfg.get(

@@ -163,6 +163,9 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                 elif transform == "flatten_oc_transpose":
                     # ConvNd kernel [out_c, ...] -> [prod(...), out_c]
                     tensor = tensor.reshape(tensor.shape[0], -1).T
+                elif transform == "transpose_last2":
+                    # stacked per-expert [E, out, in] -> [E, in, out]
+                    tensor = tensor.swapaxes(-1, -2)
                 target = _get_path(host, dest)
                 if layer_idx is not None:
                     target = target[layer_idx]

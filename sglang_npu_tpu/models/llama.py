@@ -316,6 +316,10 @@ class LlamaForCausalLM:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
                 v = v + lp["bv"]
+            if "q_norm_full" in lp:
+                # olmoe-style RMS norm over the FULL projected q/k width
+                q = rms_norm(q, lp["q_norm_full"], eps)
+                k = rms_norm(k, lp["k_norm_full"], eps)
             q = q.reshape(B, E, c.num_attention_heads, c.head_dim)
             k = k.reshape(B, E, c.num_key_value_heads, c.head_dim)
             v = v.reshape(B, E, c.num_key_value_heads, c.head_dim)

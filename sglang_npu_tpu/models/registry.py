@@ -35,6 +35,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "GptOssForCausalLM": ("sglang_npu_tpu.models.gpt_oss", "GptOssForCausalLM"),
     "GPT2LMHeadModel": ("sglang_npu_tpu.models.gpt2", "GPT2LMHeadModel"),
     "GPTBigCodeForCausalLM": ("sglang_npu_tpu.models.gpt2", "GPTBigCodeForCausalLM"),
+    "GraniteMoeForCausalLM": ("sglang_npu_tpu.models.granitemoe", "GraniteMoeForCausalLM"),
+    "OlmoeForCausalLM": ("sglang_npu_tpu.models.olmoe", "OlmoeForCausalLM"),
+    "CohereForCausalLM": ("sglang_npu_tpu.models.commandr", "CohereForCausalLM"),
     "PhiForCausalLM": ("sglang_npu_tpu.models.phi", "PhiForCausalLM"),
     "Llama4ForCausalLM": ("sglang_npu_tpu.models.llama4", "Llama4ForCausalLM"),
     "SmolLM3ForCausalLM": ("sglang_npu_tpu.models.smollm3", "SmolLM3ForCausalLM"),

@@ -74,6 +74,9 @@ SUITES = {
         "test_llama4.py",
         "test_phi.py",
         "test_gpt2_bigcode.py",
+        "test_commandr.py",
+        "test_olmoe.py",
+        "test_granitemoe.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",
