@@ -41,6 +41,11 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "PhiForCausalLM": ("sglang_npu_tpu.models.phi", "PhiForCausalLM"),
     "Llama4ForCausalLM": ("sglang_npu_tpu.models.llama4", "Llama4ForCausalLM"),
     "SmolLM3ForCausalLM": ("sglang_npu_tpu.models.smollm3", "SmolLM3ForCausalLM"),
+    "LlamaForSequenceClassification": ("sglang_npu_tpu.models.pooled_head", "LlamaForSequenceClassification"),
+    "LlamaForClassification": ("sglang_npu_tpu.models.pooled_head", "LlamaForClassification"),
+    "Qwen2ForSequenceClassification": ("sglang_npu_tpu.models.pooled_head", "Qwen2ForSequenceClassification"),
+    "Qwen2ForRewardModel": ("sglang_npu_tpu.models.pooled_head", "Qwen2ForRewardModel"),
+    "Gemma2ForSequenceClassification": ("sglang_npu_tpu.models.pooled_head", "Gemma2ForSequenceClassification"),
     "BertModel": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
     "BertForMaskedLM": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
 }

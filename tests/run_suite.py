@@ -77,6 +77,7 @@ SUITES = {
         "test_commandr.py",
         "test_olmoe.py",
         "test_granitemoe.py",
+        "test_classification_reward.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",
