@@ -36,6 +36,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "GPT2LMHeadModel": ("sglang_npu_tpu.models.gpt2", "GPT2LMHeadModel"),
     "GPTBigCodeForCausalLM": ("sglang_npu_tpu.models.gpt2", "GPTBigCodeForCausalLM"),
     "GraniteMoeForCausalLM": ("sglang_npu_tpu.models.granitemoe", "GraniteMoeForCausalLM"),
+    "OlmoForCausalLM": ("sglang_npu_tpu.models.olmo", "OlmoForCausalLM"),
+    "ArceeForCausalLM": ("sglang_npu_tpu.models.arcee", "ArceeForCausalLM"),
+    "StableLmForCausalLM": ("sglang_npu_tpu.models.stablelm", "StableLmForCausalLM"),
     "OlmoeForCausalLM": ("sglang_npu_tpu.models.olmoe", "OlmoeForCausalLM"),
     "CohereForCausalLM": ("sglang_npu_tpu.models.commandr", "CohereForCausalLM"),
     "PhiForCausalLM": ("sglang_npu_tpu.models.phi", "PhiForCausalLM"),

@@ -78,6 +78,7 @@ SUITES = {
         "test_olmoe.py",
         "test_granitemoe.py",
         "test_classification_reward.py",
+        "test_olmo_arcee_stablelm.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",
