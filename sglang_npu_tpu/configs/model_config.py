@@ -78,6 +78,24 @@ class ModelConfig:
                     merged[k] = v
             merged.pop("text_config", None)
             cfg = merged
+        if "d_model" in cfg and "attn_config" in cfg:
+            # DBRX field names (nested attn/ffn sub-configs)
+            cfg = dict(cfg)
+            ac = cfg.get("attn_config") or {}
+            fc = cfg.get("ffn_config") or {}
+            if not isinstance(ac, dict):
+                ac = ac.to_dict()
+            if not isinstance(fc, dict):
+                fc = fc.to_dict()
+            cfg.setdefault("hidden_size", cfg["d_model"])
+            cfg.setdefault("num_hidden_layers", cfg["n_layers"])
+            cfg.setdefault("num_attention_heads", cfg["n_heads"])
+            cfg.setdefault("max_position_embeddings", cfg.get("max_seq_len", 4096))
+            cfg.setdefault("num_key_value_heads", ac.get("kv_n_heads", cfg["n_heads"]))
+            cfg.setdefault("rope_theta", ac.get("rope_theta", 10000.0))
+            cfg.setdefault("intermediate_size", fc.get("ffn_hidden_size", 4 * cfg["d_model"]))
+            cfg.setdefault("num_experts", fc.get("moe_num_experts", 0))
+            cfg.setdefault("num_experts_per_tok", fc.get("moe_top_k", 0))
         if "n_embd" in cfg:
             # GPT-2-family field names (gpt2, gpt_bigcode)
             cfg = dict(cfg)

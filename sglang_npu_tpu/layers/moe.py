@@ -270,3 +270,33 @@ def moe_mlp_ep(
         out_specs=(P(), P()) if collect_stats else P(),
         check_vma=False,
     )(*args)
+
+
+def sparsemixer_routing(logits: "jax.Array", jitter_eps: float):
+    """PhiMoE inference-time sparsemixer top-2 routing (HF
+    `modeling_phimoe.sparsemixer`, training branches elided): pick the
+    argmax, softmax over the *threshold-masked* logits for its weight,
+    mask it out and repeat for the second expert.  The mask keeps only
+    experts within a relative ``2*jitter_eps`` band of the max
+    (thresholds computed against the ORIGINAL logits both rounds)."""
+    neg = jnp.float32(-1e30)
+    s = logits.astype(jnp.float32)  # [T, E]
+
+    def pick(cur):
+        m = cur.max(axis=-1, keepdims=True)
+        e = jnp.argmax(cur, axis=-1)  # [T]
+        factor = jnp.maximum(jnp.abs(s), m)
+        drop = ((m - s) / factor) > (2.0 * jitter_eps)
+        gates = jnp.where(drop, neg, cur)
+        probs = jax.nn.softmax(gates, axis=-1)
+        w = jnp.take_along_axis(probs, e[:, None], axis=-1)[:, 0]
+        return w, e
+
+    w1, e1 = pick(s)
+    s2 = jnp.where(
+        jax.nn.one_hot(e1, s.shape[-1], dtype=bool), neg, s
+    )
+    w2, e2 = pick(s2)
+    weights = jnp.stack([w1, w2], axis=-1)
+    ids = jnp.stack([e1, e2], axis=-1).astype(jnp.int32)
+    return weights, ids

@@ -166,6 +166,17 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                 elif transform == "transpose_last2":
                     # stacked per-expert [E, out, in] -> [E, in, out]
                     tensor = tensor.swapaxes(-1, -2)
+                elif transform in ("unstack_experts", "unstack_experts_t"):
+                    # DBRX flat expert blobs [E*F, D]: reshape to the
+                    # target's expert count; "_t" also swaps to [E, D, F]
+                    tgt = _get_path(host, dest)
+                    if layer_idx is not None:
+                        tgt = tgt[layer_idx]
+                    tensor = tensor.reshape(
+                        tgt.shape[0], -1, tensor.shape[-1]
+                    )
+                    if transform == "unstack_experts_t":
+                        tensor = tensor.swapaxes(-1, -2)
                 target = _get_path(host, dest)
                 if layer_idx is not None:
                     target = target[layer_idx]

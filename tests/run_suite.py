@@ -79,6 +79,8 @@ SUITES = {
         "test_granitemoe.py",
         "test_classification_reward.py",
         "test_olmo_arcee_stablelm.py",
+        "test_phimoe.py",
+        "test_dbrx.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",
