@@ -36,6 +36,8 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "GPT2LMHeadModel": ("sglang_npu_tpu.models.gpt2", "GPT2LMHeadModel"),
     "GPTBigCodeForCausalLM": ("sglang_npu_tpu.models.gpt2", "GPTBigCodeForCausalLM"),
     "GraniteMoeForCausalLM": ("sglang_npu_tpu.models.granitemoe", "GraniteMoeForCausalLM"),
+    "Exaone4ForCausalLM": ("sglang_npu_tpu.models.exaone4", "Exaone4ForCausalLM"),
+    "PersimmonForCausalLM": ("sglang_npu_tpu.models.persimmon", "PersimmonForCausalLM"),
     "DbrxForCausalLM": ("sglang_npu_tpu.models.dbrx", "DbrxForCausalLM"),
     "PhimoeForCausalLM": ("sglang_npu_tpu.models.phimoe", "PhimoeForCausalLM"),
     "OlmoForCausalLM": ("sglang_npu_tpu.models.olmo", "OlmoForCausalLM"),

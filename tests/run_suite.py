@@ -81,6 +81,8 @@ SUITES = {
         "test_olmo_arcee_stablelm.py",
         "test_phimoe.py",
         "test_dbrx.py",
+        "test_persimmon.py",
+        "test_exaone4.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",
