@@ -327,6 +327,10 @@ class LlamaForCausalLM:
                 q = rms_norm(q, lp["q_norm"], eps)
                 k = rms_norm(k, lp["k_norm"], eps)
             q, k = apply_rope_cs(q, k, *rope_cs)
+            if "q_norm_post" in lp:
+                # hunyuan-style per-head qk RMS norm AFTER rope
+                q = rms_norm(q, lp["q_norm_post"], eps)
+                k = rms_norm(k, lp["k_norm_post"], eps)
 
             att, kv_pool = self._attention(q, k, v, kv_pool, l, fb, page_size)
             rm = self.residual_multiplier

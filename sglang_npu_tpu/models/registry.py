@@ -36,6 +36,7 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "GPT2LMHeadModel": ("sglang_npu_tpu.models.gpt2", "GPT2LMHeadModel"),
     "GPTBigCodeForCausalLM": ("sglang_npu_tpu.models.gpt2", "GPTBigCodeForCausalLM"),
     "GraniteMoeForCausalLM": ("sglang_npu_tpu.models.granitemoe", "GraniteMoeForCausalLM"),
+    "HunYuanDenseV1ForCausalLM": ("sglang_npu_tpu.models.hunyuan", "HunYuanDenseV1ForCausalLM"),
     "Exaone4ForCausalLM": ("sglang_npu_tpu.models.exaone4", "Exaone4ForCausalLM"),
     "PersimmonForCausalLM": ("sglang_npu_tpu.models.persimmon", "PersimmonForCausalLM"),
     "DbrxForCausalLM": ("sglang_npu_tpu.models.dbrx", "DbrxForCausalLM"),

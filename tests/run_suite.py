@@ -83,6 +83,7 @@ SUITES = {
         "test_dbrx.py",
         "test_persimmon.py",
         "test_exaone4.py",
+        "test_hunyuan.py",
         "test_device_fsm.py",
         "test_swa.py",
         "test_gemma3.py",
