@@ -58,6 +58,7 @@ class HttpServer:
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
         r.add_post("/prefill_only", self.prefill_only)
         r.add_post("/receive_prefill", self.receive_prefill)
+        r.add_post("/pd_register", self.pd_register)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
         r.add_post("/open_session", self.open_session)
@@ -256,8 +257,12 @@ class HttpServer:
         )
 
     async def prefill_only(self, request: web.Request) -> web.Response:
-        """PD prefill-side: run prefill, return first token + KV pages as an
-        npz body (reference `send_kv_chunk` over RDMA; here DCN/HTTP)."""
+        """PD prefill-side: run prefill and either return the packed KV
+        payload (legacy proxy mode) or — when the request carries a
+        ``room`` + ``decode_url`` — push it DIRECTLY to the decode
+        server through the selected transfer engine and return only a
+        tiny ack (reference mooncake room handshake: the router never
+        relays KV bytes)."""
         if self.engine.server_args.disaggregation_mode != "prefill":
             return _json_error("not a prefill server", 400)
         body = await request.json()
@@ -269,54 +274,92 @@ class HttpServer:
             )
         except Exception as e:
             return _json_error(str(e), 500)
-        import io as _io
-
-        import numpy as _np
-
-        kv = _np.ascontiguousarray(handoff.kv_data)
-        buf = _io.BytesIO()
-        # bf16 has no portable npz dtype: ship raw bytes + dtype/shape
-        _np.savez(
-            buf,
-            kv_bytes=kv.view(_np.uint8).reshape(-1),
-            kv_shape=_np.asarray(kv.shape, _np.int64),
-            fill_ids=_np.asarray(handoff.fill_ids, _np.int64),
-            first_token=_np.asarray([handoff.first_token]),
+        from sglang_npu_tpu.disaggregation import (
+            encode_payload,
+            get_kv_sender,
         )
+
+        room = body.get("room")
+        decode_url = body.get("decode_url")
+        if room and decode_url:
+            sender = get_kv_sender(body.get("transfer", "http"))
+            try:
+                await sender.send(
+                    self._http_session(), decode_url, room, handoff
+                )
+            except Exception as e:
+                return _json_error(f"KV transfer failed: {e}", 502)
+            return web.json_response(
+                {"rid": handoff.rid, "room": room, "transferred": True}
+            )
+        payload, headers = encode_payload(handoff)
         return web.Response(
-            body=buf.getvalue(),
+            body=payload,
             content_type="application/octet-stream",
-            headers={"X-Rid": handoff.rid, "X-Kv-Dtype": str(kv.dtype)},
+            headers=headers,
         )
+
+    def _http_session(self):
+        import aiohttp
+
+        if getattr(self, "_pd_session", None) is None:
+            self._pd_session = aiohttp.ClientSession()
+        return self._pd_session
+
+    def _pd_rooms(self):
+        if getattr(self, "_pd_room_table", None) is None:
+            from sglang_npu_tpu.disaggregation import RoomTable
+
+            self._pd_room_table = RoomTable()
+        return self._pd_room_table
 
     async def receive_prefill(self, request: web.Request) -> web.Response:
-        """PD decode-side: accept transferred KV (npz body) + sampling
-        params (headers) and decode to completion."""
-        import io as _io
+        """PD decode-side: accept transferred KV.  With an ``X-Room``
+        header the payload is parked in the bootstrap room (ack returns
+        immediately so the prefill server can free its pages) and the
+        matching `/pd_register` long-poll completes the decode;
+        without one, legacy inline inject+decode."""
         import json as _json
 
-        import numpy as _np
+        from sglang_npu_tpu.disaggregation import decode_payload
 
         raw = await request.read()
-        data = _np.load(_io.BytesIO(raw))
+        try:
+            h = decode_payload(raw, request.headers)
+        except Exception as e:
+            return _json_error(f"bad KV payload: {e}", 400)
+        room = request.headers.get("X-Room", "")
+        if room:
+            self._pd_rooms().deliver(room, h)
+            return web.json_response({"room": room, "stored": True})
         sp = _json.loads(request.headers.get("X-Sampling-Params", "{}"))
-        rid = request.headers.get("X-Rid", "") or None
-        dt_name = request.headers.get("X-Kv-Dtype", "bfloat16")
-        import ml_dtypes  # noqa: F401  (registers bfloat16 with numpy)
-
-        kv_dtype = _np.dtype(dt_name)
-        shape = tuple(data["kv_shape"].tolist())
-
-        class _H:
-            pass
-
-        h = _H()
-        h.rid = rid or __import__("uuid").uuid4().hex
-        h.fill_ids = data["fill_ids"].tolist()
-        h.first_token = int(data["first_token"][0])
-        h.kv_data = data["kv_bytes"].view(kv_dtype).reshape(shape)
         try:
             out = await asyncio.to_thread(self.engine.inject_decode, h, sp)
+            return web.json_response(out)
+        except Exception as e:
+            return _json_error(str(e), 500)
+
+    async def pd_register(self, request: web.Request) -> web.Response:
+        """PD decode-side bootstrap-room registration: long-polls until
+        the prefill server delivers the room's KV, then injects and
+        returns the decode result (reference decode-side
+        `event_loop_normal_disagg_decode` waiting on the transfer
+        queue)."""
+        body = await request.json()
+        room = body.get("room")
+        if not room:
+            return _json_error("missing room", 400)
+        try:
+            h = await self._pd_rooms().wait(
+                room, timeout=float(body.get("timeout", 600))
+            )
+        except Exception:
+            return _json_error(f"room {room} timed out", 504)
+        try:
+            out = await asyncio.to_thread(
+                self.engine.inject_decode, h,
+                body.get("sampling_params") or {},
+            )
             return web.json_response(out)
         except Exception as e:
             return _json_error(str(e), 500)

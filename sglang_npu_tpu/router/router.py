@@ -119,11 +119,17 @@ class Router:
         retries: int = 2,
         health_interval: float = 10.0,
         health_failures: int = 3,
+        pd_transfer: str = "proxy",
     ):
         self.workers: List[str] = [w.rstrip("/") for w in worker_urls]
         self.policy = policy
         self.pd_prefill = [w.rstrip("/") for w in (pd_prefill_urls or [])]
         self.pd_decode = [w.rstrip("/") for w in (pd_decode_urls or [])]
+        # KV transfer engine for PD pairs: "proxy" relays the payload
+        # through the router (legacy); "http"/"shm"/"fake" use
+        # bootstrap rooms with direct prefill->decode pushes
+        # (disaggregation/, reference mooncake room handshake)
+        self.pd_transfer = pd_transfer
         self.inflight: Dict[str, int] = {w: 0 for w in self._all_workers()}
         self.total: Dict[str, int] = {w: 0 for w in self._all_workers()}
         self.retried: int = 0
@@ -245,14 +251,26 @@ class Router:
     # ------------------------------------------------------------------
     async def _pd_generate(self, request, raw, body) -> web.StreamResponse:
         """PD orchestration (reference pd_router.rs / mini_lb): prefill on
-        a prefill worker, ship the KV npz to a decode worker, return the
-        decode result."""
+        a prefill worker, move the KV to a decode worker, return the
+        decode result.  With a room-based transfer engine the KV bytes
+        go DIRECTLY prefill->decode; the router only coordinates."""
         pw = self.pick_worker(body, self.pd_prefill)
         self._note_routed(body, pw)
         dw = self._shortest(self._healthy(self.pd_decode))
         for w in (pw, dw):
             self.inflight[w] = self.inflight.get(w, 0) + 1
             self.total[w] = self.total.get(w, 0) + 1
+        if self.pd_transfer != "proxy":
+            try:
+                return await self._pd_generate_rooms(body, pw, dw)
+            except aiohttp.ClientError as e:
+                return web.json_response(
+                    {"error": {"message": f"pd pipeline failed: {e}"}},
+                    status=502,
+                )
+            finally:
+                for w in (pw, dw):
+                    self.inflight[w] = max(self.inflight.get(w, 1) - 1, 0)
         try:
             async with self.session.post(
                 pw + "/prefill_only", data=raw,
@@ -284,6 +302,44 @@ class Router:
         finally:
             for w in (pw, dw):
                 self.inflight[w] = max(self.inflight.get(w, 1) - 1, 0)
+
+    async def _pd_generate_rooms(self, body, pw: str, dw: str):
+        """Room-based PD flow: register the room on the decode worker
+        (long-poll), tell the prefill worker to push the KV straight to
+        it, then relay the decode result."""
+        import uuid as _uuid
+
+        room = _uuid.uuid4().hex
+        sp = (body or {}).get("sampling_params", {})
+        reg = asyncio.create_task(
+            self.session.post(
+                dw + "/pd_register",
+                json={"room": room, "sampling_params": sp},
+            )
+        )
+        try:
+            async with self.session.post(
+                pw + "/prefill_only",
+                json={
+                    "input_ids": (body or {}).get("input_ids"),
+                    "sampling_params": sp,
+                    "room": room,
+                    "decode_url": dw,
+                    "transfer": self.pd_transfer,
+                },
+            ) as pre:
+                if pre.status != 200:
+                    reg.cancel()
+                    return web.json_response(
+                        {"error": {"message": await pre.text()}},
+                        status=pre.status,
+                    )
+        except BaseException:
+            reg.cancel()
+            raise
+        dec = await reg
+        async with dec:
+            return web.json_response(await dec.json(), status=dec.status)
 
     # ------------------------------------------------------------------
     async def _health_loop(self):
@@ -426,6 +482,14 @@ def main(argv=None):
     p.add_argument("--cache-threshold", type=float, default=0.5)
     p.add_argument("--retries", type=int, default=2)
     p.add_argument("--health-interval", type=float, default=10.0)
+    p.add_argument(
+        "--pd-transfer",
+        default="proxy",
+        choices=["proxy", "http", "shm", "fake"],
+        help="PD KV transfer engine: proxy relays bytes through the "
+        "router; http/shm push directly prefill->decode via bootstrap "
+        "rooms (shm = same-host /dev/shm fast path)",
+    )
     args = p.parse_args(argv)
     router = Router(
         args.worker_urls,
@@ -435,6 +499,7 @@ def main(argv=None):
         cache_threshold=args.cache_threshold,
         retries=args.retries,
         health_interval=args.health_interval,
+        pd_transfer=args.pd_transfer,
     )
     web.run_app(router.build_app(), host=args.host, port=args.port)
 

@@ -120,3 +120,75 @@ async def test_pd_over_http(tmp_path_factory, loop):
         await dc.close()
         pe.shutdown()
         de.shutdown()
+
+
+@pytest.mark.parametrize("transfer", ["http", "shm"])
+async def test_pd_room_direct_transfer(tmp_path_factory, loop, transfer):
+    """Bootstrap-room flow (disaggregation/ transfer engines): decode
+    registers a room via /pd_register (long-poll); prefill pushes the KV
+    DIRECTLY to the decode server (http = packed payload, shm = /dev/shm
+    metadata-only fast path); no byte relaying through a router."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from sglang_npu_tpu.entrypoints.http_server import HttpServer
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=256, torch_dtype="float32", eos_token_id=2,
+    )
+    torch.manual_seed(4)
+    hf = transformers.LlamaForCausalLM(cfg)
+    hf.eval()
+    d = tmp_path_factory.mktemp(f"pd_room_{transfer}")
+    hf.save_pretrained(d, safe_serialization=True)
+    common = dict(
+        model_path=str(d), dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=2048, attention_backend="xla",
+        random_seed=0,
+    )
+    pe = Engine(**common, disaggregation_mode="prefill")
+    de = Engine(**common, disaggregation_mode="decode")
+    pc = TestClient(TestServer(HttpServer(pe).build_app()))
+    dc = TestClient(TestServer(HttpServer(de).build_app()))
+    await pc.start_server()
+    await dc.start_server()
+    try:
+        prompt = [5, 9, 14, 33, 7, 21]
+        sp = {"max_new_tokens": 5, "temperature": 0.0}
+        decode_url = str(dc.server.make_url("/")).rstrip("/")
+        room = "room-test-1"
+        reg = asyncio.ensure_future(
+            dc.post(
+                "/pd_register",
+                json={"room": room, "sampling_params": sp, "timeout": 60},
+            )
+        )
+        resp = await pc.post(
+            "/prefill_only",
+            json={
+                "input_ids": prompt,
+                "sampling_params": sp,
+                "room": room,
+                "decode_url": decode_url,
+                "transfer": transfer,
+            },
+        )
+        assert resp.status == 200
+        ack = await resp.json()
+        assert ack["transferred"] and ack["room"] == room
+        dec = await reg
+        assert dec.status == 200
+        out = await dec.json()
+        with torch.no_grad():
+            ref = hf.generate(
+                torch.tensor([prompt]), max_new_tokens=5, do_sample=False
+            )[0][6:].tolist()
+        assert out["output_ids"] == ref
+    finally:
+        await pc.close()
+        await dc.close()
+        pe.shutdown()
+        de.shutdown()

@@ -258,9 +258,12 @@ async def test_router_health_quarantine(two_servers, loop):
         await ts.close()
 
 
-async def test_router_pd_orchestration(tmp_path_factory, loop):
-    """PD mode: /generate = prefill_only on a prefill worker + KV ship to a
-    decode worker (reference pd_router/mini_lb)."""
+@pytest.mark.parametrize("transfer", ["proxy", "shm"])
+async def test_router_pd_orchestration(tmp_path_factory, loop, transfer):
+    """PD mode: /generate = prefill_only on a prefill worker + KV move to
+    a decode worker (reference pd_router/mini_lb).  "proxy" relays the
+    payload through the router; "shm" uses bootstrap rooms with a direct
+    same-host /dev/shm push."""
     cfg = transformers.LlamaConfig(
         vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
@@ -269,7 +272,7 @@ async def test_router_pd_orchestration(tmp_path_factory, loop):
     torch.manual_seed(0)
     hf = transformers.LlamaForCausalLM(cfg)
     hf.eval()
-    d = tmp_path_factory.mktemp("router_pd_model")
+    d = tmp_path_factory.mktemp(f"router_pd_model_{transfer}")
     hf.save_pretrained(d, safe_serialization=True)
     common = dict(
         model_path=str(d), dtype="float32", skip_tokenizer_init=True,
@@ -288,6 +291,7 @@ async def test_router_pd_orchestration(tmp_path_factory, loop):
         pd_prefill_urls=[f"http://{tsp.host}:{tsp.port}"],
         pd_decode_urls=[f"http://{tsd.host}:{tsd.port}"],
         health_interval=0,
+        pd_transfer=transfer,
     )
     client = TestClient(TestServer(router.build_app()))
     await client.start_server()
