@@ -217,6 +217,10 @@ class RegexParser:
         if c in ("D", "W", "S"):
             pos = self.ESCAPE_CLASSES[c.lower()]
             return self._byte_set(set(range(256)) - pos)
+        if c == "x":
+            hx = self.pat[self.i : self.i + 2]
+            self.i += 2
+            return self._byte_set({int(hx, 16)})
         return self._literal(c)
 
     def _char_class(self):
@@ -237,31 +241,27 @@ class RegexParser:
                 self.i += 1
                 break
             first = False
-            if c == "\\":
-                self.i += 1
-                e = self.pat[self.i]
-                self.i += 1
-                if e in self.ESCAPE_CLASSES:
-                    byte_values |= self.ESCAPE_CLASSES[e]
-                    continue
-                lo_ch = e
-            else:
-                self.i += 1
-                lo_ch = c
+            item = self._class_item()
+            if isinstance(item, set):
+                byte_values |= item
+                continue
+            lo_code = item  # a unicode codepoint (``\xHH`` yields its byte)
             if self._peek() == "-" and self.pat[self.i + 1 : self.i + 2] not in ("]", ""):
                 self.i += 1
-                hi_ch = self.pat[self.i]
-                self.i += 1
-                for code in range(ord(lo_ch), ord(hi_ch) + 1):
-                    byte_values |= set(chr(code).encode("utf-8")) if code < 128 else set()
-                    if code >= 128:
+                hi_item = self._class_item()
+                if isinstance(hi_item, set):
+                    raise ValueError("invalid char-class range endpoint")
+                for code in range(lo_code, hi_item + 1):
+                    if code < 128:
+                        byte_values.add(code)
+                    else:
                         multi.append(self._literal(chr(code)))
             else:
-                bs = lo_ch.encode("utf-8")
+                bs = chr(lo_code).encode("utf-8")
                 if len(bs) == 1:
                     byte_values.add(bs[0])
                 else:
-                    multi.append(self._literal(lo_ch))
+                    multi.append(self._literal(chr(lo_code)))
         if negate:
             byte_values = set(range(256)) - byte_values
             # negated classes are byte-level only (no multi-byte subtraction)
@@ -275,6 +275,24 @@ class RegexParser:
             self.nfa.add_edge(s, EPS, fs)
             self.nfa.add_edge(fa, EPS, a)
         return s, a
+
+    def _class_item(self):
+        """One char-class item: a codepoint (int) or an escape byte-set."""
+        c = self.pat[self.i]
+        self.i += 1
+        if c != "\\":
+            return ord(c)
+        e = self.pat[self.i]
+        self.i += 1
+        if e in self.ESCAPE_CLASSES:
+            return set(self.ESCAPE_CLASSES[e])
+        if e in ("D", "W", "S"):
+            return set(range(256)) - self.ESCAPE_CLASSES[e.lower()]
+        if e == "x":
+            hx = self.pat[self.i : self.i + 2]
+            self.i += 2
+            return int(hx, 16)
+        return ord(e)
 
     def _peek(self) -> Optional[str]:
         return self.pat[self.i] if self.i < len(self.pat) else None

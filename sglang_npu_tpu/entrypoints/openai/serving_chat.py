@@ -115,6 +115,21 @@ class ChatServing:
             template_name=sa.chat_template, model_path=sa.model_path,
         )
         sp = req.to_sampling_params()
+        # tool_choice "required" / named function -> constrain decoding to
+        # valid tool-call syntax for the configured --tool-call-parser
+        # (reference FunctionCallParser.get_structure_constraint)
+        if req.tools and not (
+            sp.get("regex") or sp.get("json_schema") or sp.get("ebnf")
+        ):
+            from sglang_npu_tpu.function_call.tool_constraint import (
+                build_tool_constraint,
+            )
+
+            constraint = build_tool_constraint(
+                req.tools, req.tool_choice, sa.tool_call_parser
+            )
+            if constraint is not None:
+                sp[constraint[0]] = constraint[1]
         if extra_stops:
             stop = sp.get("stop")
             stop = (
@@ -174,7 +189,9 @@ class ChatServing:
                 )
 
                 tool_calls, text_rest = parse_tool_calls(
-                    text, self.engine.server_args.tool_call_parser
+                    text,
+                    self.engine.server_args.tool_call_parser,
+                    tools=req.tools,
                 )
                 if tool_calls:
                     message["content"] = text_rest or None
@@ -217,11 +234,17 @@ class ChatServing:
         # name arrives as its own delta, arguments as raw JSON fragments
         tool_parser = None
         if req.tools and req.tool_choice != "none":
+            from sglang_npu_tpu.function_call.detectors import get_detector
             from sglang_npu_tpu.function_call.streaming import (
                 StreamingToolCallParser,
             )
 
-            tool_parser = StreamingToolCallParser()
+            det = get_detector(self.engine.server_args.tool_call_parser)
+            if det is not None:
+                tool_parser = det.streaming()
+                tool_parser.tools = req.tools
+            else:
+                tool_parser = StreamingToolCallParser()
 
         async def _write(deltas, meta, final=False):
             nonlocal first

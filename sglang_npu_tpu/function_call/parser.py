@@ -41,10 +41,25 @@ def _try_parse_json_call(obj: Any) -> Optional[Dict[str, Any]]:
 
 
 def parse_tool_calls(
-    text: str, parser: Optional[str] = None
+    text: str, parser: Optional[str] = None, tools: Optional[list] = None
 ) -> Tuple[Optional[List[Dict[str, Any]]], str]:
-    """Returns (tool_calls or None, remaining_text)."""
+    """Returns (tool_calls or None, remaining_text).
+
+    With a named `parser` (--tool-call-parser llama3/qwen25/mistral/
+    deepseekv3/pythonic/kimi_k2/glm45/step3/qwen3_coder) the per-model
+    detector handles the format; otherwise the generic JSON-flavored
+    fallback below covers hermes/mistral/bare-JSON outputs.
+    """
     if not text:
+        return None, text
+
+    from sglang_npu_tpu.function_call.detectors import get_detector
+
+    det = get_detector(parser)
+    if det is not None:
+        rest, calls = det.detect_and_parse(text, tools)
+        if calls:
+            return calls, rest
         return None, text
 
     # <tool_call> blocks

@@ -142,3 +142,20 @@ def test_e2e_constrained_generation(tmp_path_factory):
         assert isinstance(parsed, dict)
     finally:
         e.shutdown()
+
+
+def test_json_string_values_allow_full_charset():
+    """Regression: the engine mis-parsed STRING_RE's [^"\\\\\\x00-\\x1f]
+    class (no \\xHH support), rejecting JSON strings containing uppercase
+    letters, digits, or 'x'."""
+    from sglang_npu_tpu.constrained.json_schema import schema_to_regex
+    from sglang_npu_tpu.constrained.regex_engine import LazyDFA
+
+    pat = schema_to_regex(
+        {"type": "object", "properties": {"q": {"type": "string"}},
+         "required": ["q"]}
+    )
+    dfa = LazyDFA(pat)
+    assert dfa.accepts(b'{"q": "x"}')
+    assert dfa.accepts(b'{"q": "Oslo 42 Xy"}')
+    assert not dfa.accepts(b'{"q": "raw\x01ctrl"}')
