@@ -80,7 +80,16 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
         pack_w4_np,
     )
 
+    from sglang_npu_tpu.model_loader.bnb_loader import (
+        dequantize_bnb_tensor,
+        is_bnb_quant_config,
+        split_bnb_key,
+    )
+
     qcfg = detect_quant_config(model_path)
+    bnb = is_bnb_quant_config(qcfg)
+    if bnb:
+        qcfg = None  # the AWQ/GPTQ suffix path below does not apply
     if qcfg is not None and qcfg["bits"] != 4:
         logger.warning(
             "quantized checkpoint with bits=%d; only 4-bit ingestion is "
@@ -99,9 +108,47 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
 
     loaded = set()
     qcollect: Dict[tuple, Dict[str, np.ndarray]] = {}
+    bnb_collect: Dict[str, Dict] = {}
+
+    def _store(dest, layer_idx, expert_idx, transform, tensor):
+        if transform == "transpose":
+            tensor = tensor.T
+        elif transform == "squeeze":
+            tensor = tensor.reshape(-1)
+        elif transform == "flatten_oc_transpose":
+            # ConvNd kernel [out_c, ...] -> [prod(...), out_c]
+            tensor = tensor.reshape(tensor.shape[0], -1).T
+        elif transform == "transpose_last2":
+            # stacked per-expert [E, out, in] -> [E, in, out]
+            tensor = tensor.swapaxes(-1, -2)
+        elif transform in ("unstack_experts", "unstack_experts_t"):
+            # DBRX flat expert blobs [E*F, D]: reshape to the
+            # target's expert count; "_t" also swaps to [E, D, F]
+            tgt = _get_path(host, dest)
+            if layer_idx is not None:
+                tgt = tgt[layer_idx]
+            tensor = tensor.reshape(tgt.shape[0], -1, tensor.shape[-1])
+            if transform == "unstack_experts_t":
+                tensor = tensor.swapaxes(-1, -2)
+        target = _get_path(host, dest)
+        if layer_idx is not None:
+            target = target[layer_idx]
+        if expert_idx is not None:
+            target = target[expert_idx]
+        np.copyto(target, tensor.astype(target.dtype))
+
     for fpath in files:
         with safe_open(fpath, framework="np") as f:
             for name in f.keys():
+                if bnb:
+                    side = split_bnb_key(name)
+                    if side is not None:
+                        base, suf = side
+                        bnb_collect.setdefault(base, {})[suf] = f.get_tensor(
+                            name
+                        )
+                        loaded.add(name)
+                        continue
                 qsuffix = None
                 lookup = name
                 if lookup.startswith("model.language_model."):
@@ -156,34 +203,23 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                     ] = tensor
                     loaded.add(name)
                     continue
-                if transform == "transpose":
-                    tensor = tensor.T
-                elif transform == "squeeze":
-                    tensor = tensor.reshape(-1)
-                elif transform == "flatten_oc_transpose":
-                    # ConvNd kernel [out_c, ...] -> [prod(...), out_c]
-                    tensor = tensor.reshape(tensor.shape[0], -1).T
-                elif transform == "transpose_last2":
-                    # stacked per-expert [E, out, in] -> [E, in, out]
-                    tensor = tensor.swapaxes(-1, -2)
-                elif transform in ("unstack_experts", "unstack_experts_t"):
-                    # DBRX flat expert blobs [E*F, D]: reshape to the
-                    # target's expert count; "_t" also swaps to [E, D, F]
-                    tgt = _get_path(host, dest)
-                    if layer_idx is not None:
-                        tgt = tgt[layer_idx]
-                    tensor = tensor.reshape(
-                        tgt.shape[0], -1, tensor.shape[-1]
-                    )
-                    if transform == "unstack_experts_t":
-                        tensor = tensor.swapaxes(-1, -2)
-                target = _get_path(host, dest)
-                if layer_idx is not None:
-                    target = target[layer_idx]
-                if expert_idx is not None:
-                    target = target[expert_idx]
-                np.copyto(target, tensor.astype(target.dtype))
+                if bnb and tensor.dtype == np.uint8 and name.endswith(".weight"):
+                    # bnb-packed linear: dequantize once sidecars arrive
+                    entry = bnb_collect.setdefault(name, {})
+                    entry["weight"] = tensor
+                    entry["_dest"] = (dest, layer_idx, expert_idx, transform)
+                    loaded.add(name)
+                    continue
+                _store(dest, layer_idx, expert_idx, transform, tensor)
                 loaded.add(name)
+
+    for base, entry in bnb_collect.items():
+        if "_dest" not in entry:
+            logger.debug("skipping unmapped bnb weight %s", base)
+            continue
+        dest, layer_idx, expert_idx, transform = entry["_dest"]
+        dense = dequantize_bnb_tensor(entry)
+        _store(dest, layer_idx, expert_idx, transform, dense)
 
     if qcollect:
         _assemble_w4_stacks(host, model, qcollect, qcfg, pack_w4_np,
