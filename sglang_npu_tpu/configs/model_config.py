@@ -76,6 +76,12 @@ class ModelConfig:
             for k, v in cfg["text_config"].items():
                 if merged.get(k) is None:
                     merged[k] = v
+            # LM-semantics keys belong to the text sub-config even when the
+            # composite carries a (PretrainedConfig-default) top-level value
+            # (llava: top-level tie_word_embeddings=True vs llama False)
+            for k in ("tie_word_embeddings",):
+                if k in cfg["text_config"]:
+                    merged[k] = cfg["text_config"][k]
             merged.pop("text_config", None)
             cfg = merged
         if "d_model" in cfg and "attn_config" in cfg:

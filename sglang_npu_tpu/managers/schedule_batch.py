@@ -185,8 +185,11 @@ class Req:
         self.cache_key_ids = list(mm["key_ids"])
         ids = np.asarray(self.origin_input_ids)
         self.mm_token_positions = np.where(ids == mm["image_token_id"])[0]
-        self.mrope_positions = np.asarray(mm["mrope_positions"], dtype=np.int32)
-        self.mrope_delta = int(mm["mrope_delta"])
+        mp = mm.get("mrope_positions")  # qwen-vl only; plain towers use 1D
+        self.mrope_positions = (
+            np.asarray(mp, dtype=np.int32) if mp is not None else None
+        )
+        self.mrope_delta = int(mm.get("mrope_delta", 0))
 
     def cache_key_seq(self) -> List[int]:
         """Token sequence used for radix matching/insertion (content-hash

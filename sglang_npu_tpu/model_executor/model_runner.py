@@ -959,43 +959,16 @@ class ModelRunner:
     # ------------------------------------------------------------------
     def _vision_embed(self, req) -> jax.Array:
         """Run the vision tower once per request; embeddings are cached on
-        the Req for subsequent prefill chunks."""
+        the Req for subsequent prefill chunks.  Layout/padding policy is
+        model-specific (windowed qwen ViT vs plain CLIP/SigLIP towers), so
+        the model owns it via `compute_vision_embeds`."""
         if req.mm_embeds is not None:
             return req.mm_embeds
-        mm = req.mm_inputs
-        from sglang_npu_tpu.models.qwen2_5_vl import vit_layout
-
-        grid = mm["image_grid_thw"]
-        perm, win_seg, full_seg, pos_hw = vit_layout(
-            grid, self.model.vision_cfg
-        )
-        pixels = np.asarray(mm["pixel_values"], dtype=np.float32)[perm]
-        P = pixels.shape[0]
-        unit = self.model.v_merge**2
-        Pb = max(-(-P // unit) * unit, unit)
-        Pb = 1 << (Pb - 1).bit_length()  # pow2 bucket to bound recompiles
-        Pb = max(Pb, unit)
-        pad = Pb - P
-        if pad:
-            pixels = np.pad(pixels, ((0, pad), (0, 0)))
-            win_seg = np.pad(win_seg, (0, pad), constant_values=-1)
-            full_seg = np.pad(full_seg, (0, pad), constant_values=-1)
-            pos_hw = np.pad(pos_hw, ((0, pad), (0, 0)))
         if not hasattr(self, "_vision_fn"):
             self._vision_fn = jax.jit(self.model.vision_forward)
-        flags = np.zeros((self.model.v_depth,), dtype=bool)
-        flags[list(self.model.v_fullatt)] = True
-        out = self._vision_fn(
-            self.params,
-            jnp.asarray(pixels),
-            jnp.asarray(win_seg),
-            jnp.asarray(full_seg),
-            jnp.asarray(pos_hw),
-            jnp.asarray(flags),
-        )  # [Pb/unit, D] in window merge-group order
-        n_groups = P // unit
-        reverse = np.argsort(perm[::unit] // unit)
-        req.mm_embeds = out[:n_groups][jnp.asarray(reverse)]
+        req.mm_embeds = self.model.compute_vision_embeds(
+            self.params, req.mm_inputs, self._vision_fn
+        )
         return req.mm_embeds
 
     def _attach_mm_embeds(self, mwb, fb, bs_bucket: int, extend_bucket: int):

@@ -154,6 +154,11 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                 if lookup.startswith("model.language_model."):
                     # VLM checkpoints nest the text trunk (qwen2.5-vl)
                     lookup = "model." + lookup[len("model.language_model."):]
+                elif lookup.startswith("language_model.model."):
+                    # older llava-style nesting
+                    lookup = "model." + lookup[len("language_model.model."):]
+                elif lookup.startswith("language_model.lm_head."):
+                    lookup = lookup[len("language_model."):]
                 if qcfg is not None:
                     tail = name.rsplit(".", 1)[-1]
                     if tail in _QUANT_SUFFIXES:

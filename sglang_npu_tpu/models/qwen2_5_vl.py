@@ -215,6 +215,38 @@ class Qwen2_5_VLForCausalLM(LlamaForCausalLM):
         }
 
     # ------------------------------------------------------------------
+    def compute_vision_embeds(self, params, mm, vision_fn) -> jax.Array:
+        """Host-side layout + padded device call (moved from the runner:
+        windowed-ViT shuffle, pow2 patch buckets, merge-group unshuffle)."""
+        grid = mm["image_grid_thw"]
+        perm, win_seg, full_seg, pos_hw = vit_layout(grid, self.vision_cfg)
+        pixels = np.asarray(mm["pixel_values"], dtype=np.float32)[perm]
+        P = pixels.shape[0]
+        unit = self.v_merge**2
+        Pb = max(-(-P // unit) * unit, unit)
+        Pb = 1 << (Pb - 1).bit_length()  # pow2 bucket to bound recompiles
+        Pb = max(Pb, unit)
+        pad = Pb - P
+        if pad:
+            pixels = np.pad(pixels, ((0, pad), (0, 0)))
+            win_seg = np.pad(win_seg, (0, pad), constant_values=-1)
+            full_seg = np.pad(full_seg, (0, pad), constant_values=-1)
+            pos_hw = np.pad(pos_hw, ((0, pad), (0, 0)))
+        flags = np.zeros((self.v_depth,), dtype=bool)
+        flags[list(self.v_fullatt)] = True
+        out = vision_fn(
+            params,
+            jnp.asarray(pixels),
+            jnp.asarray(win_seg),
+            jnp.asarray(full_seg),
+            jnp.asarray(pos_hw),
+            jnp.asarray(flags),
+        )  # [Pb/unit, D] in window merge-group order
+        n_groups = P // unit
+        reverse = np.argsort(perm[::unit] // unit)
+        return out[:n_groups][jnp.asarray(reverse)]
+
+    # ------------------------------------------------------------------
     def vision_forward(
         self,
         params: Dict[str, Any],

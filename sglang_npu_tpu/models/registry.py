@@ -23,6 +23,12 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen2_5_VLForConditionalGeneration": (
         "sglang_npu_tpu.models.qwen2_5_vl", "Qwen2_5_VLForCausalLM",
     ),
+    "LlavaForConditionalGeneration": (
+        "sglang_npu_tpu.models.llava", "LlavaForConditionalGeneration",
+    ),
+    "LlavaLlamaForCausalLM": (
+        "sglang_npu_tpu.models.llava", "LlavaForConditionalGeneration",
+    ),
     "DeepseekV2ForCausalLM": ("sglang_npu_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_npu_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "Glm4ForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4ForCausalLM"),

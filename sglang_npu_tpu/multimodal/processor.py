@@ -71,10 +71,13 @@ def process_images(
     hf_config: Dict[str, Any],
 ) -> Dict[str, Any]:
     """Run the HF processor; returns a MultimodalInputs dict:
-    {input_ids, key_ids, pixel_values, image_grid_thw, mrope_positions,
-    mrope_delta}."""
+    {input_ids, key_ids, pixel_values, image_token_id} plus arch extras
+    (qwen2.5-vl: image_grid_thw, mrope_positions, mrope_delta)."""
     proc = get_hf_processor(model_path)
     pil = [load_image(im) for im in images]
+    model_type = hf_config.get("model_type", "")
+    if model_type in ("llava", "llava_next", "gemma3"):
+        return _process_fixed_grid(proc, prompt_text, input_ids, pil, hf_config)
     if prompt_text is None:
         # ids-given path: the caller already expanded vision tokens;
         # only pixel preprocessing is needed
@@ -100,6 +103,68 @@ def process_images(
         "image_grid_thw": grid_thw,
         "mrope_positions": pos,
         "mrope_delta": int(delta),
+        "image_token_id": int(image_token_id),
+    }
+
+
+def _process_fixed_grid(
+    proc, prompt_text, input_ids, pil, hf_config
+) -> Dict[str, Any]:
+    """Fixed-resolution towers (llava CLIP, gemma3 SigLIP): every image
+    contributes a constant number of placeholder tokens."""
+    ip = getattr(proc, "image_processor", proc)
+    out = ip(images=pil, return_tensors="np")
+    pixel_values = np.asarray(out["pixel_values"], dtype=np.float32)
+    image_token_id = hf_config.get("image_token_index") or hf_config.get(
+        "image_token_id"
+    )
+    model_type = hf_config.get("model_type", "")
+    vc = hf_config.get("vision_config", {})
+    if model_type == "gemma3":
+        per_image = int(hf_config.get("mm_tokens_per_image", 256))
+    else:
+        per_image = (
+            vc.get("image_size", 336) // vc.get("patch_size", 14)
+        ) ** 2
+        if hf_config.get("vision_feature_select_strategy") == "full":
+            per_image += 1
+    if prompt_text is None:
+        ids = list(input_ids)
+    else:
+        tok = getattr(proc, "tokenizer", None)
+        if tok is not None:
+            ids = tok([prompt_text])["input_ids"][0]
+        else:
+            ids = proc(text=[prompt_text], return_tensors="np")["input_ids"][
+                0
+            ].tolist()
+    # expand unexpanded single placeholders (HF processors differ by
+    # version on whether text expansion already happened)
+    n_placeholder = sum(1 for t in ids if t == image_token_id)
+    if n_placeholder == len(pil):
+        expanded: List[int] = []
+        for t in ids:
+            if t == image_token_id:
+                expanded.extend([image_token_id] * per_image)
+            else:
+                expanded.append(int(t))
+        ids = expanded
+    else:
+        ids = [int(t) for t in ids]
+
+    # radix keys: hash each image's pixels over its placeholder span
+    key = list(ids)
+    spans = _image_spans(ids, image_token_id)
+    for n_img, (st, ln) in enumerate(spans):
+        digest = hashlib.sha256(pixel_values[n_img].tobytes()).digest()
+        seed = int.from_bytes(digest[:8], "little")
+        rng = np.random.default_rng(seed)
+        pseudo = rng.integers(1 << 30, 1 << 31, size=ln, dtype=np.int64)
+        key[st : st + ln] = [int(x) for x in pseudo]
+    return {
+        "input_ids": ids,
+        "key_ids": key,
+        "pixel_values": pixel_values,
         "image_token_id": int(image_token_id),
     }
 
