@@ -124,6 +124,7 @@ class Req:
         self.cache_key_ids: Optional[List[int]] = None
         self.mm_embeds = None  # device [n_image_tokens, hidden]
         self.mm_token_positions: Optional[np.ndarray] = None
+        self.mm_groups_prompt: Optional[np.ndarray] = None  # [T_prompt]
         self.mrope_positions: Optional[np.ndarray] = None  # [3, T_prompt]
         self.mrope_delta: int = 0
         self.last_node: Optional[TreeNode] = None
@@ -185,6 +186,21 @@ class Req:
         self.cache_key_ids = list(mm["key_ids"])
         ids = np.asarray(self.origin_input_ids)
         self.mm_token_positions = np.where(ids == mm["image_token_id"])[0]
+        # per-prompt-position image index (-1 text): contiguous placeholder
+        # runs are numbered in order (gemma3 same-image bidirectional mask)
+        grp = np.full(len(ids), -1, dtype=np.int32)
+        gi = 0
+        in_run = False
+        for i, t in enumerate(ids):
+            if t == mm["image_token_id"]:
+                if not in_run:
+                    in_run = True
+                grp[i] = gi
+            else:
+                if in_run:
+                    gi += 1
+                in_run = False
+        self.mm_groups_prompt = grp
         mp = mm.get("mrope_positions")  # qwen-vl only; plain towers use 1D
         self.mrope_positions = (
             np.asarray(mp, dtype=np.int32) if mp is not None else None

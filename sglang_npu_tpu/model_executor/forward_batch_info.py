@@ -53,6 +53,9 @@ class ForwardBatch:
     # per-request delta to the sequential position instead
     mrope_positions: Optional[jax.Array] = None
     mrope_delta: Optional[jax.Array] = None  # [B] int32
+    # gemma3-mm: image-group id per sequence position (-1 = text); query/
+    # key pairs in the same group attend bidirectionally
+    mm_groups: Optional[jax.Array] = None  # [B, P*page_size] int32
 
 
 @jax.tree_util.register_dataclass

@@ -333,6 +333,11 @@ class ModelRunner:
             self.model.attn_backend = None
             self.kv_head_dim = self.model_config.head_dim
             return
+        if getattr(self.model, "requires_xla_attention", False):
+            # models needing non-causal mask overrides (gemma3-mm same-image
+            # bidirectional attention) run the XLA path until the pallas
+            # prefill kernel grows a group-mask input
+            name = "xla"
         if name is None:
             on_tpu = jax.default_backend() not in ("cpu",)
             # pallas kernels need (under TP) evenly sharded KV heads
@@ -972,7 +977,9 @@ class ModelRunner:
         return req.mm_embeds
 
     def _attach_mm_embeds(self, mwb, fb, bs_bucket: int, extend_bucket: int):
-        """Splice vision embeddings into the extend rectangle."""
+        """Splice vision embeddings into the extend rectangle (and, for
+        models with same-image bidirectional attention, the per-position
+        image-group map)."""
         import dataclasses as _dc
 
         D = self.model_config.hidden_size
@@ -993,10 +1000,24 @@ class ModelRunner:
             embeds = embeds.at[i, cols].set(rows.astype(embeds.dtype))
             mask[i, cols] = True
             touched = True
-        if not touched:
+        groups = None
+        if getattr(self.model, "needs_mm_groups", False):
+            Lkv = fb.page_tables.shape[1] * self.page_size
+            g = np.full((bs_bucket, Lkv), -1, dtype=np.int32)
+            for i, req in enumerate(mwb.mm_reqs):
+                gp = getattr(req, "mm_groups_prompt", None) if req else None
+                if gp is None:
+                    continue
+                n = min(len(gp), Lkv)
+                g[i, :n] = gp[:n]
+            groups = jnp.asarray(g)
+        if not touched and groups is None:
             return fb
+        if not touched:
+            return _dc.replace(fb, mm_groups=groups)
         return _dc.replace(
-            fb, input_embeds=embeds, embed_mask=jnp.asarray(mask)
+            fb, input_embeds=embeds, embed_mask=jnp.asarray(mask),
+            mm_groups=groups,
         )
 
     # ------------------------------------------------------------------

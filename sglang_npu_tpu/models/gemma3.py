@@ -84,6 +84,11 @@ class Gemma3ForCausalLM(Gemma2ForCausalLM):
         x = params["embed"][fb.input_ids].astype(dt) * jnp.asarray(
             c.hidden_size**0.5, dt
         )
+        if fb.input_embeds is not None:
+            # multimodal: image rows replaced by (unscaled) vision embeds
+            x = jnp.where(
+                fb.embed_mask[..., None], fb.input_embeds.astype(dt), x
+            )
         eps = c.rms_norm_eps
         flags = jnp.asarray(self.swa_flags)
         hybrid = self.use_hybrid_pool
@@ -143,6 +148,7 @@ class Gemma3ForCausalLM(Gemma2ForCausalLM):
                         q, pool, i, fb.page_tables, fb.seq_lens, fb.positions,
                         page_size, self.scale,
                         sliding_window=c.sliding_window,
+                        mm_groups=fb.mm_groups,
                     )
                     return out, pool
 
@@ -152,6 +158,7 @@ class Gemma3ForCausalLM(Gemma2ForCausalLM):
                     out = paged_attention_xla(
                         q, pool, i, fb.page_tables, fb.seq_lens, fb.positions,
                         page_size, self.scale,
+                        mm_groups=fb.mm_groups,
                     )
                     return out, pool
 

@@ -29,6 +29,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "LlavaLlamaForCausalLM": (
         "sglang_npu_tpu.models.llava", "LlavaForConditionalGeneration",
     ),
+    "Gemma3ForConditionalGeneration": (
+        "sglang_npu_tpu.models.gemma3_mm", "Gemma3ForConditionalGeneration",
+    ),
     "DeepseekV2ForCausalLM": ("sglang_npu_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_npu_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "Glm4ForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4ForCausalLM"),

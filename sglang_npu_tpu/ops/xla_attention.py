@@ -187,12 +187,18 @@ def paged_attention_xla(
     sliding_window: int = -1,
     sinks=None,  # [H_q] learned sink logits (gpt-oss attention sinks)
     chunk_size: int = 0,  # llama4 chunked attention (aligned local blocks)
+    mm_groups=None,  # [B, Lkv] int32 image-group per seq position (-1 text)
 ) -> jax.Array:
     """Masked attention of q against the pool KV selected by page_tables.
 
     With ``sinks``, the softmax denominator includes a per-head learned
     sink logit (gpt-oss: softmax over [scores | sink], sink column
     dropped) — attention can "abstain" by dumping mass on the sink.
+
+    With ``mm_groups``, query/key pairs inside the SAME image block attend
+    bidirectionally, overriding the causal/sliding masks (gemma3
+    multimodal semantics; reference `srt/models/gemma3_mm.py:249`, HF
+    `token_type_ids_mask_function`).
 
     Returns [B, E, H_q, D].
     """
@@ -240,6 +246,15 @@ def paged_attention_xla(
         # llama4 chunked attention: query at position p attends only
         # within its aligned chunk [floor(p/C)*C, p]
         mask = mask & (kv_pos >= (qp // chunk_size) * chunk_size)
+    if mm_groups is not None:
+        # same-image bidirectional override (still bounded by seq_lens)
+        qg = jnp.take_along_axis(mm_groups, q_positions, axis=1)  # [B, E]
+        bidir = (
+            (qg[:, :, None] >= 0)
+            & (qg[:, :, None] == mm_groups[:, None, :])
+            & (kv_pos < seq_lens[:, None, None])
+        )
+        mask = mask | bidir
     scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)
 
     if sinks is not None:
