@@ -519,6 +519,17 @@ class Scheduler:
             if fut.done():
                 try:
                     req.grammar = fut.result()
+                    if self.server_args.reasoning_parser:
+                        # constrain the answer, not the <think> block
+                        # (reference reasoner_grammar_backend.py)
+                        from sglang_npu_tpu.constrained.reasoner_grammar import (
+                            ReasonerGrammar,
+                            think_end_token_id,
+                        )
+
+                        tid = think_end_token_id(self.tokenizer)
+                        if tid is not None:
+                            req.grammar = ReasonerGrammar(req.grammar, tid)
                     self.waiting_queue.append(req)
                 except Exception as e:
                     req.finished_reason = FINISH_ABORT(
@@ -708,13 +719,20 @@ class Scheduler:
         """Fill the packed allowed-token bitmask rows for grammar requests
         (vocab mask overlapped with forward in the reference,
         `model_runner._preprocess_logits:1703`)."""
-        if not any(r.grammar is not None for r in reqs):
+        def _active(g):
+            return (
+                g is not None
+                and not g.finished
+                and not getattr(g, "is_inactive", False)
+            )
+
+        if not any(_active(r.grammar) for r in reqs):
             return
         V = self.runner.model_config.vocab_size
         nwords = (V + 31) // 32
         mask = np.full((len(reqs), nwords), 0xFFFFFFFF, dtype=np.uint32)
         for i, r in enumerate(reqs):
-            if r.grammar is not None and not r.grammar.finished:
+            if _active(r.grammar):
                 mask[i] = r.grammar.vocab_mask()
         mwb.sampling_info.vocab_mask = mask
         mwb.sampling_info.has_grammar = True
@@ -846,6 +864,8 @@ class Scheduler:
         # oversized DFA (device=None) forces the host per-token path.
         for r in self.running_batch.reqs:
             g = r.grammar
+            if getattr(g, "is_inactive", False):
+                continue  # reasoner wrapper still thinking: grammar-free
             if g is not None and not g.finished and g.device is None:
                 return 1
         return K
@@ -1064,6 +1084,10 @@ class Scheduler:
                     if logprob_info is not None and req.return_logprob:
                         self._attach_logprob(req, logprob_info, i, k)
                     self.num_generated_tokens += 1
+                    if getattr(req.grammar, "just_activated", False):
+                        # reasoner grammar woke on </think>: drop the rest
+                        # of the unconstrained window (KV reclaimed below)
+                        break
                 self.allocator.shrink_req(req, len(req.fill_ids) - 1)
                 if req.finished:
                     self._cache_finished(req)

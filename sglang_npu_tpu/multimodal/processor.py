@@ -76,7 +76,7 @@ def process_images(
     proc = get_hf_processor(model_path)
     pil = [load_image(im) for im in images]
     model_type = hf_config.get("model_type", "")
-    if model_type in ("llava", "llava_next", "gemma3"):
+    if model_type in ("llava", "gemma3"):
         return _process_fixed_grid(proc, prompt_text, input_ids, pil, hf_config)
     if prompt_text is None:
         # ids-given path: the caller already expanded vision tokens;
