@@ -4,8 +4,14 @@ from sglang_npu_tpu.lang.api import (  # noqa: F401
     assistant,
     function,
     gen,
+    image,
     select,
     set_default_backend,
     system,
     user,
+)
+from sglang_npu_tpu.lang.tracer import (  # noqa: F401
+    CompiledFunction,
+    TracedProgram,
+    trace,
 )

@@ -55,12 +55,28 @@ class SglMessage:
     parts: List[Any]
 
 
+@dataclasses.dataclass
+class SglImage:
+    """An image in the prompt (reference `sgl.image`).  ``data`` is
+    anything the multimodal processor accepts (path, bytes, base64,
+    data: URI, PIL); ``placeholder`` is the model's image-token string
+    inserted into the prompt text (e.g. qwen2.5-vl
+    ``<|vision_start|><|image_pad|><|vision_end|>``, llava ``<image>``)."""
+
+    data: Any
+    placeholder: str = "<image>"
+
+
 def gen(name: Optional[str] = None, **kwargs) -> SglGen:
     return SglGen(name=name, **kwargs)
 
 
 def select(name: Optional[str] = None, choices: List[str] = (), method="token_length_normalized") -> SglSelect:
     return SglSelect(name=name, choices=list(choices), method=method)
+
+
+def image(data, placeholder: str = "<image>") -> SglImage:
+    return SglImage(data, placeholder)
 
 
 def system(*parts) -> SglMessage:
@@ -85,6 +101,7 @@ class ProgramState:
         self.text = ""  # completion-mode accumulation
         self.chat_mode = False
         self.variables: Dict[str, str] = {}
+        self.image_data: List[Any] = []
         self._cur_role: Optional[str] = None
 
     # s += <thing>
@@ -99,6 +116,9 @@ class ProgramState:
             self._run_gen(other)
         elif isinstance(other, SglSelect):
             self._run_select(other)
+        elif isinstance(other, SglImage):
+            self.image_data.append(other.data)
+            self._append_text(other.placeholder)
         elif isinstance(other, SglMessage):
             self.chat_mode = True
             self._cur_role = other.role
@@ -148,23 +168,34 @@ class ProgramState:
                 "json_schema": g.json_schema,
                 "ignore_eos": g.ignore_eos,
             },
+            image_data=self.image_data or None,
         )
         if g.name:
             self.variables[g.name] = out
         self._append_text(out)
 
     def _run_select(self, sel: SglSelect):
+        from sglang_npu_tpu.lang.choices import CHOICES_METHODS
+
+        method = CHOICES_METHODS.get(sel.method)
+        if method is None:
+            raise ValueError(f"unknown select method {sel.method!r}")
         prompt = self._render_prompt()
-        scores = [
+        token_logprobs = [
             self.backend.score(prompt, choice) for choice in sel.choices
         ]
-        if sel.method == "token_length_normalized":
-            best = max(range(len(scores)), key=lambda i: scores[i][0] / max(scores[i][1], 1))
-        else:  # greedy_token / sum
-            best = max(range(len(scores)), key=lambda i: scores[i][0])
-        choice = sel.choices[best]
+        uncond = None
+        if method.requires_unconditional_logprobs:
+            uncond = [self.backend.score("", c) for c in sel.choices]
+        decision = method(
+            choices=list(sel.choices),
+            token_logprobs=token_logprobs,
+            unconditional_logprobs=uncond,
+        )
+        choice = decision.decision
         if sel.name:
             self.variables[sel.name] = choice
+            self.variables[f"{sel.name}_meta"] = decision.meta_info
         self._append_text(choice)
 
     def __getitem__(self, name: str) -> str:
@@ -260,6 +291,20 @@ class SglFunction:
             ]
             return [f.result() for f in futs]
 
+    def trace(self):
+        """Extract the program's node graph without touching a backend
+        (reference `SglFunction.trace`, lang/tracer.py)."""
+        from sglang_npu_tpu.lang.tracer import trace as _trace
+
+        return _trace(self.fn, getattr(self.fn, "__name__", "program"))
+
+    def compile(self):
+        """Trace once and return a replayable CompiledFunction (reference
+        `SglFunction.compile`, lang/compiler.py)."""
+        from sglang_npu_tpu.lang.tracer import CompiledFunction
+
+        return CompiledFunction(self.trace())
+
     def __call__(self, *args, **kwargs):
         return self.run(*args, **kwargs)
 
@@ -278,13 +323,17 @@ class EngineBackend:
         self.engine = engine
         self.tokenizer = engine.tokenizer
 
-    def generate(self, prompt: str, sampling_params: Dict[str, Any]) -> str:
-        out = self.engine.generate(prompt, sampling_params)
+    def generate(
+        self, prompt: str, sampling_params: Dict[str, Any], image_data=None
+    ) -> str:
+        out = self.engine.generate(
+            prompt, sampling_params, image_data=image_data
+        )
         return out["text"]
 
-    def score(self, prompt: str, continuation: str):
-        """Returns (sum_logprob, num_tokens) of the continuation."""
-        ids_p = self.tokenizer.encode(prompt)
+    def score(self, prompt: str, continuation: str) -> List[float]:
+        """Per-token logprobs of the continuation given the prompt."""
+        ids_p = self.tokenizer.encode(prompt) if prompt else []
         ids_full = self.tokenizer.encode(prompt + continuation)
         out = self.engine.generate(
             input_ids=ids_full,
@@ -293,7 +342,7 @@ class EngineBackend:
             logprob_start_len=len(ids_p),
         )
         entries = out["meta_info"].get("input_token_logprobs", [])
-        return sum(e[0] for e in entries), len(entries)
+        return [e[0] for e in entries]
 
 
 class RuntimeEndpoint:
@@ -317,13 +366,16 @@ class RuntimeEndpoint:
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             return _json.loads(resp.read())
 
-    def generate(self, prompt: str, sampling_params: Dict[str, Any]) -> str:
-        out = self._post(
-            "/generate", {"text": prompt, "sampling_params": sampling_params}
-        )
+    def generate(
+        self, prompt: str, sampling_params: Dict[str, Any], image_data=None
+    ) -> str:
+        payload = {"text": prompt, "sampling_params": sampling_params}
+        if image_data:
+            payload["image_data"] = image_data
+        out = self._post("/generate", payload)
         return out["text"]
 
-    def score(self, prompt: str, continuation: str):
+    def score(self, prompt: str, continuation: str) -> List[float]:
         out = self._post(
             "/generate",
             {
@@ -334,7 +386,7 @@ class RuntimeEndpoint:
             },
         )
         entries = out["meta_info"].get("input_token_logprobs", [])
-        # approximate: server-side tokenization of prompt alone unknown;
-        # score the full sequence (consistent across choices with shared
-        # prompt prefix lengths)
-        return sum(e[0] for e in entries), len(entries)
+        # approximate: server-side tokenization of the prompt alone is
+        # unknown; score the full sequence (consistent across choices
+        # sharing the prompt prefix)
+        return [e[0] for e in entries]

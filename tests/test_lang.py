@@ -149,3 +149,77 @@ def test_run_batch_parallel(backend):
     for i, st in enumerate(outs):
         assert st.text.startswith(f"p{i}: ")
         assert len(st["out"]) > 0
+
+
+def test_trace_graph_structure(backend):
+    @sgl.function
+    def prog(s, topic):
+        s += "Topic: " + topic + ". "
+        s += sgl.gen("draft", max_tokens=4, temperature=0.0, ignore_eos=True)
+        s += " verdict: "
+        s += sgl.select("verdict", choices=["good", "bad"])
+
+    tp = prog.trace()
+    g = tp.graph()
+    assert tp.arg_names == ["topic"]
+    kinds = [type(n).__name__ for n in tp.nodes]
+    assert kinds == ["TextNode", "GenNode", "TextNode", "SelectNode"], kinds
+    assert "select name=verdict" in g and "choices=['good', 'bad']" in g
+    # argument marker captured in the constant text
+    assert "⟦arg:topic⟧" in tp.nodes[0].text
+
+
+def test_compiled_run_matches_imperative(backend):
+    @sgl.function
+    def prog(s, word):
+        s += "Echo " + word + ": "
+        s += sgl.gen("out", max_tokens=5, temperature=0.0, ignore_eos=True)
+
+    direct = prog.run("alpha")
+    compiled = prog.compile()
+    replay = compiled.run(word="alpha")
+    assert replay["out"] == direct["out"]
+    assert replay.text == direct.text
+    # batch replay
+    outs = compiled.run_batch([{"word": "alpha"}, {"word": "beta"}])
+    assert outs[0]["out"] == direct["out"]
+    assert outs[1].text.startswith("Echo beta: ")
+
+
+def test_select_methods(backend):
+    @sgl.function
+    def pick(s, method):
+        s += "The answer is "
+        s += sgl.select("c", choices=["yes", "no"], method=method)
+
+    for method in (
+        "token_length_normalized",
+        "greedy_token",
+        "unconditional_likelihood_normalized",
+    ):
+        st = pick.run(method)
+        assert st["c"] in ("yes", "no"), method
+        assert st["c_meta"], method
+
+
+def test_choices_methods_unit():
+    from sglang_npu_tpu.lang.choices import CHOICES_METHODS
+
+    # option B has better mean; A has better first token
+    lp = {"A": [-0.1, -9.0, -9.0], "B": [-0.5, -0.5]}
+    choices = list(lp)
+    tln = CHOICES_METHODS["token_length_normalized"](
+        choices=choices, token_logprobs=list(lp.values())
+    )
+    assert tln.decision == "B"
+    greedy = CHOICES_METHODS["greedy_token"](
+        choices=choices, token_logprobs=list(lp.values())
+    )
+    assert greedy.decision == "A"
+    # unconditional: B is common unconditionally -> A wins after normalizing
+    un = CHOICES_METHODS["unconditional_likelihood_normalized"](
+        choices=choices,
+        token_logprobs=list(lp.values()),
+        unconditional_logprobs=[[None, -9.0, -9.0], [-0.1, -0.1]],
+    )
+    assert un.decision == "A"
