@@ -37,6 +37,9 @@ class BertEmbeddingModel:
 
     is_encoder_only = True
     attn_backend = None  # unused; encoder attends in one shot
+    # position-embedding row offset: roberta rows start at pad_id + 1
+    pos_offset = 0
+    hf_prefix = ""  # checkpoint key prefix ("roberta." for *ForSequence...)
 
     def __init__(self, config: ModelConfig, attn_backend=None):
         self.config = config
@@ -92,12 +95,13 @@ class BertEmbeddingModel:
         }
 
     def hf_weight_map(self):
+        pre = self.hf_prefix
         top = {
-            "embeddings.word_embeddings.weight": ("embed", None),
-            "embeddings.position_embeddings.weight": ("pos_embed", None),
-            "embeddings.token_type_embeddings.weight": ("type_embed", None),
-            "embeddings.LayerNorm.weight": ("embed_ln_w", None),
-            "embeddings.LayerNorm.bias": ("embed_ln_b", None),
+            pre + "embeddings.word_embeddings.weight": ("embed", None),
+            pre + "embeddings.position_embeddings.weight": ("pos_embed", None),
+            pre + "embeddings.token_type_embeddings.weight": ("type_embed", None),
+            pre + "embeddings.LayerNorm.weight": ("embed_ln_w", None),
+            pre + "embeddings.LayerNorm.bias": ("embed_ln_b", None),
         }
         # encoder blocks load via the block-map path ("encoder.layer.{i}.")
         return top, {}
@@ -123,7 +127,7 @@ class BertEmbeddingModel:
             ("output.LayerNorm.bias", "out_ln_b", None),
         ):
             per_layer[hf_n] = (f"layers.{dst}", tr)
-        return {"encoder.layer.": per_layer}
+        return {self.hf_prefix + "encoder.layer.": per_layer}
 
     # ------------------------------------------------------------------
     def _encode(self, params, fb: ForwardBatch):
@@ -139,7 +143,7 @@ class BertEmbeddingModel:
         valid = pos < lens[:, None]  # [B, E]
         x = (
             params["embed"][fb.input_ids]
-            + params["pos_embed"][pos]
+            + params["pos_embed"][pos + self.pos_offset]
             + params["type_embed"][0][None, None, :]
         )
         x = layer_norm(x, params["embed_ln_w"], params["embed_ln_b"], self.eps)
@@ -199,3 +203,58 @@ class BertEmbeddingModel:
         )
 
     __call__ = forward
+
+
+class RobertaEmbeddingModel(BertEmbeddingModel):
+    """RobertaModel / XLMRobertaModel (reference `srt/models/roberta.py`):
+    identical encoder, but position-embedding rows start at pad_id + 1
+    (HF `create_position_ids_from_input_ids` for unpadded input)."""
+
+    def __init__(self, config: ModelConfig, attn_backend=None):
+        super().__init__(config, attn_backend)
+        pad = config.hf_config.get("pad_token_id")
+        self.pos_offset = (1 if pad is None else pad) + 1
+
+
+class RobertaForSequenceClassification(RobertaEmbeddingModel):
+    """XLMRobertaForSequenceClassification cross-encoder rerankers
+    (reference `srt/models/roberta.py` classification path): encoder +
+    first-token (<s>) classification head dense->tanh->out_proj; served
+    with --is-embedding, scores returned as the "embedding" vector."""
+
+    hf_prefix = "roberta."
+
+    def param_shapes(self):
+        shapes = super().param_shapes()
+        D = self.config.hidden_size
+        n = self.config.hf_config.get("num_labels", 1)
+        dt = jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+        shapes["cls_dense_w"] = ((D, D), dt)
+        shapes["cls_dense_b"] = ((D,), dt)
+        shapes["cls_out_w"] = ((D, n), dt)
+        shapes["cls_out_b"] = ((n,), dt)
+        return shapes
+
+    def param_shardings(self):
+        specs = super().param_shardings()
+        for k in ("cls_dense_w", "cls_dense_b", "cls_out_w", "cls_out_b"):
+            specs[k] = P(*([None] * len(self.param_shapes()[k][0])))
+        return specs
+
+    def hf_weight_map(self):
+        top, per_layer = super().hf_weight_map()
+        top["classifier.dense.weight"] = ("cls_dense_w", "transpose")
+        top["classifier.dense.bias"] = ("cls_dense_b", None)
+        top["classifier.out_proj.weight"] = ("cls_out_w", "transpose")
+        top["classifier.out_proj.bias"] = ("cls_out_b", None)
+        return top, per_layer
+
+    def embed_forward(self, params, kv_pool, fb: ForwardBatch, page_size: int):
+        x, _valid = self._encode(params, fb)
+        first = x[:, 0].astype(jnp.float32)  # <s> token pooling
+        h = jnp.tanh(first @ params["cls_dense_w"].astype(jnp.float32)
+                     + params["cls_dense_b"].astype(jnp.float32))
+        logits = h @ params["cls_out_w"].astype(jnp.float32) + params[
+            "cls_out_b"
+        ].astype(jnp.float32)
+        return logits, kv_pool

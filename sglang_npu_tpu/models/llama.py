@@ -47,6 +47,10 @@ class LlamaForCausalLM:
     embedding_multiplier = 1.0
     residual_multiplier = 1.0
     logits_scaling = 1.0
+    # residual-stream norm flavor (gemma-1 swaps in the (1 + w) variant);
+    # applies to input/post/final norms in backbone_forward — q/k head
+    # norms stay plain rms_norm
+    norm_fn = staticmethod(rms_norm)
 
     def __init__(self, config: ModelConfig, attn_backend=None):
         self.config = config
@@ -308,7 +312,7 @@ class LlamaForCausalLM:
 
         def layer_fn(carry, lp):
             x, kv_pool, l = carry
-            h = rms_norm(x, lp["input_norm"], eps)
+            h = self.norm_fn(x, lp["input_norm"], eps)
             q = _proj(h, lp, "wq", "bed,dh->beh")
             k = _proj(h, lp, "wk", "bed,dh->beh")
             v = _proj(h, lp, "wv", "bed,dh->beh")
@@ -339,7 +343,7 @@ class LlamaForCausalLM:
             )
             x = x + (att_out if rm == 1.0 else att_out * jnp.asarray(rm, x.dtype))
 
-            h = rms_norm(x, lp["post_norm"], eps)
+            h = self.norm_fn(x, lp["post_norm"], eps)
             if collect_moe:
                 delta, stats = self._mlp(
                     h, lp, _proj, collect_stats=True, stats_mask=smask
@@ -353,7 +357,7 @@ class LlamaForCausalLM:
         (x, new_kv, _), ys = jax.lax.scan(
             layer_fn, (x, kv_pool, jnp.int32(0)), params["layers"]
         )
-        x = rms_norm(x, params["final_norm"], eps)
+        x = self.norm_fn(x, params["final_norm"], eps)
         if collect_moe:
             return x, new_kv, ys  # ys: [L, E] routed-token counts
         return x, new_kv

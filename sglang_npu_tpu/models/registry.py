@@ -65,6 +65,11 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Gemma2ForSequenceClassification": ("sglang_npu_tpu.models.pooled_head", "Gemma2ForSequenceClassification"),
     "BertModel": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
     "BertForMaskedLM": ("sglang_npu_tpu.models.bert", "BertEmbeddingModel"),
+    "RobertaModel": ("sglang_npu_tpu.models.bert", "RobertaEmbeddingModel"),
+    "XLMRobertaModel": ("sglang_npu_tpu.models.bert", "RobertaEmbeddingModel"),
+    "RobertaForSequenceClassification": ("sglang_npu_tpu.models.bert", "RobertaForSequenceClassification"),
+    "XLMRobertaForSequenceClassification": ("sglang_npu_tpu.models.bert", "RobertaForSequenceClassification"),
+    "GemmaForCausalLM": ("sglang_npu_tpu.models.gemma", "GemmaForCausalLM"),
 }
 
 
