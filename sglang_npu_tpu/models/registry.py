@@ -23,6 +23,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen2_5_VLForConditionalGeneration": (
         "sglang_npu_tpu.models.qwen2_5_vl", "Qwen2_5_VLForCausalLM",
     ),
+    "Qwen2VLForConditionalGeneration": (
+        "sglang_npu_tpu.models.qwen2_vl", "Qwen2VLForCausalLM",
+    ),
     "LlavaForConditionalGeneration": (
         "sglang_npu_tpu.models.llava", "LlavaForConditionalGeneration",
     ),
