@@ -135,6 +135,9 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
             target = target[layer_idx]
         if expert_idx is not None:
             target = target[expert_idx]
+        if transform == "reshape":
+            # drop leading broadcast dims (e.g. [1, T, H] pos tables)
+            tensor = tensor.reshape(target.shape)
         np.copyto(target, tensor.astype(target.dtype))
 
     for fpath in files:

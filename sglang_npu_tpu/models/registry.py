@@ -35,6 +35,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Gemma3ForConditionalGeneration": (
         "sglang_npu_tpu.models.gemma3_mm", "Gemma3ForConditionalGeneration",
     ),
+    "InternVLForConditionalGeneration": (
+        "sglang_npu_tpu.models.internvl", "InternVLForCausalLM",
+    ),
     "DeepseekV2ForCausalLM": ("sglang_npu_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_npu_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "Glm4ForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4ForCausalLM"),

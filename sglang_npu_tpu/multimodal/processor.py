@@ -76,7 +76,7 @@ def process_images(
     proc = get_hf_processor(model_path)
     pil = [load_image(im) for im in images]
     model_type = hf_config.get("model_type", "")
-    if model_type in ("llava", "gemma3"):
+    if model_type in ("llava", "gemma3", "internvl"):
         return _process_fixed_grid(proc, prompt_text, input_ids, pil, hf_config)
     if prompt_text is None:
         # ids-given path: the caller already expanded vision tokens;
@@ -122,6 +122,13 @@ def _process_fixed_grid(
     vc = hf_config.get("vision_config", {})
     if model_type == "gemma3":
         per_image = int(hf_config.get("mm_tokens_per_image", 256))
+    elif model_type == "internvl":
+        img = vc.get("image_size", [448, 448])
+        img = img[0] if isinstance(img, (list, tuple)) else img
+        pt = vc.get("patch_size", [14, 14])
+        pt = pt[0] if isinstance(pt, (list, tuple)) else pt
+        ds = hf_config.get("downsample_ratio", 0.5)
+        per_image = int(img // pt * ds) ** 2
     else:
         per_image = (
             vc.get("image_size", 336) // vc.get("patch_size", 14)
