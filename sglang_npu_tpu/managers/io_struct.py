@@ -40,6 +40,10 @@ class GenerateReqInput:
     # parallel to text (batch). Accepted forms: PIL, path, bytes, base64,
     # data: URI (reference GenerateReqInput.image_data)
     image_data: Optional[Any] = None
+    # multimodal audio: raw waveform (list/np array at the model's
+    # sampling rate) or a path, single or batch-parallel list
+    # (reference GenerateReqInput.audio_data)
+    audio_data: Optional[Any] = None
 
     def post_init(self):
         if self.text is None and self.input_ids is None:

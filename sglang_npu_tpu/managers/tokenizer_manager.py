@@ -182,6 +182,22 @@ class TokenizerManager:
                 self._hf_config(),
             )
             input_ids = mm_inputs["input_ids"]
+        elif getattr(obj, "audio_data", None) is not None:
+            audios = pick("audio_data")
+            if not isinstance(audios, list) or (
+                audios and isinstance(audios[0], (int, float))
+            ):
+                audios = [audios]
+            from sglang_npu_tpu.multimodal.processor import process_audios
+
+            mm_inputs = process_audios(
+                self.server_args.model_path,
+                text,
+                input_ids,
+                audios,
+                self._hf_config(),
+            )
+            input_ids = mm_inputs["input_ids"]
         elif input_ids is None:
             if self.tokenizer is None:
                 raise ValueError(

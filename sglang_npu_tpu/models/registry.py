@@ -26,6 +26,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen2VLForConditionalGeneration": (
         "sglang_npu_tpu.models.qwen2_vl", "Qwen2VLForCausalLM",
     ),
+    "Qwen2AudioForConditionalGeneration": (
+        "sglang_npu_tpu.models.qwen2_audio", "Qwen2AudioForCausalLM",
+    ),
     "LlavaForConditionalGeneration": (
         "sglang_npu_tpu.models.llava", "LlavaForConditionalGeneration",
     ),

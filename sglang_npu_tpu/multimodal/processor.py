@@ -267,3 +267,93 @@ def extend_mrope(pos: np.ndarray, delta: int, new_len: int) -> np.ndarray:
         return pos
     extra = np.arange(T, new_len, dtype=np.int32) + delta
     return np.concatenate([pos, np.tile(extra, (3, 1))], axis=1)
+
+
+# ----------------------------------------------------------------------
+# Audio (qwen2-audio): log-mel feature extraction + placeholder expansion
+# ----------------------------------------------------------------------
+def load_audio(item) -> np.ndarray:
+    """Raw waveform as float32 [T] — accepts arrays/lists, wav paths."""
+    if isinstance(item, np.ndarray):
+        return item.astype(np.float32)
+    if isinstance(item, (list, tuple)):
+        return np.asarray(item, dtype=np.float32)
+    if isinstance(item, str):
+        try:
+            import soundfile as sf  # optional
+
+            data, _sr = sf.read(item, dtype="float32")
+            return data if data.ndim == 1 else data.mean(-1)
+        except ImportError:
+            import wave
+
+            with wave.open(item, "rb") as w:
+                raw = np.frombuffer(
+                    w.readframes(w.getnframes()), dtype=np.int16
+                )
+                if w.getnchannels() > 1:
+                    raw = raw.reshape(-1, w.getnchannels()).mean(-1)
+            return raw.astype(np.float32) / 32768.0
+    raise TypeError(f"unsupported audio type {type(item)}")
+
+
+def process_audios(
+    model_path: str,
+    prompt_text: Optional[str],
+    input_ids: Optional[List[int]],
+    audios: List[Any],
+    hf_config: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Whisper-style feature extraction + placeholder expansion for
+    qwen2-audio-class models.  Each single audio placeholder token in the
+    prompt expands to that audio's post-pool token count (reference
+    `multimodal/processors/qwen_audio.py`)."""
+    from sglang_npu_tpu.models.qwen2_audio import audio_out_lengths
+
+    proc = get_hf_processor(model_path)
+    fe = getattr(proc, "feature_extractor", proc)
+    waves = [load_audio(a) for a in audios]
+    sr = getattr(fe, "sampling_rate", 16000)
+    out = fe(
+        waves, sampling_rate=sr, return_attention_mask=True,
+        padding="max_length", return_tensors="np",
+    )
+    feats = np.asarray(out["input_features"], dtype=np.float32)
+    fam = np.asarray(out["attention_mask"])
+    _, out_lens = audio_out_lengths(fam.sum(-1))
+
+    audio_token_id = hf_config.get("audio_token_id") or hf_config.get(
+        "audio_token_index"
+    )
+    if prompt_text is None:
+        ids = [int(t) for t in input_ids]
+    else:
+        tok = getattr(proc, "tokenizer", None)
+        ids = tok([prompt_text])["input_ids"][0]
+    # expand single placeholders to per-audio token counts
+    n_placeholder = sum(1 for t in ids if t == audio_token_id)
+    if n_placeholder == len(waves):
+        expanded: List[int] = []
+        a = 0
+        for t in ids:
+            if t == audio_token_id:
+                expanded.extend([int(audio_token_id)] * int(out_lens[a]))
+                a += 1
+            else:
+                expanded.append(int(t))
+        ids = expanded
+    # radix keys: per-audio feature hash over its placeholder span
+    key = list(ids)
+    spans = _image_spans(ids, audio_token_id)
+    for n_a, (st, ln) in enumerate(spans):
+        digest = hashlib.sha256(feats[n_a].tobytes()).digest()
+        rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+        pseudo = rng.integers(1 << 30, 1 << 31, size=ln, dtype=np.int64)
+        key[st : st + ln] = [int(x) for x in pseudo]
+    return {
+        "input_ids": ids,
+        "key_ids": key,
+        "input_features": feats,
+        "feature_attention_mask": fam,
+        "image_token_id": int(audio_token_id),  # generic splice id
+    }
