@@ -75,17 +75,32 @@ class EagleRunner:
         cfg = ModelConfig.from_model_path(path, dtype=server_args.dtype)
         # EAGLE heads inherit missing dims from the target config
         tc = target_runner.model_config
-        if cfg.vocab_size != tc.vocab_size:
-            raise ValueError("EAGLE draft vocab must match target")
         self.config = cfg
         algo = (server_args.speculative_algorithm or "EAGLE").upper()
         self.is_mtp = algo in ("NEXTN", "MTP")
+        self.is_eagle3 = algo == "EAGLE3"
+        if not self.is_eagle3 and cfg.vocab_size != tc.vocab_size:
+            raise ValueError("EAGLE draft vocab must match target")
         if self.is_mtp:
             from sglang_npu_tpu.models.deepseek_nextn import (
                 DeepseekNextNModel,
             )
 
             self.model = DeepseekNextNModel(cfg)
+        elif self.is_eagle3:
+            from sglang_npu_tpu.models.llama_eagle import Eagle3DraftModel
+
+            self.model = Eagle3DraftModel(cfg)
+            # aux capture points: config ids are "output of layer i";
+            # the reference default [2, L//2, L-3] is in before-layer
+            # space (output of i-1) — srt/models/llama.py:748
+            Lt = tc.num_hidden_layers
+            ids = cfg.hf_config.get("eagle_aux_hidden_state_layer_ids")
+            if ids is None:
+                ids = [2 - 1, Lt // 2 - 1, Lt - 3 - 1]
+            self.aux_after = tuple(
+                int(min(max(i, 0), Lt - 1)) for i in ids
+            )
         else:
             self.model = EagleDraftModel(cfg)
         from sglang_npu_tpu.model_loader.loader import load_model_weights
@@ -94,7 +109,7 @@ class EagleRunner:
             self.model, path, server_args.load_format, target_runner.mesh,
             seed=server_args.random_seed,
         )
-        if not self.is_mtp:
+        if not self.is_mtp and not self.is_eagle3:
             self.params = self._fix_missing_norms(self.params)
 
         # draft KV pool: same page/slot space as the target
@@ -108,7 +123,8 @@ class EagleRunner:
         rep = NamedSharding(target_runner.mesh, P())
 
         self.max_slots = min(server_args.max_running_requests or 2048, 4096)
-        D = tc.hidden_size
+        # eagle3 conditions on fc-folded DRAFT-width hiddens
+        D = cfg.hidden_size if self.is_eagle3 else tc.hidden_size
         self.hidden_buf = jax.device_put(
             jnp.zeros((self.max_slots, D), dt), rep
         )
@@ -174,10 +190,16 @@ class EagleRunner:
                     d_params, embed, d_pool, fb, ps, prev_h[:, None]
                 )
                 h0 = h[:, 0]
-                logits = jnp.einsum(
-                    "bd,dv->bv", h0, head, preferred_element_type=jnp.float32
-                )
-                topi = jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+                if self.is_eagle3:
+                    logits = dmodel.draft_logits(d_params, h0)
+                    topi = jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+                    topi = dmodel.map_draft_ids(d_params, topi)
+                else:
+                    logits = jnp.einsum(
+                        "bd,dv->bv", h0, head,
+                        preferred_element_type=jnp.float32,
+                    )
+                    topi = jax.lax.top_k(logits, K)[1].astype(jnp.int32)
                 cands.append(topi)
                 tok = topi[:, 0]
                 prev_h = h0
@@ -202,15 +224,28 @@ class EagleRunner:
                 extend_seq_lens=None,
                 extend_prefix_lens=seq_lens - 1,
             )
-            hidden, (kst, vst) = tmodel.verify_forward(
-                t_params, t_pool, fbv, ps, tree_mask
-            )
+            if self.is_eagle3:
+                hidden, (kst, vst), aux = tmodel.verify_forward(
+                    t_params, t_pool, fbv, ps, tree_mask,
+                    aux_after=self.aux_after,
+                )
+                # the draft conditions on fc(concat aux), not the final
+                # hidden — fold here so commit/hidden_buf stay D-wide
+                aux_cat = jnp.concatenate(
+                    [aux[i] for i in range(aux.shape[0])], axis=-1
+                )
+                cond_hidden = dmodel.apply_fc(d_params, aux_cat)
+            else:
+                hidden, (kst, vst) = tmodel.verify_forward(
+                    t_params, t_pool, fbv, ps, tree_mask
+                )
+                cond_hidden = hidden
             vlogits = jnp.einsum(
                 "btd,dv->btv", hidden, head,
                 preferred_element_type=jnp.float32,
             )
             preds = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)
-            return cand, preds, hidden, kst, vst, d_pool
+            return cand, preds, cond_hidden, kst, vst, d_pool
 
         return jax.jit(fn, donate_argnums=(3,))
 

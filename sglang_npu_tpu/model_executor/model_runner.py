@@ -585,9 +585,21 @@ class ModelRunner:
                 # (reference `forward_draft_extend`, eagle_worker.py:813 —
                 # fused here so target hiddens never cross the host link)
                 d_pool, hidden_buf = eagle_state
-                x, kv_pool = model.backbone_forward(
-                    params, kv_pool, fb, page_size
-                )
+                is_e3 = getattr(self.eagle, "is_eagle3", False)
+                if is_e3:
+                    x, kv_pool, aux = model.backbone_forward(
+                        params, kv_pool, fb, page_size,
+                        aux_after=self.eagle.aux_after,
+                    )
+                    aux_cat = jnp.concatenate(
+                        [aux[i] for i in range(aux.shape[0])], axis=-1
+                    )
+                    cond = self.eagle.model.apply_fc(d_params, aux_cat)
+                else:
+                    x, kv_pool = model.backbone_forward(
+                        params, kv_pool, fb, page_size
+                    )
+                    cond = x
                 idx = jnp.maximum(fb.extend_seq_lens - 1, 0)
                 last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[
                     :, 0
@@ -631,13 +643,20 @@ class ModelRunner:
                     eagle_first[:, None], 0.0, hidden_buf[hidden_slots]
                 )  # [B, D]
                 prev_h = jnp.concatenate(
-                    [boundary_h[:, None], x[:, :-1]], axis=1
+                    [boundary_h[:, None], cond[:, :-1]], axis=1
                 )
                 _, d_pool = self.eagle.model.forward(
                     d_params, params["embed"], d_pool, fb, page_size, prev_h
                 )
+                last_cond = (
+                    last
+                    if not is_e3
+                    else jnp.take_along_axis(
+                        cond, idx[:, None, None], axis=1
+                    )[:, 0]
+                )
                 hidden_buf = hidden_buf.at[hidden_slots].set(
-                    last.astype(hidden_buf.dtype), mode="drop"
+                    last_cond.astype(hidden_buf.dtype), mode="drop"
                 )
                 return toks, kv_pool, (d_pool, hidden_buf)
             if return_input_logprob:

@@ -260,11 +260,16 @@ class LlamaForCausalLM:
         page_size: int,
         collect_moe: bool = False,
         moe_mask=None,
+        aux_after=None,
     ):
         """Full trunk: returns (hidden [B, E, D], new_kv_pool); with
         ``collect_moe`` (MoE models) additionally the per-layer routed
         token counts [L, E] as scan ys (EPLB recorder feed).  ``moe_mask``
-        [B] excludes padded batch rows from the counts."""
+        [B] excludes padded batch rows from the counts.  ``aux_after``
+        (static tuple of layer indices) additionally returns the EAGLE3
+        aux hidden states [A, B, E, D] — the residual stream captured
+        after each listed layer, pre-final-norm (reference
+        `srt/models/llama.py:329` aux_hidden_states)."""
         if self.pp_size > 1:
             assert not collect_moe, "EPLB stats not supported under PP"
             return self._pp_backbone_forward(params, kv_pool, fb, page_size)
@@ -353,6 +358,25 @@ class LlamaForCausalLM:
             delta = self._mlp(h, lp, _proj)
             x = x + (delta if rm == 1.0 else delta * jnp.asarray(rm, x.dtype))
             return (x, kv_pool, l + 1), None
+
+        if aux_after is not None:
+            assert not collect_moe
+            aux_ids = jnp.asarray(aux_after, jnp.int32)
+
+            def layer_fn_aux(carry, lp):
+                inner, aux = carry
+                (x, kvp, l2), _ = layer_fn(inner, lp)
+                hit = (aux_ids == (l2 - 1))[:, None, None, None]
+                aux = jnp.where(hit, x[None], aux)
+                return ((x, kvp, l2), aux), None
+
+            aux0 = jnp.zeros((len(aux_after),) + x.shape, x.dtype)
+            ((x, new_kv, _), aux), _ = jax.lax.scan(
+                layer_fn_aux, ((x, kv_pool, jnp.int32(0)), aux0),
+                params["layers"],
+            )
+            x = self.norm_fn(x, params["final_norm"], eps)
+            return x, new_kv, aux
 
         (x, new_kv, _), ys = jax.lax.scan(
             layer_fn, (x, kv_pool, jnp.int32(0)), params["layers"]
@@ -494,12 +518,15 @@ class LlamaForCausalLM:
         fb: ForwardBatch,
         page_size: int,
         tree_mask: jax.Array,  # [T, T] bool ancestor-or-self
+        aux_after=None,
     ):
         """Speculative tree-verify trunk (reference TARGET_VERIFY): the
         fed tokens attend the committed pool prefix plus in-flight
         ancestors; the pool is NOT written.  Returns
         (hidden [B, T, D], (k_stack, v_stack) [L, B, T, Hkv, Dh]) — the
-        per-layer fed K/V so the scheduler can commit accepted rows."""
+        per-layer fed K/V so the scheduler can commit accepted rows.
+        With ``aux_after``, additionally the EAGLE3 aux hiddens
+        [A, B, T, D] (pre-final-norm residual stream)."""
         from sglang_npu_tpu.ops.xla_attention import tree_verify_attention_xla
 
         c = self.config
@@ -537,6 +564,23 @@ class LlamaForCausalLM:
             h2 = rms_norm(x, lp["post_norm"], eps)
             x = x + self._mlp(h2, lp)
             return (x, l + 1), (k, v)
+
+        if aux_after is not None:
+            aux_ids = jnp.asarray(aux_after, jnp.int32)
+
+            def layer_fn_aux(carry, lp):
+                inner, aux = carry
+                (x, l2), kv = layer_fn(inner, lp)
+                hit = (aux_ids == (l2 - 1))[:, None, None, None]
+                aux = jnp.where(hit, x[None], aux)
+                return ((x, l2), aux), kv
+
+            aux0 = jnp.zeros((len(aux_after),) + x.shape, x.dtype)
+            ((x, _), aux), (k_stack, v_stack) = jax.lax.scan(
+                layer_fn_aux, ((x, jnp.int32(0)), aux0), params["layers"]
+            )
+            x = rms_norm(x, params["final_norm"], eps)
+            return x, (k_stack, v_stack), aux
 
         (x, _), (k_stack, v_stack) = jax.lax.scan(
             layer_fn, (x, jnp.int32(0)), params["layers"]

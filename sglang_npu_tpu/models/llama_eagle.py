@@ -169,4 +169,153 @@ class EagleDraftModel:
         return x, kv_pool
 
 
+class Eagle3DraftModel(EagleDraftModel):
+    """EAGLE3 draft (reference `srt/models/llama_eagle3.py`): own
+    embedding table, `fc` folding the target's THREE aux hidden states
+    (3*target_hidden -> hidden), a dual-norm "midlayer" whose attention
+    input is concat(input_layernorm(embed), hidden_norm(hidden)) [2D],
+    with the incoming hidden (not the embed) as the residual stream, an
+    own final norm, and a draft-vocab lm_head whose top-k ids map to
+    target ids through the d2t diff table."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        self.draft_vocab = hf.get("draft_vocab_size") or config.vocab_size
+        self.target_hidden = hf.get("target_hidden_size", config.hidden_size)
+
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        L, D, F = c.num_hidden_layers, c.hidden_size, c.intermediate_size
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        return {
+            "embed": ((c.vocab_size, D), dt),
+            "fc": ((3 * self.target_hidden, D), dt),
+            "final_norm": ((D,), jnp.float32),
+            "lm_head": ((D, self.draft_vocab), dt),
+            "d2t": ((self.draft_vocab,), jnp.int32),
+            "layers": {
+                "input_norm": ((L, D), jnp.float32),   # on the embeds
+                "hidden_norm": ((L, D), jnp.float32),  # on the spec hidden
+                "post_norm": ((L, D), jnp.float32),
+                "wq": ((L, 2 * D, self.q_size), dt),
+                "wk": ((L, 2 * D, self.kv_size), dt),
+                "wv": ((L, 2 * D, self.kv_size), dt),
+                "wo": ((L, self.q_size, D), dt),
+                "w_gate": ((L, D, F), dt),
+                "w_up": ((L, D, F), dt),
+                "w_down": ((L, F, D), dt),
+            },
+        }
+
+    def param_shardings(self) -> Dict[str, Any]:
+        specs = super().param_shardings()
+        specs["embed"] = P(None, None)
+        specs["final_norm"] = P(None)
+        specs["lm_head"] = P(None, "model")
+        specs["d2t"] = P(None)
+        specs["layers"]["hidden_norm"] = P(None, None)
+        return specs
+
+    def hf_weight_map(self):
+        # EAGLE3 checkpoints: model.fc / model.midlayer.* / model.norm /
+        # model.embed_tokens / lm_head / d2t.  The single midlayer loads
+        # through the top map — the stacked [1, ...] target broadcasts.
+        m = {
+            "model.embed_tokens.weight": ("embed", None),
+            "embed_tokens.weight": ("embed", None),
+            "model.fc.weight": ("fc", "transpose"),
+            "fc.weight": ("fc", "transpose"),
+            "model.norm.weight": ("final_norm", None),
+            "norm.weight": ("final_norm", None),
+            "lm_head.weight": ("lm_head", "transpose"),
+            "d2t": ("d2t", None),
+        }
+        for pre in ("model.midlayer.", "midlayer."):
+            for suffix, dst, tr in (
+                ("input_layernorm.weight", "layers.input_norm", None),
+                ("hidden_norm.weight", "layers.hidden_norm", None),
+                ("post_attention_layernorm.weight", "layers.post_norm", None),
+                ("self_attn.q_proj.weight", "layers.wq", "transpose"),
+                ("self_attn.k_proj.weight", "layers.wk", "transpose"),
+                ("self_attn.v_proj.weight", "layers.wv", "transpose"),
+                ("self_attn.o_proj.weight", "layers.wo", "transpose"),
+                ("mlp.gate_proj.weight", "layers.w_gate", "transpose"),
+                ("mlp.up_proj.weight", "layers.w_up", "transpose"),
+                ("mlp.down_proj.weight", "layers.w_down", "transpose"),
+            ):
+                m[pre + suffix] = (dst, tr)
+        return m, {}
+
+    # ------------------------------------------------------------------
+    def apply_fc(self, params, aux_cat: jax.Array) -> jax.Array:
+        """[..., 3*target_hidden] -> [..., D]."""
+        return aux_cat.astype(params["fc"].dtype) @ params["fc"]
+
+    def draft_logits(self, params, h: jax.Array) -> jax.Array:
+        """Pre-norm draft hidden -> draft-vocab logits."""
+        hn = rms_norm(h, params["final_norm"], self.config.rms_norm_eps)
+        return jnp.einsum(
+            "...d,dv->...v", hn, params["lm_head"],
+            preferred_element_type=jnp.float32,
+        )
+
+    def map_draft_ids(self, params, draft_ids: jax.Array) -> jax.Array:
+        """Draft-vocab ids -> target-vocab ids (d2t stores diffs)."""
+        return draft_ids + params["d2t"][draft_ids]
+
+    def forward(
+        self,
+        params: Dict[str, Any],
+        embed: jax.Array,  # unused: eagle3 has its own table
+        kv_pool: jax.Array,
+        fb: ForwardBatch,
+        page_size: int,
+        prev_hidden: jax.Array,  # [B, E, D] already fc-folded
+    ):
+        c = self.config
+        B, E = fb.input_ids.shape
+        dt = prev_hidden.dtype
+        emb = params["embed"][fb.input_ids].astype(dt)
+        eps = c.rms_norm_eps
+        rope = self.rope
+        x = prev_hidden.astype(dt)  # residual stream IS the spec hidden
+
+        def layer_fn(carry, lp):
+            x, kv_pool, l = carry
+            e_n = rms_norm(emb, lp["input_norm"], eps)
+            h_n = rms_norm(x, lp["hidden_norm"], eps)
+            h = jnp.concatenate([e_n, h_n], axis=-1)  # [B, E, 2D]
+            q = qmm(h, lp["wq"], "bed,dh->beh").reshape(
+                B, E, c.num_attention_heads, c.head_dim
+            )
+            k = qmm(h, lp["wk"], "bed,dh->beh").reshape(
+                B, E, c.num_key_value_heads, c.head_dim
+            )
+            v = qmm(h, lp["wv"], "bed,dh->beh").reshape(
+                B, E, c.num_key_value_heads, c.head_dim
+            )
+            q, k = apply_rope(q, k, fb.positions, rope)
+            kv_pool = write_kv(kv_pool, l, k, v, fb.out_slots)
+            att = paged_attention_xla(
+                q, kv_pool, l, fb.page_tables, fb.seq_lens, fb.positions,
+                page_size, self.scale,
+            )
+            x = x + qmm(
+                att.reshape(B, E, self.q_size), lp["wo"], "beh,hd->bed"
+            )
+            h2 = rms_norm(x, lp["post_norm"], eps)
+            gate = qmm(h2, lp["w_gate"], "bed,df->bef")
+            up = qmm(h2, lp["w_up"], "bed,df->bef")
+            x = x + qmm(jax.nn.silu(gate) * up, lp["w_down"], "bef,fd->bed")
+            return (x, kv_pool, l + 1), None
+
+        (x, kv_pool, _), _ = jax.lax.scan(
+            layer_fn, (x, kv_pool, jnp.int32(0)), params["layers"]
+        )
+        # returns the PRE-norm hidden (next-step conditioning); logits go
+        # through draft_logits (reference "capture before norm")
+        return x, kv_pool
+
+
 ENTRY_CLASS = EagleDraftModel
