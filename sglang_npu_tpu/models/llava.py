@@ -245,3 +245,215 @@ class LlavaForConditionalGeneration(LlamaForCausalLM):
             (x @ v["proj_fc1"] + v["proj_b1"]).astype(jnp.float32)
         ).astype(x.dtype)
         return x @ v["proj_fc2"] + v["proj_b2"]
+
+
+class PixtralLlavaForCausalLM(LlavaForConditionalGeneration):
+    """LLaVA composite with a Pixtral vision tower (reference
+    `srt/models/pixtral.py` / HF `PixtralVisionModel`): variable-size
+    images, bias-less patch conv, RMSNorm pre/attention/ffn norms, SiLU
+    gate/up/down MLP, per-position 2D rope over an image_size/patch grid
+    (freqs_h from even, freqs_w from odd frequency rows), block-diagonal
+    attention per image, no CLS token and no merge (every patch is one
+    placeholder token)."""
+
+    def __init__(self, config: ModelConfig, attn_backend=None):
+        super().__init__(config, attn_backend)
+        vc = self.vision_cfg
+        self.v_rope_theta = vc.get("rope_theta", 10000.0)
+        self.v_maxside = self.v_img // self.v_patch
+
+    def param_shapes(self) -> Dict[str, Any]:
+        shapes = super().param_shapes()
+        dt = jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+        Hv, F, L = self.v_hidden, self.v_inter, self.v_layers
+        Dt = self.config.hidden_size
+        patch_dim = 3 * self.v_patch**2
+        shapes["visual"] = {
+            "patch_embed": ((patch_dim, Hv), dt),
+            "ln_pre": ((Hv,), jnp.float32),
+            "blocks": {
+                "attn_norm": ((L, Hv), jnp.float32),
+                "wq": ((L, Hv, Hv), dt),
+                "wk": ((L, Hv, Hv), dt),
+                "wv": ((L, Hv, Hv), dt),
+                "wo": ((L, Hv, Hv), dt),
+                "ffn_norm": ((L, Hv), jnp.float32),
+                "w_gate": ((L, Hv, F), dt),
+                "w_up": ((L, Hv, F), dt),
+                "w_down": ((L, F, Hv), dt),
+            },
+            "proj_fc1": ((Hv, Dt), dt),
+            "proj_b1": ((Dt,), dt),
+            "proj_fc2": ((Dt, Dt), dt),
+            "proj_b2": ((Dt,), dt),
+        }
+        return shapes
+
+    def param_shardings(self) -> Dict[str, Any]:
+        specs = LlamaForCausalLM.param_shardings(self)
+        specs["visual"] = {
+            "patch_embed": P(),
+            "ln_pre": P(),
+            "blocks": {
+                "attn_norm": P(None, None),
+                "wq": P(None, None, "model"),
+                "wk": P(None, None, "model"),
+                "wv": P(None, None, "model"),
+                "wo": P(None, "model", None),
+                "ffn_norm": P(None, None),
+                "w_gate": P(None, None, "model"),
+                "w_up": P(None, None, "model"),
+                "w_down": P(None, "model", None),
+            },
+            "proj_fc1": P(None, "model"),
+            "proj_b1": P("model"),
+            "proj_fc2": P("model", None),
+            "proj_b2": P(),
+        }
+        return specs
+
+    def hf_weight_map(self):
+        top, per_layer = LlamaForCausalLM.hf_weight_map(self)
+        vis_top = {
+            "vision_tower.patch_conv.weight": (
+                "visual.patch_embed", "flatten_oc_transpose",
+            ),
+            "vision_tower.ln_pre.weight": ("visual.ln_pre", None),
+            "multi_modal_projector.linear_1.weight": ("visual.proj_fc1", "transpose"),
+            "multi_modal_projector.linear_1.bias": ("visual.proj_b1", None),
+            "multi_modal_projector.linear_2.weight": ("visual.proj_fc2", "transpose"),
+            "multi_modal_projector.linear_2.bias": ("visual.proj_b2", None),
+        }
+        for k, v in list(vis_top.items()):
+            vis_top["model." + k] = v
+        top.update(vis_top)
+        return top, per_layer
+
+    def hf_block_maps(self):
+        m = {
+            "attention_norm.weight": ("attn_norm", None),
+            "attention.q_proj.weight": ("wq", "transpose"),
+            "attention.k_proj.weight": ("wk", "transpose"),
+            "attention.v_proj.weight": ("wv", "transpose"),
+            "attention.o_proj.weight": ("wo", "transpose"),
+            "ffn_norm.weight": ("ffn_norm", None),
+            "feed_forward.gate_proj.weight": ("w_gate", "transpose"),
+            "feed_forward.up_proj.weight": ("w_up", "transpose"),
+            "feed_forward.down_proj.weight": ("w_down", "transpose"),
+        }
+        return {
+            "vision_tower.transformer.layers.": {
+                k: (f"visual.blocks.{dst}", tr) for k, (dst, tr) in m.items()
+            }
+        }
+
+    # ------------------------------------------------------------------
+    def compute_vision_embeds(self, params, mm, vision_fn) -> jax.Array:
+        pixels = np.asarray(mm["pixel_values"], dtype=np.float32)
+        sizes = np.asarray(mm["image_sizes"], dtype=np.int64)
+        p = self.v_patch
+        rows, segs, poss = [], [], []
+        for i, (h, w) in enumerate(sizes):
+            gh, gw = int(h) // p, int(w) // p
+            img = pixels[i, :, : gh * p, : gw * p]
+            # row-major patchify in conv channel order (c, ph, pw)
+            x = img.reshape(3, gh, p, gw, p).transpose(1, 3, 0, 2, 4)
+            rows.append(x.reshape(gh * gw, 3 * p * p))
+            segs.append(np.full(gh * gw, i, dtype=np.int32))
+            hh, ww = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+            poss.append((hh * self.v_maxside + ww).reshape(-1).astype(np.int32))
+        patches = np.concatenate(rows)
+        seg = np.concatenate(segs)
+        pos = np.concatenate(poss)
+        Pn = patches.shape[0]
+        Pb = 1 << (Pn - 1).bit_length() if Pn > 1 else 1
+        if Pb != Pn:
+            patches = np.pad(patches, ((0, Pb - Pn), (0, 0)))
+            seg = np.pad(seg, (0, Pb - Pn), constant_values=-1)
+            pos = np.pad(pos, (0, Pb - Pn))
+        out = vision_fn(
+            params, jnp.asarray(patches), jnp.asarray(seg), jnp.asarray(pos)
+        )
+        return out[:Pn]
+
+    def vision_forward(self, params, patches, seg, pos) -> jax.Array:
+        """patches [P, 3*p*p] (block-diag segments per image), pos [P]
+        flat (h*maxside + w) rope indices -> [P, text_hidden]."""
+        from sglang_npu_tpu.layers.ops import rms_norm
+
+        v = params["visual"]
+        Hv, nh = self.v_hidden, self.v_heads
+        hd = self.v_head_dim
+        Pn = patches.shape[0]
+        x = patches.astype(v["patch_embed"].dtype) @ v["patch_embed"]
+        x = rms_norm(x, v["ln_pre"], 1e-5)
+
+        # 2D rope table in HF pixtral's interleave: h rows take the even
+        # frequency indices, w columns the odd ones
+        ms = self.v_maxside
+        freqs = 1.0 / (
+            self.v_rope_theta
+            ** (np.arange(0, hd, 2, dtype=np.float64) / hd)
+        )
+        fh = np.outer(np.arange(ms), freqs[::2])
+        fw = np.outer(np.arange(ms), freqs[1::2])
+        table = np.concatenate(
+            [
+                np.repeat(fh[:, None, :], ms, axis=1),
+                np.repeat(fw[None, :, :], ms, axis=0),
+            ],
+            axis=-1,
+        ).reshape(ms * ms, hd // 2)
+        table = np.concatenate([table, table], axis=-1).astype(np.float32)
+        emb = jnp.asarray(table)[pos]  # [P, hd]
+        cos = jnp.cos(emb)[:, None, :]
+        sin = jnp.sin(emb)[:, None, :]
+
+        def rot(t):
+            t1, t2 = jnp.split(t, 2, axis=-1)
+            return jnp.concatenate([-t2, t1], axis=-1)
+
+        mask = (seg[None, :] == seg[:, None]) & (seg[None, :] >= 0)
+        scale = hd**-0.5
+        NEG = -1e9
+
+        def block(x, lp):
+            h = rms_norm(x, lp["attn_norm"], 1e-5)
+            q = (h @ lp["wq"]).reshape(Pn, nh, hd).astype(jnp.float32)
+            k = (h @ lp["wk"]).reshape(Pn, nh, hd).astype(jnp.float32)
+            vv = (h @ lp["wv"]).reshape(Pn, nh, hd)
+            q = (q * cos + rot(q) * sin).astype(x.dtype)
+            k = (k * cos + rot(k) * sin).astype(x.dtype)
+            s = jnp.einsum(
+                "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            s = jnp.where(mask[None], s, NEG)
+            pr = jax.nn.softmax(s, axis=-1).astype(vv.dtype)
+            o = jnp.einsum(
+                "hqk,khd->qhd", pr, vv, preferred_element_type=jnp.float32
+            ).astype(x.dtype).reshape(Pn, Hv)
+            x = x + o @ lp["wo"]
+            h2 = rms_norm(x, lp["ffn_norm"], 1e-5)
+            act = jax.nn.silu(
+                (h2 @ lp["w_gate"]).astype(jnp.float32)
+            ).astype(x.dtype) * (h2 @ lp["w_up"])
+            return x + act @ lp["w_down"], None
+
+        x, _ = jax.lax.scan(block, x, v["blocks"])
+        pact = _quick_gelu if self.proj_act == "quick_gelu" else (
+            lambda t: jax.nn.gelu(t, approximate=False)
+        )
+        x = pact(
+            (x @ v["proj_fc1"] + v["proj_b1"]).astype(jnp.float32)
+        ).astype(x.dtype)
+        return x @ v["proj_fc2"] + v["proj_b2"]
+
+
+def LlavaDispatch(config: ModelConfig, attn_backend=None):
+    """LlavaForConditionalGeneration covers multiple towers; dispatch on
+    the vision config's model_type (reference llava.py does the same via
+    its vision tower registry)."""
+    vt = config.hf_config.get("vision_config", {}).get("model_type", "clip")
+    if vt == "pixtral":
+        return PixtralLlavaForCausalLM(config, attn_backend)
+    return LlavaForConditionalGeneration(config, attn_backend)

@@ -30,10 +30,10 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
         "sglang_npu_tpu.models.qwen2_audio", "Qwen2AudioForCausalLM",
     ),
     "LlavaForConditionalGeneration": (
-        "sglang_npu_tpu.models.llava", "LlavaForConditionalGeneration",
+        "sglang_npu_tpu.models.llava", "LlavaDispatch",
     ),
     "LlavaLlamaForCausalLM": (
-        "sglang_npu_tpu.models.llava", "LlavaForConditionalGeneration",
+        "sglang_npu_tpu.models.llava", "LlavaDispatch",
     ),
     "Gemma3ForConditionalGeneration": (
         "sglang_npu_tpu.models.gemma3_mm", "Gemma3ForConditionalGeneration",
