@@ -56,6 +56,12 @@ class ForwardBatch:
     # gemma3-mm: image-group id per sequence position (-1 = text); query/
     # key pairs in the same group attend bidirectionally
     mm_groups: Optional[jax.Array] = None  # [B, P*page_size] int32
+    # mllama-class cross-attention (models/mllama.py): per-request vision
+    # states, the image index of each state column (-1 = padded tile),
+    # and the governing image per query token (-1 = no preceding image)
+    cross_states: Optional[jax.Array] = None  # [B, C, Dv->D projected]
+    cross_img: Optional[jax.Array] = None  # [B, C] int32
+    cross_gov: Optional[jax.Array] = None  # extend [B, E]; decode [B] int32
 
 
 @jax.tree_util.register_dataclass
