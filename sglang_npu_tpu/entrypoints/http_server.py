@@ -71,6 +71,7 @@ class HttpServer:
         r.add_post("/rebalance_experts", self.rebalance_experts)
         r.add_post("/continue_generation", self.continue_generation)
         r.add_post("/encode", self.encode)
+        r.add_post("/classify", self.classify)
         r.add_post("/v1/embeddings", self.v1_embeddings)
         r.add_get("/v1/models", self.models)
         r.add_post("/v1/score", self.v1_score)
@@ -216,6 +217,27 @@ class HttpServer:
             return web.json_response(out)
         except ValueError as e:
             return _json_error(str(e))
+
+    async def classify(self, request: web.Request) -> web.Response:
+        """Class logits from a sequence-classification / reward head
+        (reference `/classify:418` — same EmbeddingReqInput path as
+        `/encode`; the pooled-head "embedding" IS the logits vector)."""
+        if not self.engine.server_args.is_embedding:
+            return _json_error("server not launched with --is-embedding", 400)
+        body = await request.json()
+        try:
+            out = await asyncio.to_thread(
+                self.engine.encode,
+                body.get("text"),
+                body.get("input_ids"),
+                body.get("rid"),
+            )
+        except ValueError as e:
+            return _json_error(str(e))
+        outs = out if isinstance(out, list) else [out]
+        for o in outs:
+            o["logits"] = o.get("embedding")
+        return web.json_response(out)
 
     async def v1_embeddings(self, request: web.Request) -> web.Response:
         if not self.engine.server_args.is_embedding:
