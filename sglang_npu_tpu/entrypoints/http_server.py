@@ -31,6 +31,28 @@ def _json_error(message: str, status: int = 400, etype: str = "invalid_request_e
     )
 
 
+async def _json_body(request: web.Request) -> dict:
+    """Parse a JSON object body; malformed/non-dict bodies become the same
+    structured 400 every route uses (instead of an unhandled aiohttp 500)."""
+    try:
+        body = await request.json()
+    except Exception:
+        raise web.HTTPBadRequest(
+            text=json.dumps(
+                {"error": {"message": "invalid JSON body", "type": "invalid_request_error"}}
+            ),
+            content_type="application/json",
+        )
+    if not isinstance(body, dict):
+        raise web.HTTPBadRequest(
+            text=json.dumps(
+                {"error": {"message": "JSON body must be an object", "type": "invalid_request_error"}}
+            ),
+            content_type="application/json",
+        )
+    return body
+
+
 class HttpServer:
     def __init__(self, engine):
         self.engine = engine
@@ -133,7 +155,7 @@ class HttpServer:
     # ------------------------------------------------------------------
     async def generate(self, request: web.Request) -> web.StreamResponse:
         try:
-            body = await request.json()
+            body = await _json_body(request)
         except Exception:
             return _json_error("invalid JSON body")
         try:
@@ -196,7 +218,7 @@ class HttpServer:
         )
 
     async def abort_request(self, request: web.Request) -> web.Response:
-        body = await request.json()
+        body = await _json_body(request)
         self.engine.abort_request(
             rid=body.get("rid", ""), abort_all=body.get("abort_all", False)
         )
@@ -206,7 +228,7 @@ class HttpServer:
         """Native embedding API (reference `/encode:406`)."""
         if not self.engine.server_args.is_embedding:
             return _json_error("server not launched with --is-embedding", 400)
-        body = await request.json()
+        body = await _json_body(request)
         try:
             out = await asyncio.to_thread(
                 self.engine.encode,
@@ -224,7 +246,7 @@ class HttpServer:
         `/encode`; the pooled-head "embedding" IS the logits vector)."""
         if not self.engine.server_args.is_embedding:
             return _json_error("server not launched with --is-embedding", 400)
-        body = await request.json()
+        body = await _json_body(request)
         try:
             out = await asyncio.to_thread(
                 self.engine.encode,
@@ -234,15 +256,14 @@ class HttpServer:
             )
         except ValueError as e:
             return _json_error(str(e))
-        outs = out if isinstance(out, list) else [out]
-        for o in outs:
-            o["logits"] = o.get("embedding")
+        # same wire format as /encode — the pooled "embedding" IS the class
+        # logits vector (reference returns the EmbeddingReqInput result as-is)
         return web.json_response(out)
 
     async def v1_embeddings(self, request: web.Request) -> web.Response:
         if not self.engine.server_args.is_embedding:
             return _json_error("server not launched with --is-embedding", 400)
-        body = await request.json()
+        body = await _json_body(request)
         inp = body.get("input")
         if inp is None:
             return _json_error("you must provide an input")
@@ -266,7 +287,7 @@ class HttpServer:
         )
 
     async def update_weights_from_disk(self, request: web.Request) -> web.Response:
-        body = await request.json()
+        body = await _json_body(request)
         if "model_path" not in body:
             return _json_error("model_path required")
         ok, msg = await asyncio.to_thread(
@@ -287,7 +308,7 @@ class HttpServer:
         relays KV bytes)."""
         if self.engine.server_args.disaggregation_mode != "prefill":
             return _json_error("not a prefill server", 400)
-        body = await request.json()
+        body = await _json_body(request)
         try:
             handoff = await asyncio.to_thread(
                 self.engine.prefill_only,
@@ -367,7 +388,7 @@ class HttpServer:
         returns the decode result (reference decode-side
         `event_loop_normal_disagg_decode` waiting on the transfer
         queue)."""
-        body = await request.json()
+        body = await _json_body(request)
         room = body.get("room")
         if not room:
             return _json_error("missing room", 400)
@@ -390,7 +411,7 @@ class HttpServer:
         """jax.profiler trace capture (reference `/start_profile:441`,
         torch.profiler RPC; traces are xplane/perfetto files)."""
         try:
-            body = await request.json()
+            body = await _json_body(request)
         except Exception:
             body = {}
         out_dir = body.get("output_dir") or "/tmp/sglang_tpu_profile"
@@ -421,7 +442,7 @@ class HttpServer:
         )
 
     async def open_session(self, request: web.Request) -> web.Response:
-        body = await request.json()
+        body = await _json_body(request)
         sid = await asyncio.to_thread(
             self.engine.open_session,
             body.get("session_id"),
@@ -430,7 +451,7 @@ class HttpServer:
         return web.json_response({"session_id": sid})
 
     async def close_session(self, request: web.Request) -> web.Response:
-        body = await request.json()
+        body = await _json_body(request)
         self.engine.close_session(body["session_id"])
         return web.Response(status=200)
 
@@ -500,7 +521,7 @@ class HttpServer:
     async def v1_score(self, request: web.Request) -> web.Response:
         """Score items against a query (reference `/v1/score:838`): mean
         per-token logprob of each item continuation after the query."""
-        body = await request.json()
+        body = await _json_body(request)
         query = body.get("query")
         items = body.get("items")
         if query is None or not isinstance(items, list):
@@ -531,7 +552,7 @@ class HttpServer:
         """Rerank documents for a query (reference `/v1/rerank:847`):
         embedding-mode servers use cosine similarity of pooled embeddings;
         generation servers fall back to logprob scoring."""
-        body = await request.json()
+        body = await _json_body(request)
         query = body.get("query")
         docs = body.get("documents")
         if query is None or not isinstance(docs, list):
