@@ -73,7 +73,22 @@ class Engine:
                 trust_remote_code=server_args.trust_remote_code,
             )
 
-        if server_args.nnodes > 1 and server_args.node_rank == 0:
+        self._spmd_channel = None
+        if server_args.multihost_spmd and server_args.nnodes > 1:
+            # Cross-host SPMD: this node runs the (single) lockstep
+            # scheduler replica + the serving front; worker hosts run
+            # launch_worker --multihost-spmd.  jax.distributed must come
+            # up before any device use (parallel/dist.py).
+            from sglang_npu_tpu.managers.zmq_transport import SpmdStepChannel
+            from sglang_npu_tpu.parallel.dist import init_multihost_spmd
+
+            init_multihost_spmd(server_args)
+            self._spmd_channel = SpmdStepChannel(
+                server_args.dist_init_addr,
+                num_workers=server_args.nnodes - 1,
+                is_entry=True,
+            )
+        elif server_args.nnodes > 1 and server_args.node_rank == 0:
             self._init_multihost_entry(server_args)
             return
         if server_args.dp_size > 1 and not server_args.enable_dp_attention:
@@ -132,6 +147,7 @@ class Engine:
             tokenizer=self.tokenizer,
             draft_runner=self.draft_runner,
             eagle_runner=self.eagle_runner,
+            spmd_channel=self._spmd_channel,
         )
         self.detokenizer = DetokenizerManager(
             self.tokenizer, self._detok_in, self._detok_out

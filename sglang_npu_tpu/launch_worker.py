@@ -75,11 +75,69 @@ def run_worker(server_args: ServerArgs):
         scheduler.shutdown()
 
 
+def run_worker_spmd(server_args: ServerArgs):
+    """Cross-host SPMD worker: joins the jax.distributed runtime, then runs
+    a lockstep Scheduler replica fed by node 0's SpmdStepChannel broadcast
+    (see parallel/dist.py for the process model; reference analogue:
+    scheduler processes on node_rank > 0, `engine.py:715-741`)."""
+    assert server_args.dist_init_addr and server_args.node_rank >= 1
+    import queue as _q
+
+    from sglang_npu_tpu.parallel.dist import init_multihost_spmd
+
+    init_multihost_spmd(server_args)  # before any device use
+
+    from sglang_npu_tpu.configs.model_config import ModelConfig
+    from sglang_npu_tpu.managers.scheduler import (
+        Scheduler,
+        run_scheduler_thread,
+    )
+    from sglang_npu_tpu.managers.zmq_transport import (
+        NullQueue,
+        SpmdStepChannel,
+    )
+    from sglang_npu_tpu.model_executor.model_runner import ModelRunner
+    from sglang_npu_tpu.tokenizer.byte_tokenizer import get_tokenizer
+
+    channel = SpmdStepChannel(server_args.dist_init_addr, is_entry=False)
+    model_config = ModelConfig.from_model_path(
+        server_args.model_path,
+        dtype=server_args.dtype,
+        context_length=server_args.context_length,
+        json_override=server_args.json_model_override_args,
+    )
+    tokenizer = (
+        None
+        if server_args.skip_tokenizer_init
+        else get_tokenizer(server_args.tokenizer_path, server_args.tokenizer_mode)
+    )
+    runner = ModelRunner(server_args, model_config)
+    scheduler = Scheduler(
+        server_args,
+        runner,
+        input_queue=_q.Queue(),  # unused: inputs arrive via the broadcast
+        output_queue=NullQueue(),  # node 0 emits; replicas compute only
+        tokenizer=tokenizer,
+        spmd_channel=channel,
+    )
+    t = run_scheduler_thread(scheduler)
+    logger.info("SPMD worker %d ready", server_args.node_rank)
+    try:
+        while t.is_alive():
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        scheduler.shutdown()
+
+
 def main():
     import sys
 
     logging.basicConfig(level=logging.INFO)
-    run_worker(prepare_server_args(sys.argv[1:]))
+    args = prepare_server_args(sys.argv[1:])
+    if args.multihost_spmd:
+        run_worker_spmd(args)
+    else:
+        run_worker(args)
 
 
 if __name__ == "__main__":

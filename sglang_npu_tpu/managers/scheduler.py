@@ -93,9 +93,15 @@ class Scheduler:
         tokenizer=None,
         draft_runner=None,
         eagle_runner=None,
+        spmd_channel=None,
     ):
         self.server_args = server_args
         self.runner = model_runner
+        # Cross-host SPMD lockstep: every replica consumes the identical
+        # per-iteration input list broadcast by node 0
+        # (managers/zmq_transport.SpmdStepChannel; reference analogue is
+        # the per-step broadcast_pyobj, parallel_state.py:726)
+        self.spmd = spmd_channel
         self.draft_runner = draft_runner
         self.eagle = eagle_runner
         if eagle_runner is not None:
@@ -342,6 +348,8 @@ class Scheduler:
     # Input handling
     # ------------------------------------------------------------------
     def recv_requests(self, block: bool):
+        if self.spmd is not None:
+            return self._recv_requests_spmd(block)
         try:
             item = self.input_queue.get(timeout=1.0) if block else self.input_queue.get_nowait()
         except queue.Empty:
@@ -355,6 +363,42 @@ class Scheduler:
                 item = self.input_queue.get_nowait()
             except queue.Empty:
                 return
+
+    def _drain_input_queue(self, block: bool) -> list:
+        items = []
+        try:
+            items.append(
+                self.input_queue.get(timeout=1.0)
+                if block
+                else self.input_queue.get_nowait()
+            )
+            while True:
+                items.append(self.input_queue.get_nowait())
+        except queue.Empty:
+            pass
+        return items
+
+    def _recv_requests_spmd(self, block: bool):
+        """Lockstep intake for cross-host SPMD.  Node 0 drains its local
+        queue and broadcasts the list (one message per scheduler iteration
+        that has work or input); workers block on that broadcast.  All
+        replicas therefore admit the same requests at the same iteration
+        boundary — with deterministic policy decisions, every process then
+        issues identical SPMD programs in identical order."""
+        if self.spmd.is_entry:
+            items = self._drain_input_queue(block)
+            if not items and block:
+                return  # idle timeout: no broadcast, workers keep waiting
+            self.spmd.broadcast(items)
+        else:
+            items = self.spmd.recv()
+        for item in items:
+            if item is None:
+                if self.spmd.is_entry:
+                    pass  # already broadcast as part of `items`
+                self._running = False
+                return
+            self.process_input_request(item)
 
     def process_input_request(self, item):
         if isinstance(item, TokenizedGenerateReqInput):
@@ -516,6 +560,11 @@ class Scheduler:
     def move_ready_grammar_requests(self):
         still = []
         for req, fut in self.grammar_queue:
+            # SPMD lockstep: compile readiness is wall-clock dependent, so
+            # every replica must admit at the same iteration — block until
+            # the (deterministic) compile finishes instead of polling.
+            if self.spmd is not None:
+                fut.result()
             if fut.done():
                 try:
                     req.grammar = fut.result()

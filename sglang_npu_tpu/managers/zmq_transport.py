@@ -105,3 +105,80 @@ def worker_node_queues(dist_init_addr: str, worker_index: int):
     inputs = ZmqPullQueue(f"tcp://{host}:{port + 10 + worker_index}")
     results = ZmqPushQueue(f"tcp://{host}:{port + 1}")
     return inputs, results
+
+
+class NullQueue:
+    """Output sink for SPMD worker schedulers: replies/streams are emitted
+    by node 0 only (all replicas compute identical results)."""
+
+    def put(self, item) -> None:
+        pass
+
+    def put_nowait(self, item) -> None:
+        pass
+
+
+class SpmdStepChannel:
+    """Scheduler lockstep broadcast for cross-host SPMD (the surviving
+    piece of the reference's `broadcast_pyobj`, `parallel_state.py:726`).
+
+    Node 0 broadcasts the per-iteration input list; workers block on it.
+    Every replica therefore sees the identical request stream at identical
+    iteration boundaries, which (with deterministic scheduling policy)
+    keeps all processes issuing the same SPMD programs in the same order.
+
+    Ports (rooted at --dist-init-addr HOST:PORT):
+        PORT + 5  entry PUB  -> workers SUB   (pickled (seq, items))
+        PORT + 6  workers PUSH "ready" -> entry PULL  (slow-joiner sync)
+    """
+
+    def __init__(self, dist_init_addr: str, num_workers: int = 0,
+                 is_entry: bool = True):
+        import zmq
+
+        self._zmq = zmq
+        self.is_entry = is_entry
+        self.seq = 0
+        host, port = dist_init_addr.rsplit(":", 1)
+        port = int(port)
+        if is_entry:
+            self.pub = _ctx().socket(zmq.PUB)
+            self.pub.setsockopt(zmq.SNDHWM, 0)
+            self.pub.bind(f"tcp://*:{port + 5}")
+            ready = _ctx().socket(zmq.PULL)
+            ready.bind(f"tcp://*:{port + 6}")
+            for _ in range(num_workers):
+                ready.recv()  # blocks until every worker has subscribed
+            ready.close()
+            self._lock = threading.Lock()
+        else:
+            self.sub = _ctx().socket(zmq.SUB)
+            self.sub.setsockopt(zmq.RCVHWM, 0)
+            self.sub.setsockopt_string(zmq.SUBSCRIBE, "")
+            self.sub.connect(f"tcp://{host}:{port + 5}")
+            import time as _time
+
+            _time.sleep(0.2)  # let the SUB handshake settle before "ready"
+            push = _ctx().socket(zmq.PUSH)
+            push.connect(f"tcp://{host}:{port + 6}")
+            push.send(b"ready")
+            push.close()
+
+    def broadcast(self, items: list) -> None:
+        assert self.is_entry
+        self.seq += 1
+        with self._lock:
+            self.pub.send(
+                pickle.dumps((self.seq, items), protocol=pickle.HIGHEST_PROTOCOL)
+            )
+
+    def recv(self) -> list:
+        assert not self.is_entry
+        seq, items = pickle.loads(self.sub.recv())
+        expected = self.seq + 1
+        if seq != expected:
+            raise RuntimeError(
+                f"SPMD lockstep broke: got step {seq}, expected {expected}"
+            )
+        self.seq = seq
+        return items

@@ -41,6 +41,7 @@ from sglang_npu_tpu.model_executor.forward_batch_info import (
 from sglang_npu_tpu.model_loader.loader import load_model_weights
 from sglang_npu_tpu.models.registry import resolve_model_class
 from sglang_npu_tpu.layers import sampler as sampler_ops
+from sglang_npu_tpu.parallel.dist import fetch_np, zeros_global
 from sglang_npu_tpu.parallel.mesh import build_mesh, tp_degree
 from sglang_npu_tpu.server_args import ServerArgs
 from sglang_npu_tpu.utils.common import cdiv, next_power_of_2, round_up
@@ -246,11 +247,9 @@ class ModelRunner:
                 jax.device_put(jnp.asarray(l2p0), repl),
                 jax.device_put(jnp.asarray(rc0), repl),
             )
-            self._moe_acc = jax.device_put(
-                jnp.zeros(
-                    (self.model.eplb_layer_count(), self.model.num_experts),
-                    jnp.int32,
-                ),
+            self._moe_acc = zeros_global(
+                (self.model.eplb_layer_count(), self.model.num_experts),
+                jnp.int32,
                 repl,
             )
             self._eplb_interval = server_args.eplb_rebalance_interval
@@ -426,6 +425,16 @@ class ModelRunner:
             if self._swa_layers:
                 self.swa_num_pages = self._swa_want_pages(pages)
             return pages
+        from sglang_npu_tpu.parallel.dist import is_multiprocess
+
+        if is_multiprocess():
+            # pool geometry must agree across SPMD processes: host memory
+            # probes can differ by a few MB, so take process 0's answer
+            from jax.experimental import multihost_utils
+
+            budget = int(
+                multihost_utils.broadcast_one_to_all(np.int64(budget))
+            )
         if self._swa_layers:
             # split the budget: the window pool only needs to cover the
             # concurrent-request rings; everything else goes to full layers
@@ -466,30 +475,19 @@ class ModelRunner:
             page_ax = "data" if self.dp_attn else None
             rep = NamedSharding(self.mesh, P(None, page_ax))
             return MLALatentPool(
-                ckv=jax.device_put(
-                    jnp.zeros(
-                        (
-                            c.num_hidden_layers,
-                            self.num_pages,
-                            self.page_size,
-                            c.kv_lora_rank,
-                        ),
-                        dtype=dt,
-                    ),
-                    rep,
-                ),
-                kpe=jax.device_put(
-                    jnp.zeros(
-                        (
+                ckv=zeros_global(
+                    (
+                        c.num_hidden_layers,
+                        self.num_pages,
+                        self.page_size,
+                        c.kv_lora_rank,
+                    ), dt, rep),
+                kpe=zeros_global((
                             c.num_hidden_layers,
                             self.num_pages,
                             self.page_size,
                             KPE_PAD,
-                        ),
-                        dtype=dt,
-                    ),
-                    rep,
-                ),
+                        ), dt, rep),
             )
         shape = (
             c.num_hidden_layers,
@@ -520,12 +518,8 @@ class ModelRunner:
             swa_shape = (Ls, 2, c.num_key_value_heads, self.swa_num_pages,
                          self.page_size, self.kv_head_dim)
             return HybridKVPool(
-                full=jax.device_put(
-                    jnp.zeros(full_shape, dtype=self.kv_dtype), sharding
-                ),
-                swa=jax.device_put(
-                    jnp.zeros(swa_shape, dtype=self.kv_dtype), sharding
-                ),
+                full=zeros_global(full_shape, self.kv_dtype, sharding),
+                swa=zeros_global(swa_shape, self.kv_dtype, sharding),
             )
         if self.kv_dtype in (jnp.int8, jnp.float8_e4m3fn):
             if self.attention_backend_name == "pallas":
@@ -544,27 +538,20 @@ class ModelRunner:
                     else P()
                 )
                 return PagedQuantKV(
-                    data=jax.device_put(
-                        jnp.zeros(shape, dtype=self.kv_dtype), sharding
-                    ),
-                    scale=jax.device_put(
-                        jnp.zeros(sshape, dtype=jnp.float32),
-                        NamedSharding(self.mesh, sspec),
+                    data=zeros_global(shape, self.kv_dtype, sharding),
+                    scale=zeros_global(sshape, jnp.float32, NamedSharding(self.mesh, sspec),
                     ),
                 )
             from sglang_npu_tpu.ops.xla_attention import QuantKVPool
 
             scale_spec = P(*spec[:-1]) if len(spec) else P()
             return QuantKVPool(
-                data=jax.device_put(
-                    jnp.zeros(shape, dtype=jnp.int8), sharding
-                ),
-                scale=jax.device_put(
-                    jnp.zeros(shape[:-1], dtype=jnp.float32),
-                    NamedSharding(self.mesh, scale_spec),
+                data=zeros_global(shape, jnp.int8, sharding),
+                scale=zeros_global(
+                    shape[:-1], jnp.float32, NamedSharding(self.mesh, scale_spec)
                 ),
             )
-        return jax.device_put(jnp.zeros(shape, dtype=self.kv_dtype), sharding)
+        return zeros_global(shape, self.kv_dtype, sharding)
 
     # ------------------------------------------------------------------
     def _build_step_fn(self):
@@ -1097,7 +1084,7 @@ class ModelRunner:
                     with_eagle=True,
                 )
                 self.eagle.kv_pool, self.eagle.hidden_buf = eagle_state
-                return np.asarray(jax.device_get(out))[: mwb.real_bs], None
+                return np.asarray(fetch_np(out))[: mwb.real_bs], None
             out, self.kv_pool = self._step_fn(
                 self.params,
                 self.kv_pool,
@@ -1171,8 +1158,8 @@ class ModelRunner:
             else (lambda a: a[:n])
         )
         if not rl:
-            return take(np.asarray(jax.device_get(out))), None
-        got = jax.device_get(out)
+            return take(np.asarray(fetch_np(out))), None
+        got = tuple(fetch_np(o) for o in out) if isinstance(out, (tuple, list)) else fetch_np(out)
         if len(got) == 5:
             toks, chosen, tv, ti, inp_lp = got
         else:
@@ -1255,7 +1242,7 @@ class ModelRunner:
 
             self._verify_fn = jax.jit(vf, donate_argnums=(1,))
         preds, self.kv_pool = self._verify_fn(self.params, self.kv_pool, fb)
-        return np.asarray(jax.device_get(preds))[:B, :K]
+        return np.asarray(fetch_np(preds))[:B, :K]
 
     def _pad_pt(self, mwb, bs_bucket, pages_bucket):
         from sglang_npu_tpu.model_executor.forward_batch_info import pad_to
@@ -1290,7 +1277,7 @@ class ModelRunner:
 
             self._embed_fn = jax.jit(step, donate_argnums=(1,))
         emb, self.kv_pool = self._embed_fn(self.params, self.kv_pool, fb)
-        emb = np.asarray(jax.device_get(emb))
+        emb = np.asarray(fetch_np(emb))
         return emb[restore] if restore is not None else emb[: mwb.real_bs]
 
     def forward_logits(self, mwb: ModelWorkerBatch) -> np.ndarray:
@@ -1312,7 +1299,7 @@ class ModelRunner:
         logits, self.kv_pool = self._step_fn(
             self.params, self.kv_pool, fb, sampling, rng, sample_mode="logits"
         )
-        logits = np.asarray(jax.device_get(logits))
+        logits = np.asarray(fetch_np(logits))
         return (
             logits[restore] if restore is not None else logits[: mwb.real_bs]
         )
@@ -1448,7 +1435,7 @@ class ModelRunner:
     def gather_kv_fetch(self, handle) -> np.ndarray:
         """Device -> host fetch of a dispatched gather (slow; any thread)."""
         out, n = handle
-        rows = np.asarray(jax.device_get(out))[:, :, :, :n]
+        rows = np.asarray(fetch_np(out))[:, :, :, :n]
         c = self.model_config
         if not c.is_mla and rows.shape[-1] != c.head_dim:
             # drop the pallas lane padding: host backups / PD wire rows
@@ -1513,7 +1500,7 @@ class ModelRunner:
         bit-identical across a rebalance (tested in tests/test_eplb.py)."""
         if self.eplb is None:
             return False
-        counts = np.asarray(jax.device_get(self._moe_acc))
+        counts = np.asarray(fetch_np(self._moe_acc))
         self._eplb_steps = 0
         if counts.sum() == 0:
             return False
@@ -1538,7 +1525,7 @@ class ModelRunner:
         (reference `expert_distribution.py` dump RPC)."""
         if self._moe_acc is None:
             return None
-        return np.asarray(jax.device_get(self._moe_acc))
+        return np.asarray(fetch_np(self._moe_acc))
 
     # ------------------------------------------------------------------
     def update_weights_from_disk(self, model_path: str, load_format: str = "auto"):

@@ -123,6 +123,15 @@ class ServerArgs:
     nnodes: int = 1
     node_rank: int = 0
     dist_init_addr: Optional[str] = None
+    # cross-host SPMD: every host runs ONE process; processes join a
+    # jax.distributed runtime and tp/pp span all hosts' chips in a single
+    # global mesh (reference `parallel_state.py:1232`
+    # init_distributed_environment + `:1287` initialize_model_parallel).
+    # Without this flag, nnodes>1 means request-level DP over ZMQ.
+    multihost_spmd: bool = False
+    # CPU-mesh testing: number of virtual local devices each process
+    # exposes (pairs with --xla_force_host_platform_device_count)
+    spmd_local_devices: Optional[int] = None
     # dp dispatch policy (reference LoadBalanceMethod, dp controller)
     load_balance_method: str = "round_robin"
 
@@ -185,7 +194,9 @@ class ServerArgs:
         if self.chunked_prefill_size is None:
             self.chunked_prefill_size = 4096
         if self.random_seed is None:
-            self.random_seed = random.randint(0, 1 << 30)
+            # SPMD replicas must agree on the sampling seed (the rng key is
+            # an input to a jointly-executed program)
+            self.random_seed = 42 if self.multihost_spmd else random.randint(0, 1 << 30)
         if self.mem_fraction_static is None:
             # Reference sizes KV from free memory after weights
             # (model_runner.py:965 profile_max_num_token). Same idea here:
@@ -217,6 +228,25 @@ class ServerArgs:
             raise ValueError(f"Unknown schedule policy {self.schedule_policy}")
         if self.pp_size < 1:
             raise ValueError("pp_size must be >= 1")
+        if self.multihost_spmd:
+            if self.nnodes <= 1:
+                raise ValueError("--multihost-spmd requires --nnodes > 1")
+            if not self.dist_init_addr:
+                raise ValueError("--multihost-spmd requires --dist-init-addr")
+            if self.dp_size > 1 and not self.enable_dp_attention:
+                raise ValueError(
+                    "--multihost-spmd is incompatible with request-level DP; "
+                    "use --enable-dp-attention or drop --dp-size"
+                )
+            if self.enable_hierarchical_cache:
+                raise ValueError(
+                    "--multihost-spmd requires synchronous caching (async "
+                    "HiCache restores would break scheduler lockstep)"
+                )
+            if self.disaggregation_mode != "null":
+                raise ValueError(
+                    "--multihost-spmd is incompatible with PD disaggregation"
+                )
 
     # ------------------------------------------------------------------
     @property
