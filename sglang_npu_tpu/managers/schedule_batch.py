@@ -356,6 +356,10 @@ class ModelWorkerBatch:
     # sampled tokens back on-device; [B] per-req fill-length limits.
     decode_steps: int = 1
     decode_limits: Optional[np.ndarray] = None
+    # per-row max_new_tokens budget remaining AFTER this window — lets a
+    # chained window (prepared before this one's results land) derive its
+    # own limits without host token counts (prepare_for_decode_chained)
+    decode_budget_after: Optional[np.ndarray] = None
     # speculative round: decode_steps = num_draft_tokens + 1
     spec: bool = False
     # logprob plumbing
@@ -686,6 +690,54 @@ class ScheduleBatch:
         mwb = self._finalize(input_ids, positions, seq_lens, out_slots, None, None)
         mwb.decode_steps = decode_steps
         mwb.decode_limits = limits
+        rem0 = np.array(
+            [
+                r.sampling_params.max_new_tokens - len(r.output_ids)
+                for r in self.reqs
+            ],
+            dtype=np.int32,
+        )
+        mwb.decode_budget_after = rem0 - (limits - seq_lens)
+        if any(r.mm_inputs is not None for r in self.reqs):
+            mwb.mrope_delta = np.array(
+                [r.mrope_delta for r in self.reqs], dtype=np.int32
+            )
+        return mwb
+
+    def prepare_for_decode_chained(self, prev: ModelWorkerBatch) -> ModelWorkerBatch:
+        """Build the NEXT decode window while ``prev`` is still in flight:
+        geometry derives purely from prev's device-side fill advance
+        (final fill == prev.decode_limits by construction), and the input
+        tokens stay on device (ModelRunner.decode_dispatch chain_from) —
+        the TPU redesign of the reference overlap worker's future-token
+        map (`tp_worker_overlap_thread.py:45`).  Composition must equal
+        prev's (the caller checks rids)."""
+        assert prev.decode_limits is not None
+        K = prev.decode_steps
+        lens_next = prev.decode_limits.astype(np.int32).copy()
+        limits = np.empty_like(lens_next)
+        out_slots = np.zeros((len(self.reqs), K), dtype=np.int32)
+        self.forward_mode = ForwardMode.DECODE
+        for i, req in enumerate(self.reqs):
+            # fill after prev may exceed host kv_slots; top up to cover
+            # this window's writes at positions [lens_next-1, limits-1]
+            target = int(lens_next[i]) - 1 + K
+            if target > len(req.kv_slots):
+                slots = self.alloc_extend_slots(req, target)
+                out_slots[i, : len(slots)] = slots[:K]
+            rem = int(prev.decode_budget_after[i])
+            limits[i] = lens_next[i] + min(max(rem, 0), K)
+        mwb = self._finalize(
+            np.zeros(len(self.reqs), dtype=np.int32),  # tokens chained on device
+            lens_next - 1,
+            lens_next,
+            out_slots,
+            None,
+            None,
+        )
+        mwb.decode_steps = K
+        mwb.decode_limits = limits
+        mwb.decode_budget_after = prev.decode_budget_after - (limits - lens_next)
         if any(r.mm_inputs is not None for r in self.reqs):
             mwb.mrope_delta = np.array(
                 [r.mrope_delta for r in self.reqs], dtype=np.int32

@@ -211,6 +211,13 @@ class Scheduler:
         self.paused = False  # /pause_generation halts forwards, not intake
         self._consecutive_failures = 0
         self._rid_to_req: Dict[str, Req] = {}
+        # one speculatively-dispatched decode window (mwb, DecodeHandle) —
+        # see _run_decode_window / ModelRunner.decode_dispatch
+        self._pending_chain = None
+        self.num_chained_windows = 0
+        # chunk/decode alternation (MIXED-mode equivalent): True when the
+        # last dispatched batch was a prefill chunk with more chunks left
+        self._last_was_chunk = False
         self.watchdog_timeout = server_args.watchdog_timeout
         self.last_heartbeat = time.time()
 
@@ -271,6 +278,15 @@ class Scheduler:
             if hicache_poll is not None:
                 hicache_poll()
             try:
+                if self._pending_chain is not None:
+                    # consume the speculatively-dispatched decode window
+                    # (decode_dispatch chain) before any new device work
+                    mwb, handle = self._pending_chain
+                    self._pending_chain = None
+                    self.last_heartbeat = time.time()
+                    self._run_decode_window(mwb, handle)
+                    self._consecutive_failures = 0
+                    continue
                 batch = self.get_next_batch_to_run()
                 if batch is None:
                     if hicache_poll is not None and self.tree_cache.pending_jobs():
@@ -294,6 +310,11 @@ class Scheduler:
                         self.run_spec_round(mwb)
                     self.forward_ct += 1
                     self._profile_tick()
+                    self._consecutive_failures = 0
+                    continue
+                if not is_prefill:
+                    handle = self.runner.decode_dispatch(mwb)
+                    self._run_decode_window(mwb, handle)
                     self._consecutive_failures = 0
                     continue
                 next_tokens, logprob_info = self.runner.forward_and_sample(mwb)
@@ -329,6 +350,56 @@ class Scheduler:
         if cache_shutdown is not None:
             cache_shutdown()
 
+    def _run_decode_window(self, mwb, handle):
+        """Fetch + process one dispatched decode window, speculatively
+        dispatching the NEXT window first (same composition, device-chained
+        input tokens) so the device never idles across the host's
+        process/emit work or the dispatch/fetch link latency — the TPU
+        redesign of the reference overlap scheduler
+        (`tp_worker_overlap_thread.py:53`).
+
+        Safety: rows that turn out finished in THIS window over-generate
+        garbage in the speculative one (discarded at its processing);
+        their KV writes land in pages that are either still owned
+        (deferred shrink, see process_batch_result) or freed-then-reused
+        only by programs dispatched AFTER the speculative window — device
+        program order makes those writes invisible."""
+        can_chain = (
+            handle.chainable
+            and not self.server_args.disable_window_pipelining
+            and self.spmd is None  # lockstep replicas re-derive composition
+            and self.draft_runner is None
+            and self.eagle is None
+            and not self.waiting_queue
+            and self.chunked_req is None
+            and not self.grammar_queue
+            and not self.jump_queue
+            and self.server_args.disaggregation_mode == "null"
+            and not self.dp_attn
+            and list(mwb.rids) == [r.rid for r in self.running_batch.reqs]
+            and not any(r.to_abort for r in self.running_batch.reqs)
+            # dormant (reasoner) grammars can activate mid-window; a chained
+            # window dispatched before that is known would run unconstrained
+            and all(r.grammar is None for r in self.running_batch.reqs)
+            and mwb.decode_budget_after is not None
+            and int(np.min(mwb.decode_budget_after)) >= 0
+            and int(np.max(mwb.decode_budget_after)) > 0
+        )
+        if can_chain:
+            try:
+                mwb2 = self.running_batch.prepare_for_decode_chained(mwb)
+                h2 = self.runner.decode_dispatch(mwb2, chain_from=handle)
+                self._pending_chain = (mwb2, h2)
+                self.num_chained_windows += 1
+            except Exception:
+                # allocator pressure or shape drift: fall back to the
+                # unpipelined path for this window
+                self._pending_chain = None
+        next_tokens, logprob_info = self.runner.decode_fetch(handle)
+        self.forward_ct += 1
+        self._profile_tick()
+        self.process_batch_result(mwb, next_tokens, False, logprob_info)
+
     def shutdown(self):
         self._running = False
         self.input_queue.put(None)
@@ -342,6 +413,7 @@ class Scheduler:
             or self.chunked_req is not None
             or bool(self.grammar_queue)
             or bool(self.jump_queue)
+            or self._pending_chain is not None
         )
 
     # ------------------------------------------------------------------
@@ -623,6 +695,10 @@ class Scheduler:
         queue, and other in-flight requests survive (reference: per-request
         error isolation — a single poisoned request must not become a
         cluster-visible cache flush)."""
+        if self._pending_chain is not None:
+            # the speculative window referenced this batch; drop it (its
+            # device writes only touch pages the victims own or page 0)
+            self._pending_chain = None
         victims: List[Req] = []
         if self.last_prefill_batch is not None:
             victims.extend(self.last_prefill_batch.reqs)
@@ -650,6 +726,7 @@ class Scheduler:
 
     def _abort_all_inflight(self, message: str):
         self._write_crash_dump(message)
+        self._pending_chain = None
         for req in list(self._rid_to_req.values()):
             req.finished_reason = FINISH_ABORT(message)
             self._emit_finished_stub(req)
@@ -708,6 +785,7 @@ class Scheduler:
                 self.total_cached_tokens / max(self.total_prompt_tokens, 1)
             ),
             "num_jump_forward_tokens": self.num_jump_forward_tokens,
+            "num_chained_windows": self.num_chained_windows,
             "spec_accept_length": (
                 1.0 + self.total_spec_accepted / self.total_spec_rounds
                 if self.total_spec_rounds
@@ -743,6 +821,24 @@ class Scheduler:
                 mwb = batch.prepare_for_extend()
                 self._attach_grammar_masks(mwb, batch.reqs)
                 return mwb, True
+        # MIXED-mode equivalent (reference ForwardMode.MIXED,
+        # `forward_batch_info.py:68`): the reference batches decode tokens
+        # INTO the chunk forward; on TPU the rectangular extend layout
+        # would pad every decode row to the chunk length, so instead the
+        # scheduler ALTERNATES chunk and decode-window dispatches — running
+        # decodes advance between every prefill chunk instead of stalling
+        # for the whole multi-chunk prompt.
+        if (
+            self.chunked_req is not None
+            and self._last_was_chunk
+            and not self.running_batch.is_empty()
+            and not self.server_args.disable_mixed_chunk
+        ):
+            self._last_was_chunk = False
+            mwb = self._build_decode_window()
+            if mwb is not None:
+                return mwb, False
+            # no decode work after all: resume the chunk below
         prefill = self.get_new_batch_prefill()
         if prefill is not None:
             self.last_prefill_batch = prefill
@@ -750,10 +846,18 @@ class Scheduler:
             self._attach_grammar_masks(mwb, prefill.reqs)
             if self.eagle is not None:
                 self._attach_eagle_slots(mwb, prefill.reqs)
+            self._last_was_chunk = self.chunked_req is not None
             return mwb, True
+        self._last_was_chunk = False
 
         if self.running_batch.is_empty():
             return None
+        mwb = self._build_decode_window()
+        if mwb is None:
+            return None
+        return mwb, False
+
+    def _build_decode_window(self):
         mwb = self.update_running_batch()
         if mwb is None:
             return None
@@ -762,7 +866,7 @@ class Scheduler:
             self._attach_grammar_fsm(mwb, self.running_batch.reqs)
         if mwb.grammar_fsm is None:
             self._attach_grammar_masks(mwb, self.running_batch.reqs)
-        return mwb, False
+        return mwb
 
     def _attach_grammar_masks(self, mwb: ModelWorkerBatch, reqs: List[Req]):
         """Fill the packed allowed-token bitmask rows for grammar requests
@@ -1122,10 +1226,19 @@ class Scheduler:
             self._emit_outputs(batch.reqs)
         else:
             # decode window: next_tokens is [B, K]; consume per req until
-            # finish, then return unused preallocated KV slots.
+            # finish, then return unused preallocated KV slots.  Rows are
+            # resolved by rid: a pipelined (chained) window may carry rows
+            # whose request already finished in the previous window — their
+            # over-generated tokens are discarded here.
             K = mwb.decode_steps
             jumped = []
-            for i, req in enumerate(self.running_batch.reqs):
+            live = {r.rid: r for r in self.running_batch.reqs}
+            window_reqs = []
+            for i, rid in enumerate(mwb.rids):
+                req = live.get(rid)
+                if req is None:
+                    continue
+                window_reqs.append(req)
                 for k in range(K):
                     if req.finished:
                         break
@@ -1137,12 +1250,20 @@ class Scheduler:
                         # reasoner grammar woke on </think>: drop the rest
                         # of the unconstrained window (KV reclaimed below)
                         break
-                self.allocator.shrink_req(req, len(req.fill_ids) - 1)
+                if self._pending_chain is None or req.finished:
+                    # With a chained window in flight the preallocated
+                    # slots are still write targets — defer the shrink to
+                    # that window's own processing.  EXCEPT finished rows:
+                    # they must shrink before _cache_finished (the radix
+                    # insert needs slots == written tokens), and their
+                    # chained-row writes only touch the freed tail region,
+                    # which no later-dispatched program can have re-read.
+                    self.allocator.shrink_req(req, len(req.fill_ids) - 1)
                 if req.finished:
                     self._cache_finished(req)
                 elif not req.return_logprob and self._try_jump_forward(req):
                     jumped.append(req)
-            self._emit_outputs(self.running_batch.reqs)
+            self._emit_outputs(window_reqs)
             if jumped:
                 js = set(id(r) for r in jumped)
                 self.running_batch.reqs = [

@@ -18,6 +18,7 @@ re-designed for XLA:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import logging
 import time
@@ -45,6 +46,20 @@ from sglang_npu_tpu.parallel.dist import fetch_np, zeros_global
 from sglang_npu_tpu.parallel.mesh import build_mesh, tp_degree
 from sglang_npu_tpu.server_args import ServerArgs
 from sglang_npu_tpu.utils.common import cdiv, next_power_of_2, round_up
+
+
+@dataclasses.dataclass
+class DecodeHandle:
+    """An in-flight fused decode window (see ModelRunner.decode_dispatch)."""
+
+    out: Any  # device futures: [B, K] tokens, or logprob tuple
+    last_tokens: Any  # device [bs_bucket] final sampled token (chainable)
+    mwb: ModelWorkerBatch
+    restore: Any
+    rl: bool
+    tk: int
+    bs_bucket: int
+    chainable: bool
 
 logger = logging.getLogger(__name__)
 
@@ -199,6 +214,7 @@ class ModelRunner:
         if server_args.quantization:
             from sglang_npu_tpu.layers.quantization import (
                 apply_quantization,
+                set_act_quant,
                 set_w4_backend,
             )
 
@@ -212,6 +228,15 @@ class ModelRunner:
                 # the Pallas dequant-matmul beats the XLA dequant einsum on
                 # chip (XLA materializes the bf16 weight in HBM)
                 set_w4_backend("pallas")
+            # per-token int8 activations -> int8 MXU (2x bf16 rate; the
+            # W4A8 kernel streams weights at ~90% HBM roofline).  Module
+            # flag: set explicitly either way so engines created earlier in
+            # the process can't leak their mode.
+            set_act_quant(
+                "a8"
+                if server_args.quantization in ("w4a8", "w8a8_int8")
+                else None
+            )
 
         # Multi-LoRA adapters stacked into the param tree (slot 0 = none).
         self.lora_manager = None
@@ -1100,55 +1125,10 @@ class ModelRunner:
                 has_logit_bias=mwb.sampling_info.has_logit_bias,
             )
         else:
-            # decode: fused multi-step window
-            K = mwb.decode_steps
-            pt = pad_to(
-                pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0
-            )
-            fsm = self._fsm_args(mwb, bs_bucket)
-            res = self._multi_fn(
-                self.params,
-                self.kv_pool,
-                jnp.asarray(pad_to(mwb.input_ids, bs_bucket)),
-                jnp.asarray(pt),
-                jnp.asarray(pad_to(mwb.seq_lens, bs_bucket)),
-                jnp.asarray(pad_to(mwb.decode_limits, bs_bucket)),
-                sampling,
-                rng,
-                n_steps=K,
-                sample_mode=self._sample_mode(mwb),
-                return_logprob=rl,
-                top_logprobs_k=tk,
-                has_penalties=mwb.sampling_info.has_penalties,
-                has_min_new=mwb.sampling_info.has_min_new,
-                has_logit_bias=mwb.sampling_info.has_logit_bias,
-                lora_ids=(
-                    jnp.asarray(pad_to(mwb.lora_ids, bs_bucket))
-                    if mwb.lora_ids is not None
-                    else None
-                ),
-                fsm=fsm,
-                has_fsm=fsm is not None,
-                swa_page_tables=(
-                    jnp.asarray(pad_to(mwb.swa_page_tables, bs_bucket))
-                    if mwb.swa_page_tables is not None
-                    else None
-                ),
-                mrope_delta=(
-                    jnp.asarray(pad_to(mwb.mrope_delta, bs_bucket))
-                    if mwb.mrope_delta is not None
-                    else None
-                ),
-                moe_acc=self._moe_acc,
-                track_moe=self.eplb is not None,
-            )
-            if self.eplb is not None:
-                out, self.kv_pool, self._moe_acc = res
-                self._eplb_steps += K
-                if self._eplb_steps >= self._eplb_interval:
-                    self.rebalance_experts()
-            else:
-                out, self.kv_pool = res
+            # decode: fused multi-step window, dispatch + fetch split so
+            # the scheduler can pipeline windows (decode_dispatch below)
+            handle = self.decode_dispatch(mwb)
+            return self.decode_fetch(handle)
         n = mwb.real_bs
         # dp_attn rows are rank-major; `restore` maps them back to the
         # scheduler's original request order
@@ -1160,6 +1140,139 @@ class ModelRunner:
         if not rl:
             return take(np.asarray(fetch_np(out))), None
         got = tuple(fetch_np(o) for o in out) if isinstance(out, (tuple, list)) else fetch_np(out)
+        if len(got) == 5:
+            toks, chosen, tv, ti, inp_lp = got
+        else:
+            toks, chosen, tv, ti = got
+            inp_lp = None
+        info = {
+            "chosen": take(np.asarray(chosen)),
+            "top_vals": take(np.asarray(tv)) if tk > 0 else None,
+            "top_ids": take(np.asarray(ti)) if tk > 0 else None,
+            "input_logprobs": (
+                take(np.asarray(inp_lp)) if inp_lp is not None else None
+            ),
+        }
+        return take(np.asarray(toks)), info
+
+    # ------------------------------------------------------------------
+    def decode_dispatch(self, mwb: ModelWorkerBatch, chain_from=None):
+        """Dispatch one fused decode window WITHOUT fetching results.
+
+        The TPU answer to the reference's zero-overhead overlap scheduler
+        (`tp_worker_overlap_thread.py:53`, future-token map `:45`): JAX
+        async dispatch returns device futures, so the scheduler can queue
+        window N+1 — with ``chain_from`` feeding window N's last sampled
+        tokens straight from the device output, no host round trip — while
+        window N is still executing.  This hides both host work and the
+        dispatch/fetch link latency (30 ms on the tunneled chip) behind
+        device compute.
+
+        Chaining is only offered (``handle.chainable``) when the window's
+        sampling state is memoryless across windows: no penalties (token
+        counts evolve on host), no grammar FSM (host tracks states), no
+        logprobs, no DP-attention reorder."""
+        restore = None
+        if self.dp_attn:
+            from sglang_npu_tpu.model_executor.dp_attention import (
+                dp_reorder_mwb,
+            )
+
+            mwb, restore = dp_reorder_mwb(
+                mwb, self.dp_attn, self.pages_local, self.page_size
+            )
+        bs_bucket, pages_bucket = self._buckets(mwb)
+        sampling = build_sampling_device(mwb, bs_bucket)
+        self.step_counter += 1
+        rng = self._step_rng(self.step_counter)
+        rl, tk = mwb.return_logprob, mwb.top_logprobs_k
+        K = mwb.decode_steps
+        pt = pad_to(
+            pad_to(mwb.page_tables, pages_bucket, axis=1), bs_bucket, axis=0
+        )
+        fsm = self._fsm_args(mwb, bs_bucket)
+        if chain_from is not None:
+            assert chain_from.last_tokens is not None
+            assert chain_from.bs_bucket == bs_bucket
+            tokens = chain_from.last_tokens
+        else:
+            tokens = jnp.asarray(pad_to(mwb.input_ids, bs_bucket))
+        res = self._multi_fn(
+            self.params,
+            self.kv_pool,
+            tokens,
+            jnp.asarray(pt),
+            jnp.asarray(pad_to(mwb.seq_lens, bs_bucket)),
+            jnp.asarray(pad_to(mwb.decode_limits, bs_bucket)),
+            sampling,
+            rng,
+            n_steps=K,
+            sample_mode=self._sample_mode(mwb),
+            return_logprob=rl,
+            top_logprobs_k=tk,
+            has_penalties=mwb.sampling_info.has_penalties,
+            has_min_new=mwb.sampling_info.has_min_new,
+            has_logit_bias=mwb.sampling_info.has_logit_bias,
+            lora_ids=(
+                jnp.asarray(pad_to(mwb.lora_ids, bs_bucket))
+                if mwb.lora_ids is not None
+                else None
+            ),
+            fsm=fsm,
+            has_fsm=fsm is not None,
+            swa_page_tables=(
+                jnp.asarray(pad_to(mwb.swa_page_tables, bs_bucket))
+                if mwb.swa_page_tables is not None
+                else None
+            ),
+            mrope_delta=(
+                jnp.asarray(pad_to(mwb.mrope_delta, bs_bucket))
+                if mwb.mrope_delta is not None
+                else None
+            ),
+            moe_acc=self._moe_acc,
+            track_moe=self.eplb is not None,
+        )
+        if self.eplb is not None:
+            out, self.kv_pool, self._moe_acc = res
+            self._eplb_steps += K
+        else:
+            out, self.kv_pool = res
+        chainable = (
+            not rl
+            and fsm is None
+            # a host-built grammar vocab mask is only valid for ONE token;
+            # a chained window would reuse it stale
+            and mwb.sampling_info.vocab_mask is None
+            and restore is None
+            and not mwb.sampling_info.has_penalties
+            and not mwb.sampling_info.has_min_new
+            and not mwb.sampling_info.has_logit_bias
+        )
+        return DecodeHandle(
+            out=out,
+            last_tokens=out[:, -1] if chainable else None,
+            mwb=mwb,
+            restore=restore,
+            rl=rl,
+            tk=tk,
+            bs_bucket=bs_bucket,
+            chainable=chainable,
+        )
+
+    def decode_fetch(self, handle: "DecodeHandle"):
+        """Fetch a dispatched decode window's sampled tokens (+logprobs)."""
+        mwb, out, restore = handle.mwb, handle.out, handle.restore
+        rl, tk = handle.rl, handle.tk
+        if self.eplb is not None and self._eplb_steps >= self._eplb_interval:
+            self.rebalance_experts()
+        n = mwb.real_bs
+        take = (
+            (lambda a: a[restore]) if restore is not None else (lambda a: a[:n])
+        )
+        if not rl:
+            return take(np.asarray(fetch_np(out))), None
+        got = tuple(fetch_np(o) for o in out)
         if len(got) == 5:
             toks, chosen, tv, ti, inp_lp = got
         else:

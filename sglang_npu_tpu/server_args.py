@@ -140,6 +140,18 @@ class ServerArgs:
     # ------------------------------------------------------------------
     # grammar jump-forward (reference --disable-jump-forward)
     disable_jump_forward: bool = False
+    # decode window pipelining: speculatively dispatch window N+1 with
+    # device-chained tokens while N is in flight (the overlap-scheduler
+    # equivalent, reference tp_worker_overlap_thread.py); flag for A/B
+    disable_window_pipelining: bool = False
+    # chunk/decode alternation (reference ForwardMode.MIXED equivalent):
+    # running decodes advance between prefill chunks instead of stalling
+    # for a whole multi-chunk prompt; flag for A/B
+    disable_mixed_chunk: bool = False
+    # model implementation (reference --model-impl): auto = native TPU zoo
+    # with HF-torch fallback for unlisted archs; transformers = force the
+    # fallback; tpu = native only (error on unlisted archs)
+    model_impl: str = "auto"
     max_new_tokens_default: int = 128
     # named chat template / template JSON file (reference --chat-template,
     # conversation.py registry); None = HF jinja, then model-path match
@@ -220,6 +232,7 @@ class ServerArgs:
         if self.quantization not in (
             None, "", "none", "int8", "w8a16_int8", "fp8", "fp8_e4m3",
             "w4a16", "int4", "awq", "gptq", "awq_marlin", "gptq_marlin",
+            "w4a8", "w8a8_int8",
         ):
             raise ValueError(f"Unsupported quantization {self.quantization}")
         if self.disaggregation_mode not in ("null", "prefill", "decode"):
@@ -228,6 +241,8 @@ class ServerArgs:
             raise ValueError(f"Unknown schedule policy {self.schedule_policy}")
         if self.pp_size < 1:
             raise ValueError("pp_size must be >= 1")
+        if self.model_impl not in ("auto", "tpu", "transformers"):
+            raise ValueError(f"Unknown model_impl {self.model_impl}")
         if self.multihost_spmd:
             if self.nnodes <= 1:
                 raise ValueError("--multihost-spmd requires --nnodes > 1")
