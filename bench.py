@@ -85,6 +85,10 @@ CONFIGS = {
         model=LLAMA_8B, quantization="w4a16", kv_cache_dtype="int8",
         max_total_tokens=32768,
     ),
+    "llama8b_w4a8_int8kv": dict(  # int8-MXU activations (speed king)
+        model=LLAMA_8B, quantization="w4a8", kv_cache_dtype="int8",
+        max_total_tokens=32768,
+    ),
     "llama8b_w4a16_bf16kv": dict(  # perf isolation: W4 matmul only
         model=LLAMA_8B, quantization="w4a16", kv_cache_dtype="auto",
         max_total_tokens=24576,
@@ -236,7 +240,12 @@ def main():
     p.add_argument("--attention-backend", type=str, default=None)
     p.add_argument("--quantization", type=str, default=None)  # legacy
     p.add_argument(
-        "--configs", type=str, default="llama1b_bf16,llama8b_fp8,llama8b_w4a16_int8kv"
+        "--configs",
+        type=str,
+        default=(
+            "llama1b_bf16,llama8b_fp8,llama8b_w4a16_int8kv,"
+            "llama8b_w4a8_int8kv"
+        ),
     )
     p.add_argument("--one-config", type=str, default=None)
     p.add_argument("--quick", action="store_true", help="small smoke run")

@@ -79,13 +79,20 @@ class QuantizedWeightW4:
 
 
 def pack_w4(q4, group_size: int):
-    """[..., K, N] int 0..15 -> [..., K//2, N] uint8 (in-group packing)."""
+    """[..., K, N] int 0..15 -> [..., K//2, N] uint8 (in-group packing).
+
+    The hi nibble is stored XOR 8, so that on TPU the byte masked with
+    0xF0 *as signed int8* equals exactly 16*(q_hi - 8): both nibble planes
+    then extract with ONE int8 mask each inside the Pallas kernels — no
+    int32 round-trip, no shifts (unsupported on 8-bit lanes in Mosaic) —
+    and the constant -8 offset folds into the zero-point term
+    (`ops/pallas/quant_matmul.py`)."""
     K = q4.shape[-2]
     g = group_size
     assert K % g == 0 and g % 2 == 0, (K, g)
     v = q4.astype(jnp.uint8).reshape(*q4.shape[:-2], K // g, g, q4.shape[-1])
     lo = v[..., : g // 2, :]
-    hi = v[..., g // 2 :, :]
+    hi = v[..., g // 2 :, :] ^ 8
     packed = lo | (hi << 4)
     return packed.reshape(*q4.shape[:-2], K // 2, q4.shape[-1])
 
@@ -96,7 +103,7 @@ def unpack_w4(packed, group_size: int):
     g = group_size
     v = packed.reshape(*packed.shape[:-2], (2 * Kh) // g, g // 2, packed.shape[-1])
     lo = v & 0xF
-    hi = v >> 4
+    hi = (v >> 4) ^ 8
     full = jnp.concatenate([lo, hi], axis=-2)
     return full.reshape(*packed.shape[:-2], 2 * Kh, packed.shape[-1])
 
@@ -128,20 +135,48 @@ def matmul(x: jax.Array, w, eq: str) -> jax.Array:
     """einsum that transparently dequantizes quantized weight operands; the
     convert+scale fuses into the dot's operand read (XLA path).  The
     ModelRunner may substitute the Pallas dequant-matmul for W4 decode
-    GEMVs via `set_w4_backend`."""
+    GEMVs via `set_w4_backend`, and per-token int8 activation quant (W4A8 /
+    W8A8-INT8, reference `layers/quantization/w8a8_int8.py`) via
+    `set_act_quant`."""
     if isinstance(w, QuantizedWeightW4) and _W4_BACKEND[0] == "pallas":
         from sglang_npu_tpu.ops.pallas.quant_matmul import einsum_w4
 
-        return einsum_w4(x, w, eq)
+        return einsum_w4(x, w, eq, act=_ACT_QUANT[0] or "a16")
+    if isinstance(w, QuantizedWeight) and _ACT_QUANT[0] == "a8":
+        return _einsum_w8a8(x, w, eq)
     return jnp.einsum(eq, x, dequant(w, x.dtype))
 
 
+def _einsum_w8a8(x: jax.Array, w: "QuantizedWeight", eq: str) -> jax.Array:
+    """W8A8-INT8: per-token symmetric activation quant + int8 MXU dot
+    (XLA lowers an int8xint8->int32 einsum straight onto the MXU at 2x the
+    bf16 rate — the prefill-throughput lever; reference
+    `w8a8_int8.py` / Ascend headline path)."""
+    x32 = x.astype(jnp.float32)
+    sx = (
+        jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-9)
+        / 127.0
+    )
+    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    d = jnp.einsum(eq, xq, w.q, preferred_element_type=jnp.int32)
+    # w.s is [..., 1, Out]; the contracted row dim drops from the output
+    scale = jnp.squeeze(w.s, axis=-2)
+    return (d.astype(jnp.float32) * sx * scale).astype(x.dtype)
+
+
 _W4_BACKEND = ["xla"]
+_ACT_QUANT = [None]  # None | "a8"
 
 
 def set_w4_backend(name: str):
     assert name in ("xla", "pallas")
     _W4_BACKEND[0] = name
+
+
+def set_act_quant(mode):
+    """Activation quantization mode: None (A16) or 'a8' (per-token int8)."""
+    assert mode in (None, "a8")
+    _ACT_QUANT[0] = mode
 
 
 # weights quantized under --quantization int8/w4a16/fp8 (weight-only)
@@ -248,11 +283,11 @@ def quantize_params_w4(params: dict, group_size: int = 128) -> dict:
 def apply_quantization(params: dict, method: Optional[str], **kw) -> dict:
     if method in (None, "", "none"):
         return params
-    if method in ("int8", "w8a16_int8"):
+    if method in ("int8", "w8a16_int8", "w8a8_int8"):
         return quantize_params_int8(params)
     if method in ("fp8", "fp8_e4m3"):
         return quantize_params_fp8(params)
-    if method in ("w4a16", "int4"):
+    if method in ("w4a16", "int4", "w4a8"):
         return quantize_params_w4(params, kw.get("group_size", 128))
     if method in ("awq", "gptq", "awq_marlin", "gptq_marlin"):
         # checkpoint already carries quantized tensors; ingestion happened

@@ -451,7 +451,7 @@ def init_dummy_weights_device(
         def shard(s):
             return NamedSharding(mesh, _validate_spec(s, spec, mesh))
 
-        if quantization in ("w4a16", "int4", "awq", "gptq") and (
+        if quantization in ("w4a16", "int4", "awq", "gptq", "w4a8") and (
             K % group_size == 0
         ):
             qs = lead + (K // 2, N)
@@ -466,7 +466,7 @@ def init_dummy_weights_device(
                 q=make(shape, jnp.float8_e4m3fn, shard(shape)),
                 s=make(lead + (1, N), jnp.float32, shard(lead + (1, N)), "const"),
             )
-        if quantization in ("int8", "w8a16_int8"):
+        if quantization in ("int8", "w8a16_int8", "w8a8_int8"):
             return QuantizedWeight(
                 q=make(shape, jnp.int8, shard(shape), "int8"),
                 s=make(lead + (1, N), jnp.float32, shard(lead + (1, N)), "const"),

@@ -118,7 +118,7 @@ def pack_w4_np(q4: np.ndarray, group_size: int) -> np.ndarray:
     assert K % g == 0 and g % 2 == 0, (K, g)
     v = q4.astype(np.uint8).reshape(*q4.shape[:-2], K // g, g, N)
     lo = v[..., : g // 2, :]
-    hi = v[..., g // 2 :, :]
+    hi = v[..., g // 2 :, :] ^ 8  # xor8 convention — see layers.quantization.pack_w4
     return (lo | (hi << 4)).reshape(*q4.shape[:-2], K // 2, N)
 
 

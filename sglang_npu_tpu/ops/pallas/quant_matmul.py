@@ -1,15 +1,36 @@
-"""Pallas W4A16 grouped dequant-matmul (TPU).
+"""Pallas W4 grouped dequant-matmuls (TPU).
 
 TPU counterpart of the reference's AWQ/GPTQ dequant GEMM kernels
 (`sgl-kernel/csrc/gemm/awq_kernel.cu`, `layers/quantization/awq_triton.py`):
-weights stream from HBM as packed 4-bit nibbles and are dequantized
-in-register (VPU) right before the MXU dot, so HBM weight traffic is
+weights stream from HBM as packed 4-bit nibbles so HBM weight traffic is
 ~K*N/2 bytes — a 4x cut vs bf16, which directly bounds decode latency
 (decode GEMV is weight-bandwidth-bound).
 
-Layout contract (see `layers/quantization.QuantizedWeightW4`):
-  packed[Gg + j, n] byte = q4[Gg + j] | q4[Gg + j + g/2] << 4   (in-group)
-  dequant: w = q4 * s[G, n] - b[G, n]
+Layout contract (see `layers.quantization.pack_w4`): byte j of group G is
+    lo_nibble = q4[G*g + j]            (unsigned, 0..15)
+    hi_nibble = q4[G*g + j + g/2] ^ 8  (xor8 storage)
+so, bitcast to SIGNED int8,
+    byte & 0x0F == q_lo               exactly
+    byte & 0xF0 == 16 * (q_hi - 8)    exactly
+— both planes extract with one int8 mask each (Mosaic supports neither
+8-bit shifts nor uint8->float casts; the round-2 kernel's i32-domain
+unpack was the dominant VPU cost).  The -8 offset and the /16 fold into
+the zero-point term and the group scale respectively.
+
+Two kernels:
+  * matmul_w4   — exact W4A16: masks + int8->bf16 converts + bf16 MXU.
+                  Conversion-bound at ~350 GB/s weight-stream (probe6).
+  * matmul_w4a8 — W4A8: per-token int8 activations hit the int8 MXU with
+                  the RAW masked bytes (zero converts); scales apply
+                  post-dot per group.  ~90% of the 819 GB/s weight-read
+                  roofline on v5e (probe6: 40 us for [64,4096]x[4096,14336]).
+
+Zero-point convention: dequant w = q*s - b.  Both kernels compute
+    x_lo @ (q_lo * s)  +  x_hi @ ((q_hi - 8) * s)
+so the caller subtracts/adds the tiny XLA-side correction
+    out += 8 * (xsum_hi @ s) - xsum @ b
+(the per-group activation sums make it a [M, K/g] x [K/g, N] matmul XLA
+fuses with the epilogue).
 """
 
 from __future__ import annotations
@@ -33,18 +54,7 @@ def _w4_matmul_kernel(
     group_size: int,
     out_dtype,
 ):
-    """Nibble-split dequant matmul: out += x_lo @ (lo*s) + x_hi @ (hi*s).
-
-    The packed byte at row j of group G holds q[G*g+j] (lo) and
-    q[G*g+j+g/2] (hi), so the lo/hi nibble planes each cover half the K
-    columns; the caller pre-splits x into those column sets.  Nibbles go
-    uint8 -(bitcast)-> int8 -> bf16 (no int32 round-trip: 8->32->8 bit
-    relayouts were the dominant cost of kernel v1, and Mosaic has no
-    uint8->float cast), and scales broadcast over the in-group sublane
-    view instead of a repeat.  The zero-point term -xsum_g @ b_g is a
-    tiny [M, K/g] x [K/g, N] matmul the CALLER subtracts in XLA —
-    in-kernel it needed an unsupported lane-dim reshape for the group
-    sums."""
+    """Exact A16 path: int8-domain masks + direct int8->bf16 converts."""
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -56,15 +66,13 @@ def _w4_matmul_kernel(
     g = group_size
     gh = g // 2
     G_blk = (2 * BKh) // g
-    # int32 hop: Mosaic supports neither uint8->float casts nor 8/16-bit
-    # shifts on this toolchain (probed); uint8 -> int32 -> bf16 is the one
-    # compiling pipeline
-    p = qw_ref[...].astype(jnp.int32)
-    s = s_ref[...].astype(jnp.bfloat16).reshape(G_blk, 1, BN)
-    lo = (p & 0xF).astype(jnp.bfloat16).reshape(G_blk, gh, BN)
-    hi = ((p >> 4) & 0xF).astype(jnp.bfloat16).reshape(G_blk, gh, BN)
-    wlo = (lo * s).reshape(BKh, BN)
-    whi = (hi * s).reshape(BKh, BN)
+    p8 = jax.lax.bitcast_convert_type(qw_ref[...], jnp.int8)
+    lo_bf = (p8 & jnp.int8(0x0F)).astype(jnp.bfloat16)  # q_lo
+    hi_bf = (p8 & jnp.int8(-16)).astype(jnp.bfloat16)  # 16*(q_hi-8)
+    sb = s_ref[...].astype(jnp.bfloat16).reshape(G_blk, 1, BN)
+    sh = (s_ref[...] * (1.0 / 16.0)).astype(jnp.bfloat16).reshape(G_blk, 1, BN)
+    wlo = (lo_bf.reshape(G_blk, gh, BN) * sb).reshape(BKh, BN)
+    whi = (hi_bf.reshape(G_blk, gh, BN) * sh).reshape(BKh, BN)
     acc = jnp.dot(xlo_ref[...], wlo, preferred_element_type=jnp.float32)
     acc += jnp.dot(xhi_ref[...], whi, preferred_element_type=jnp.float32)
     acc_ref[...] += acc
@@ -72,6 +80,55 @@ def _w4_matmul_kernel(
     @pl.when(k == nk - 1)
     def _():
         o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def _w4a8_matmul_kernel(
+    xlo_ref,  # [Mp, BK//2] int8
+    xhi_ref,  # [Mp, BK//2] int8
+    qw_ref,  # [BK//2, BN] uint8
+    s_ref,  # [BK//g, BN] f32
+    sx_ref,  # [Mp, 128] f32 — per-token activation scale (col 0)
+    o_ref,  # [Mp, BN] out dtype
+    acc_ref,  # [Mp, BN] f32 scratch
+    *,
+    group_size: int,
+    out_dtype,
+):
+    """W4A8 path: the int8 MXU consumes the masked bytes directly —
+    per-weight VPU work is exactly two int8 masks.  Group scales apply to
+    the per-group int32 partial dots (the /16 of the hi plane rides along:
+    dhi is 16x the true hi contribution)."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    BKh, BN = qw_ref.shape
+    g = group_size
+    gh = g // 2
+    G_blk = (2 * BKh) // g
+    p8 = jax.lax.bitcast_convert_type(qw_ref[...], jnp.int8)
+    lo8 = p8 & jnp.int8(0x0F)
+    hi8 = p8 & jnp.int8(-16)
+    a = jnp.zeros_like(acc_ref)
+    for G in range(G_blk):
+        r0, r1 = G * gh, (G + 1) * gh
+        dlo = jnp.dot(
+            xlo_ref[:, r0:r1], lo8[r0:r1], preferred_element_type=jnp.int32
+        )
+        dhi = jnp.dot(
+            xhi_ref[:, r0:r1], hi8[r0:r1], preferred_element_type=jnp.int32
+        )
+        a += (
+            dlo.astype(jnp.float32) + dhi.astype(jnp.float32) * (1.0 / 16.0)
+        ) * s_ref[G, :][None, :]
+    acc_ref[...] += a
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * sx_ref[:, :1]).astype(out_dtype)
 
 
 def _pick_block(total: int, unit: int, cap: int) -> int:
@@ -83,6 +140,33 @@ def _pick_block(total: int, unit: int, cap: int) -> int:
             best = m
         m *= 2
     return best
+
+
+def _plan(M: int, K: int, N: int, g: int):
+    BK = _pick_block(K, g, 4096)
+    BN = _pick_block(N, 128, 1024)
+    # Tile M too: a chunked-prefill extend feeds thousands of rows, and an
+    # untiled Mp block blew the scoped-VMEM limit at M=4096.
+    BM = 256 if M > 256 else max(-(-M // 16) * 16, 16)
+    Mp = -(-M // BM) * BM
+    return BK, BN, BM, Mp
+
+
+def _nibble_plane_split(x, Mp: int, K: int, g: int):
+    """lo plane covers in-group cols [0, g/2), hi plane [g/2, g) — matches
+    pack_w4's packing."""
+    xg = x.reshape(Mp, K // g, g)
+    x_lo = xg[:, :, : g // 2].reshape(Mp, K // 2)
+    x_hi = xg[:, :, g // 2 :].reshape(Mp, K // 2)
+    return xg, x_lo, x_hi
+
+
+def _zp_correction(xg, s, b):
+    """8*(xsum_hi @ s) - xsum @ b  (see module docstring)."""
+    g = xg.shape[-1]
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)  # [Mp, K/g]
+    xsum_hi = jnp.sum(xg[:, :, g // 2 :].astype(jnp.float32), axis=2)
+    return 8.0 * (xsum_hi @ s) - (xsum @ b)
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
@@ -97,21 +181,10 @@ def matmul_w4(
     M, K = x.shape
     N = qw.shape[1]
     g = group_size
-    BK = _pick_block(K, g, 2048)
-    BN = _pick_block(N, 128, 512)
-    # Tile M too: a chunked-prefill extend feeds thousands of rows, and an
-    # untiled Mp block (kernel v2) blew the 16MB scoped-VMEM limit at
-    # M=4096 (x tiles + f32 acc scale with M).
-    BM = 256 if M > 256 else max(-(-M // 16) * 16, 16)
-    Mp = -(-M // BM) * BM
+    BK, BN, BM, Mp = _plan(M, K, N, g)
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
-
-    # nibble-plane activation split: lo plane covers in-group cols [0, g/2),
-    # hi plane covers [g/2, g) — matches the packing in pack_w4
-    xg = x.reshape(Mp, K // g, g)
-    x_lo = xg[:, :, : g // 2].reshape(Mp, K // 2)
-    x_hi = xg[:, :, g // 2 :].reshape(Mp, K // 2)
+    xg, x_lo, x_hi = _nibble_plane_split(x, Mp, K, g)
 
     out = pl.pallas_call(
         functools.partial(
@@ -142,17 +215,80 @@ def matmul_w4(
         ),
         interpret=interpret,
     )(x_lo.astype(jnp.bfloat16), x_hi.astype(jnp.bfloat16), qw, s)
-    # zero-point correction: per-group activation sums @ b (tiny matmul,
-    # fused by XLA with the subtract)
-    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)  # [Mp, K/g]
-    out = out - (xsum @ b).astype(out.dtype)
+    out = out + _zp_correction(xg, s, b).astype(out.dtype)
     return out[:M]
 
 
-def einsum_w4(x: jax.Array, w, eq: str) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
+def matmul_w4a8(
+    x: jax.Array,  # [M, K] bf16/f32 activations
+    qw: jax.Array,  # [K//2, N] uint8
+    s: jax.Array,  # [K//g, N] f32
+    b: jax.Array,  # [K//g, N] f32
+    group_size: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """W4A8: per-token symmetric int8 activation quantization feeding the
+    int8 MXU (reference headline path analogue `w8a8_int8.py`, applied to
+    W4 weights; v5e int8 MXU runs 2x bf16 rate and the kernel streams
+    weights at ~90% of HBM roofline)."""
+    M, K = x.shape
+    N = qw.shape[1]
+    g = group_size
+    BK, BN, BM, Mp = _plan(M, K, N, g)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    # per-token symmetric quant
+    x32 = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True), 1e-9) / 127.0
+    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    xg, xq_lo, xq_hi = _nibble_plane_split(xq, Mp, K, g)
+    xg_real = x.reshape(Mp, K // g, g)
+    sx_tile = jnp.broadcast_to(sx, (Mp, 128))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a8_matmul_kernel, group_size=g, out_dtype=x.dtype
+        ),
+        grid=(Mp // BM, N // BN, K // BK),
+        in_specs=[
+            pl.BlockSpec(
+                (BM, BK // 2), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BM, BK // 2), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BK // 2, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BM, 128), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (BM, BN), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq_lo, xq_hi, qw, s, sx_tile)
+    # zero-point correction uses the REAL activations (exact for the b/-8s
+    # terms; only the q*s term carries activation-quant error)
+    out = out + _zp_correction(xg_real, s, b).astype(out.dtype)
+    return out[:M]
+
+
+def einsum_w4(x: jax.Array, w, eq: str, act: str = "a16") -> jax.Array:
     """Route a model einsum (contraction of x's last dim with the weight's
-    row dim) through the Pallas W4 kernel.  Falls back to gather-permuted
-    activations for GPTQ act-order."""
+    row dim) through the Pallas W4 kernels.  Falls back to gather-permuted
+    activations for GPTQ act-order.  ``act='a8'`` selects the int8-MXU
+    W4A8 kernel (per-token activation quant)."""
     import os
 
     interpret = bool(os.environ.get("SGLANG_TPU_PALLAS_INTERPRET"))
@@ -161,7 +297,8 @@ def einsum_w4(x: jax.Array, w, eq: str) -> jax.Array:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    out = matmul_w4(
+    fn = matmul_w4a8 if act == "a8" else matmul_w4
+    out = fn(
         x2, w.q, w.s, w.b, group_size=w.group_size, interpret=interpret
     )
     return out.reshape(*lead, out.shape[-1])

@@ -320,3 +320,80 @@ def test_awq_checkpoint_loads_end_to_end(tiny_model_dir, tmp_path):
         assert all(0 <= t < VOCAB for t in out["output_ids"])
     finally:
         e.shutdown()
+
+
+def test_pallas_w4a8_matmul_interpret():
+    """int8-MXU W4A8 kernel vs the exact-dequant reference: per-token int8
+    activation quant bounds the relative error (~1/127 of the row max per
+    activation; 4-bit weight error already covered by the A16 test)."""
+    from sglang_npu_tpu.ops.pallas.quant_matmul import matmul_w4a8
+
+    rng = np.random.default_rng(6)
+    M, K, N, g = 4, 256, 256, 128
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    params = {"layers": {"wq": jnp.asarray(w)}}
+    qw = quantize_params_w4(params, group_size=g)["layers"]["wq"]
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+
+    ref = np.asarray(x @ dequant(qw, jnp.float32))
+    got = np.asarray(
+        matmul_w4a8(x, qw.q, qw.s, qw.b, group_size=g, interpret=True)
+    )
+    # activation-quant noise: |err| <~ sum_k |w| * sx/2 — loose bound
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) < 0.05 * scale + 0.05, (
+        np.max(np.abs(got - ref)), scale
+    )
+
+
+def test_w8a8_int8_einsum_close():
+    """W8A8-INT8 path (per-token int8 act x per-channel int8 weight on the
+    int8 MXU) stays within combined quantization error of the f32 ref."""
+    from sglang_npu_tpu.layers.quantization import (
+        QuantizedWeight,
+        _einsum_w8a8,
+        quantize_params_int8,
+    )
+
+    rng = np.random.default_rng(7)
+    M, K, N = 8, 128, 64
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+    qw = quantize_params_int8({"layers": {"wq": jnp.asarray(w)}})["layers"]["wq"]
+    assert isinstance(qw, QuantizedWeight)
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    ref = np.asarray(x) @ (np.asarray(qw.q, np.float32) * np.asarray(qw.s))
+    got = np.asarray(_einsum_w8a8(x, qw, "mk,kn->mn"))
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) < 0.02 * scale + 0.02
+
+
+@pytest.mark.parametrize("method", ["w4a8", "w8a8_int8"])
+def test_engine_a8_modes_generate(tiny_model_dir, method):
+    """End-to-end: per-token int8 activation modes serve through the Engine
+    (reference headline path `w8a8_int8.py`); tokens stay in-vocab and the
+    run is deterministic."""
+    from sglang_npu_tpu.entrypoints.engine import Engine
+    from sglang_npu_tpu.layers.quantization import set_act_quant
+
+    path, _ = tiny_model_dir
+    e = Engine(
+        model_path=path,
+        dtype="float32",
+        skip_tokenizer_init=True,
+        page_size=4,
+        max_total_tokens=2048,
+        attention_backend="xla",
+        random_seed=0,
+        quantization=method,
+    )
+    try:
+        prompt = list(np.random.default_rng(0).integers(3, VOCAB, size=9))
+        sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+        out = e.generate(input_ids=prompt, sampling_params=sp)
+        out2 = e.generate(input_ids=prompt, sampling_params=sp)
+        assert len(out["output_ids"]) == 6
+        assert all(0 <= t < VOCAB for t in out["output_ids"])
+        assert out["output_ids"] == out2["output_ids"]
+    finally:
+        e.shutdown()
+        set_act_quant(None)  # module flag: don't leak into other tests
