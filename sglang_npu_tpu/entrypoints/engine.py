@@ -99,7 +99,29 @@ class Engine:
             self._init_data_parallel(server_args)
             return
 
-        self.model_runner = ModelRunner(server_args, self.model_config)
+        # Generic `transformers` fallback (reference srt/models/transformers.py
+        # + --model-impl): an architecture with no native TPU implementation
+        # still serves, via HF torch modeling code on the host CPU.
+        use_fallback = server_args.model_impl == "transformers"
+        if server_args.model_impl == "auto" and not use_fallback:
+            from sglang_npu_tpu.models.registry import resolve_model_class
+
+            try:
+                resolve_model_class(self.model_config.architectures)
+            except ValueError:
+                use_fallback = True
+        if use_fallback:
+            from sglang_npu_tpu.model_executor.torch_fallback import (
+                TorchFallbackRunner,
+            )
+
+            # per-rid HF caches can't share cross-request prefixes
+            server_args.disable_radix_cache = True
+            self.model_runner = TorchFallbackRunner(
+                server_args, self.model_config
+            )
+        else:
+            self.model_runner = ModelRunner(server_args, self.model_config)
 
         # Speculative decoding: EAGLE (hidden-state draft head + tree
         # verify) or a standalone draft model sharing the page allocator
