@@ -107,8 +107,71 @@ def main():
         finally:
             eng.shutdown()
 
+    # ---- MLA: DeepSeek-V2-class tiny model, Pallas latent decode kernel
+    # vs the XLA latent path vs HF (VERDICT r2 task 5) ----
+    mla_cfg = transformers.DeepseekV2Config(
+        vocab_size=args.vocab, hidden_size=128, intermediate_size=192,
+        moe_intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        first_k_dense_replace=1, moe_layer_freq=1,
+        routed_scaling_factor=1.0, norm_topk_prob=False,
+        topk_method="greedy", n_group=1, topk_group=1,
+        kv_lora_rank=256,  # % 128 == 0 -> pallas MLA decode kernel engages
+        q_lora_rank=None, qk_nope_head_dim=32, qk_rope_head_dim=16,
+        v_head_dim=32, max_position_embeddings=512,
+        tie_word_embeddings=False, torch_dtype="float32", eos_token_id=2,
+        rope_scaling=None, attention_bias=False,
+    )
+    torch.manual_seed(1)
+    hf_mla = transformers.DeepseekV2ForCausalLM(mla_cfg)
+    hf_mla.eval()
+    d_mla = tempfile.mkdtemp(prefix="tpu_parity_mla_")
+    hf_mla.save_pretrained(d_mla, safe_serialization=True)
+    mla_refs = []
+    with torch.no_grad():
+        for pr in prompts:
+            mla_refs.append(
+                hf_mla.generate(
+                    torch.tensor([pr]), max_new_tokens=args.max_new,
+                    do_sample=False,
+                )[0][len(pr):].tolist()
+            )
+    for backend, label in ((None, "mla_pallas"), ("xla", "mla_xla")):
+        eng = Engine(
+            model_path=d_mla, dtype="float32", skip_tokenizer_init=True,
+            page_size=16, max_total_tokens=8192,
+            attention_backend=backend, random_seed=0,
+            watchdog_timeout=3600.0,
+        )
+        try:
+            outs = eng.generate(
+                input_ids=prompts,
+                sampling_params={
+                    "max_new_tokens": args.max_new, "temperature": 0.0,
+                    "ignore_eos": True,
+                },
+            )
+            ok = True
+            for o, ref in zip(outs, mla_refs):
+                if o["output_ids"][: len(ref)] != ref:
+                    ok = False
+                    result[f"{label}_mismatch"] = {
+                        "got": o["output_ids"][: len(ref)], "want": ref,
+                    }
+                    break
+            result[f"{label}_vs_hf"] = ok
+            result[f"{label}_backend_used"] = (
+                eng.model_runner.attention_backend_name
+            )
+        finally:
+            eng.shutdown()
+
     result["pass"] = bool(
-        result.get("pallas_vs_hf") and result.get("xla_vs_hf")
+        result.get("pallas_vs_hf")
+        and result.get("xla_vs_hf")
+        and result.get("mla_pallas_vs_hf")
+        and result.get("mla_xla_vs_hf")
     )
     print(json.dumps(result))
     return 0 if result["pass"] else 1

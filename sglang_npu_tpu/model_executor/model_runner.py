@@ -352,10 +352,23 @@ class ModelRunner:
         tp = tp_degree(self.mesh)
         if self.model_config.is_mla:
             # MLA models run their own absorbed latent attention
-            # (ops/mla_attention.py); the MHA kernel family does not apply
+            # (ops/mla_attention.py); the MHA kernel family does not apply.
+            # On chip, the decode step uses the Pallas fused-write latent
+            # kernel (ops/pallas/mla_decode_kernel.py) when the latent rank
+            # tiles onto 128 lanes.
             self.attention_backend_name = "mla"
             self.model.attn_backend = None
             self.kv_head_dim = self.model_config.head_dim
+            on_tpu = jax.default_backend() not in ("cpu",)
+            use_pallas = (
+                name in (None, "pallas")
+                and on_tpu
+                and self.model_config.kv_lora_rank % 128 == 0
+                and not self.server_args.enable_dp_attention
+            )
+            self.model.use_pallas_mla = use_pallas
+            if use_pallas:
+                self.attention_backend_name = "mla_pallas"
             return
         if getattr(self.model, "requires_xla_attention", False):
             # models needing non-causal mask overrides (gemma3-mm same-image

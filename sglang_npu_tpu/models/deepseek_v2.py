@@ -463,6 +463,28 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     self.dp_attn_mesh, q_abs, q_pe, c_kv, k_pe, kv_pool,
                     jnp.int32(i), fb, page_size, self.scale,
                 )
+            elif E == 1 and getattr(self, "use_pallas_mla", False):
+                # decode: fused latent-write + flash attention kernel
+                # (ops/pallas/mla_decode_kernel.py) — streams only the live
+                # (ckv, kpe) pages instead of gathering the padded page
+                # table, and keeps the pool out of XLA scatter-land
+                from sglang_npu_tpu.ops.pallas.mla_decode_kernel import (
+                    mla_paged_decode_fused,
+                )
+
+                ctx1, kv_pool = mla_paged_decode_fused(
+                    q_abs[:, 0],
+                    q_pe[:, 0],
+                    c_kv[:, 0],
+                    k_pe[:, 0],
+                    kv_pool,
+                    jnp.int32(i),
+                    fb.page_tables,
+                    fb.seq_lens,
+                    page_size,
+                    self.scale,
+                )
+                ctx = ctx1[:, None]  # [B, 1, H, R]
             else:
                 kv_pool = write_latent(
                     kv_pool, jnp.int32(i), c_kv, k_pe, fb.out_slots
