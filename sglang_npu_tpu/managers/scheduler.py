@@ -1082,7 +1082,7 @@ class Scheduler:
         commits accepted rows + corrects the draft KV."""
         batch = self.running_batch
         S, K = self.eagle.steps, self.eagle.topk
-        cand, preds, residuals = self.eagle.draft_verify(mwb)
+        cand, par, preds, residuals = self.eagle.draft_verify(mwb)
         B = mwb.real_bs
         fed = np.concatenate(
             [mwb.input_ids[:, None], cand.reshape(B, S * K)], axis=1
@@ -1093,22 +1093,15 @@ class Scheduler:
         commit_lens = np.ones((B,), np.int32)
         last_node = np.zeros((B,), np.int32)
         new_tokens: List[List[int]] = []
+        from sglang_npu_tpu.model_executor.eagle_runner import (
+            tree_accept_walk,
+        )
+
         for i in range(B):
-            cur = 0
-            accepted = []
-            for s in range(S):
-                pred = int(preds[i, cur])
-                if pred == int(cand[i, s, 0]):
-                    nxt = 1 + s * K
-                    accepted.append((pred, nxt))
-                    cur = nxt
-                    continue
-                hits = np.nonzero(cand[i, s] == pred)[0]
-                if len(hits) > 0:
-                    nxt = 1 + s * K + int(hits[0])
-                    accepted.append((pred, nxt))
-                    cur = nxt
-                break
+            # greedy tree walk (reference verify_tree_greedy); the chain
+            # topology reports all parents as rank 0, which recovers the
+            # old "sibling acceptance ends the round" behavior.
+            accepted, cur = tree_accept_walk(cand[i], par[i], preds[i], S, K)
             for c, (_tok, node) in enumerate(accepted):
                 gather_idx[i, c + 1] = node
                 parent_idx[i, c + 1] = gather_idx[i, c]

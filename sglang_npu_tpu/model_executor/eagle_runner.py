@@ -44,6 +44,26 @@ from sglang_npu_tpu.utils.common import next_power_of_2
 logger = logging.getLogger(__name__)
 
 
+def tree_accept_walk(cand_i, par_i, preds_i, S: int, K: int):
+    """Greedy tree walk for one request (reference `verify_tree_greedy`):
+    descend from the root, at each depth accepting the child of the
+    CURRENT node whose token matches the target's prediction there.
+    Returns (accepted [(token, node_idx)...], last_node)."""
+    cur = 0
+    cur_rank = 0
+    accepted = []
+    for s in range(S):
+        pred = int(preds_i[cur])
+        hits = np.nonzero((cand_i[s] == pred) & (par_i[s] == cur_rank))[0]
+        if len(hits) == 0:
+            break
+        r = int(hits[0])
+        cur = 1 + s * K + r
+        cur_rank = r
+        accepted.append((pred, cur))
+    return accepted, cur
+
+
 def build_tree_mask(steps: int, topk: int) -> np.ndarray:
     """[T, T] ancestor-or-self mask for the chain-with-siblings tree.
     Node 0 = root; node (s, r) at index 1 + s*topk + r, parent = root for
@@ -161,6 +181,171 @@ class EagleRunner:
         )
 
     def _build_draft_verify(self):
+        """MTP drafts keep the chain expansion (the NextN head has no
+        tree_step); EAGLE/EAGLE3 run the full top-k tree."""
+        if self.is_mtp or self.topk == 1:
+            return self._build_draft_verify_chain()
+        return self._build_draft_verify_tree()
+
+    def _build_draft_verify_tree(self):
+        """Full top-k tree draft (reference `build_eagle_tree.py`,
+        `eagle_worker.draft_forward:609`): at every depth ALL K live beams
+        expand (beam-search over cumulative draft logprob), so the target
+        can accept along any branch — the accept-length workhorse the
+        chain-with-siblings topology lacked.  The per-request tree mask is
+        data-dependent and built on device from the parent ranks."""
+        dmodel = self.model
+        tmodel = self.target.model
+        ps = self.page_size
+        S, K = self.steps, self.topk
+        c = dmodel.config
+        Ld, Hkv, Dh = (
+            c.num_hidden_layers, c.num_key_value_heads, c.head_dim,
+        )
+        T = self.tree_size
+
+        def fn(t_params, d_params, t_pool, d_pool, hidden_buf,
+               root_tokens, slots, page_tables, seq_lens, out_slots):
+            B = root_tokens.shape[0]
+            embed = t_params["embed"]
+            head = self._head(t_params)
+            prev_h = hidden_buf[slots]  # [B, D]
+            D = prev_h.shape[-1]
+            dt = prev_h.dtype
+            prefix_lens = seq_lens - 1  # committed draft-KV tokens
+
+            def logits_of(h):
+                if self.is_eagle3:
+                    return dmodel.draft_logits(d_params, h)
+                return jnp.einsum(
+                    "bkd,dv->bkv", h, head,
+                    preferred_element_type=jnp.float32,
+                )
+
+            path_k = jnp.zeros((Ld, B, K, S, Hkv, Dh), dt)
+            path_v = jnp.zeros_like(path_k)
+            # depth 0: all K rows are the root; select from row 0
+            tok = jnp.broadcast_to(root_tokens[:, None], (B, K))
+            h, nk, nv = dmodel.tree_step(
+                d_params, embed, d_pool, page_tables, prefix_lens,
+                seq_lens - 1, tok,
+                jnp.broadcast_to(prev_h[:, None], (B, K, D)),
+                path_k, path_v, 0, ps,
+            )
+            lg0 = jax.nn.log_softmax(logits_of(h)[:, 0], axis=-1)  # [B, Vd]
+            lp0, ti0 = jax.lax.top_k(lg0, K)
+            cand0 = (
+                dmodel.map_draft_ids(d_params, ti0.astype(jnp.int32))
+                if self.is_eagle3
+                else ti0.astype(jnp.int32)
+            )
+            cands, pars = [cand0], [jnp.zeros((B, K), jnp.int32)]
+            path_logp = lp0
+            root_kv_k = jnp.broadcast_to(
+                nk[:, :, :1], (Ld, B, K, Hkv, Dh)
+            )
+            root_kv_v = jnp.broadcast_to(
+                nv[:, :, :1], (Ld, B, K, Hkv, Dh)
+            )
+            path_k = path_k.at[:, :, :, 0].set(root_kv_k)
+            path_v = path_v.at[:, :, :, 0].set(root_kv_v)
+            beam_h = jnp.broadcast_to(h[:, :1], h.shape)
+            tok = cand0
+            for s in range(1, S):
+                h, nk, nv = dmodel.tree_step(
+                    d_params, embed, d_pool, page_tables, prefix_lens,
+                    seq_lens - 1 + s, tok, beam_h, path_k, path_v, s, ps,
+                )
+                lg = jax.nn.log_softmax(logits_of(h), axis=-1)  # [B, K, Vd]
+                clp, cti = jax.lax.top_k(lg, K)  # [B, K, K]
+                scores = (path_logp[:, :, None] + clp).reshape(B, K * K)
+                top_s, top_i = jax.lax.top_k(scores, K)
+                parent = (top_i // K).astype(jnp.int32)  # [B, K]
+                sel = jnp.take_along_axis(
+                    cti.reshape(B, K * K), top_i, axis=1
+                ).astype(jnp.int32)
+                if self.is_eagle3:
+                    sel = dmodel.map_draft_ids(d_params, sel)
+                path_logp = top_s
+                pidx6 = parent[None, :, :, None, None, None]
+                path_k = jnp.take_along_axis(path_k, pidx6, axis=2)
+                path_v = jnp.take_along_axis(path_v, pidx6, axis=2)
+                pidx5 = parent[None, :, :, None, None]
+                path_k = path_k.at[:, :, :, s].set(
+                    jnp.take_along_axis(nk, pidx5, axis=2)
+                )
+                path_v = path_v.at[:, :, :, s].set(
+                    jnp.take_along_axis(nv, pidx5, axis=2)
+                )
+                beam_h = jnp.take_along_axis(h, parent[:, :, None], axis=1)
+                cands.append(sel)
+                pars.append(parent)
+                tok = sel
+            cand = jnp.stack(cands, axis=1)  # [B, S, K]
+            par = jnp.stack(pars, axis=1)  # [B, S, K]
+
+            # data-dependent ancestor mask [B, T, T] from parent ranks
+            m = jnp.broadcast_to(jnp.eye(T, dtype=bool), (B, T, T))
+            m = m | (jnp.arange(T) == 0)[None, None, :]
+            for s in range(S):
+                if s == 0:
+                    pidx = jnp.zeros((B, K), jnp.int32)
+                else:
+                    pidx = 1 + (s - 1) * K + par[:, s]
+                prow = jnp.take_along_axis(m, pidx[:, :, None], axis=1)
+                selfhot = (
+                    jnp.arange(T)[None, :]
+                    == (1 + s * K + jnp.arange(K))[:, None]
+                )  # [K, T]
+                rows = prow | selfhot[None]
+                m = jax.lax.dynamic_update_slice(
+                    m, rows, (0, 1 + s * K, 0)
+                )
+            tree_mask = m
+
+            fed = jnp.concatenate(
+                [root_tokens[:, None], cand.reshape(B, S * K)], axis=1
+            )
+            depth = jnp.concatenate(
+                [
+                    jnp.zeros((1,), jnp.int32),
+                    (jnp.arange(S * K, dtype=jnp.int32) // K) + 1,
+                ]
+            )
+            fed_pos = (seq_lens - 1)[:, None] + depth[None, :]
+            fbv = ForwardBatch(
+                input_ids=fed,
+                positions=fed_pos,
+                out_slots=jnp.zeros_like(fed),
+                page_tables=page_tables,
+                seq_lens=seq_lens + S,
+                extend_seq_lens=None,
+                extend_prefix_lens=seq_lens - 1,
+            )
+            if self.is_eagle3:
+                hidden, (kst, vst), aux = tmodel.verify_forward(
+                    t_params, t_pool, fbv, ps, tree_mask,
+                    aux_after=self.aux_after,
+                )
+                aux_cat = jnp.concatenate(
+                    [aux[i] for i in range(aux.shape[0])], axis=-1
+                )
+                cond_hidden = dmodel.apply_fc(d_params, aux_cat)
+            else:
+                hidden, (kst, vst) = tmodel.verify_forward(
+                    t_params, t_pool, fbv, ps, tree_mask
+                )
+                cond_hidden = hidden
+            vlogits = jnp.einsum(
+                "btd,dv->btv", hidden, head,
+                preferred_element_type=jnp.float32,
+            )
+            preds = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)
+            return cand, par, preds, cond_hidden, kst, vst, d_pool
+
+        return jax.jit(fn, donate_argnums=(3,))
+
+    def _build_draft_verify_chain(self):
         tmodel = self.target.model
         dmodel = self.model
         ps = self.page_size
@@ -245,12 +430,17 @@ class EagleRunner:
                 preferred_element_type=jnp.float32,
             )
             preds = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)
-            return cand, preds, cond_hidden, kst, vst, d_pool
+            # chain topology: every node's parent is rank 0 of the previous
+            # depth — par == zeros reproduces "sibling acceptance ends the
+            # round" under the generalized tree walk
+            par = jnp.zeros((root_tokens.shape[0], S, K), jnp.int32)
+            return cand, par, preds, cond_hidden, kst, vst, d_pool
 
         return jax.jit(fn, donate_argnums=(3,))
 
     def draft_verify(self, mwb: ModelWorkerBatch):
-        """Returns (cand [B,S,K], preds [B,T] on host; device residuals)."""
+        """Returns (cand [B,S,K], par [B,S,K], preds [B,T] on host;
+        device residuals)."""
         if self._dv_fn is None:
             self._dv_fn = self._build_draft_verify()
         B = mwb.real_bs
@@ -259,7 +449,7 @@ class EagleRunner:
         pt = pad_to(
             pad_to(mwb.page_tables, pages_bucket, axis=1), bs, axis=0
         )
-        cand, preds, hidden, kst, vst, self.kv_pool = self._dv_fn(
+        cand, par, preds, hidden, kst, vst, self.kv_pool = self._dv_fn(
             self.target.params,
             self.params,
             self.target.kv_pool,
@@ -271,10 +461,11 @@ class EagleRunner:
             jnp.asarray(pad_to(np.maximum(mwb.seq_lens, 1), bs, fill=1)),
             jnp.asarray(pad_to(mwb.out_slots, bs)),
         )
-        host = jax.device_get((cand, preds))
+        host = jax.device_get((cand, par, preds))
         return (
             np.asarray(host[0])[:B],
             np.asarray(host[1])[:B],
+            np.asarray(host[2])[:B],
             (hidden, kst, vst),
         )
 

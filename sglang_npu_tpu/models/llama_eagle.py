@@ -25,6 +25,75 @@ from sglang_npu_tpu.model_executor.forward_batch_info import ForwardBatch
 from sglang_npu_tpu.ops.xla_attention import paged_attention_xla, write_kv
 
 
+NEG_INF = -1e9
+
+
+def tree_attention(
+    q,  # [B, K, H, D]
+    kv_pool,  # [Ld, 2, Hkv, NP, ps, D] (read-only)
+    layer: int,
+    page_tables,  # [B, P]
+    prefix_lens,  # [B] committed tokens in the draft pool
+    path_k,  # [B, K, Scap, Hkv, D] ancestor keys (roped)
+    path_v,  # [B, K, Scap, Hkv, D]
+    k_self,  # [B, K, Hkv, D] this node's key
+    v_self,  # [B, K, Hkv, D]
+    path_len: int,  # valid ancestor entries (static)
+    page_size: int,
+    scale: float,
+):
+    """Attention for one tree-draft depth (reference
+    `eagle_worker.draft_forward:609` top-k tree expansion): each beam
+    attends the committed prefix (paged pool) + its OWN ancestor path
+    (carried in registers — beams re-gather paths on re-selection, so no
+    cross-beam masking and no pool writes during the search).
+    Returns [B, K, H*D]."""
+    B, K, H, D = q.shape
+    Hkv = kv_pool.shape[2]
+    G = H // Hkv
+    P = page_tables.shape[1]
+    Lkv = P * page_size
+    q5 = q.reshape(B, K, Hkv, G, D)
+
+    kp = kv_pool[layer, 0][:, page_tables]  # [Hkv, B, P, ps, D]
+    vp = kv_pool[layer, 1][:, page_tables]
+    kp = jnp.moveaxis(kp, 0, 1).reshape(B, Hkv, Lkv, D)
+    vp = jnp.moveaxis(vp, 0, 1).reshape(B, Hkv, Lkv, D)
+    s_pre = (
+        jnp.einsum(
+            "bkhgd,bhtd->bkhgt", q5, kp, preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    kv_pos = jnp.arange(Lkv, dtype=jnp.int32)
+    pre_mask = kv_pos[None, :] < prefix_lens[:, None]  # [B, Lkv]
+    s_pre = jnp.where(pre_mask[:, None, None, None, :], s_pre, NEG_INF)
+
+    pk = jnp.concatenate(
+        [path_k[:, :, :path_len], k_self[:, :, None]], axis=2
+    )  # [B, K, s+1, Hkv, D]
+    pv = jnp.concatenate(
+        [path_v[:, :, :path_len], v_self[:, :, None]], axis=2
+    )
+    s_path = (
+        jnp.einsum(
+            "bkhgd,bkthd->bkhgt", q5, pk, preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    s_all = jnp.concatenate([s_pre, s_path], axis=-1)
+    p = jax.nn.softmax(s_all, axis=-1).astype(q.dtype)
+    out = jnp.einsum(
+        "bkhgt,bhtd->bkhgd", p[..., :Lkv], vp,
+        preferred_element_type=jnp.float32,
+    )
+    out = out + jnp.einsum(
+        "bkhgt,bkthd->bkhgd", p[..., Lkv:], pv,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype).reshape(B, K, H * D)
+
+
 class EagleDraftModel:
     """Functional EAGLE draft: scan over (usually one) decoder layers.
 
@@ -167,6 +236,66 @@ class EagleDraftModel:
             layer_fn, (x, kv_pool, jnp.int32(0)), params["layers"]
         )
         return x, kv_pool
+
+    # ------------------------------------------------------------------
+    def tree_step(
+        self,
+        params: Dict[str, Any],
+        embed: jax.Array,
+        kv_pool: jax.Array,  # read-only during the tree search
+        page_tables: jax.Array,  # [B, P]
+        prefix_lens: jax.Array,  # [B]
+        positions: jax.Array,  # [B] this depth's position
+        tokens: jax.Array,  # [B, K]
+        prev_hidden: jax.Array,  # [B, K, D]
+        path_k: jax.Array,  # [Ld, B, K, Scap, Hkv, Dh]
+        path_v: jax.Array,
+        path_len: int,
+        page_size: int,
+    ):
+        """One depth of the top-k tree draft (reference
+        `build_eagle_tree.py` / `eagle_worker.draft_forward:609`): forwards
+        K live beams at the same position, each attending the committed
+        prefix + its own carried ancestor K/V.  Returns
+        (hidden [B, K, D], node_k, node_v [Ld, B, K, Hkv, Dh])."""
+        c = self.config
+        B, K = tokens.shape
+        dt = prev_hidden.dtype
+        emb = embed[tokens].astype(dt)
+        x = qmm(
+            jnp.concatenate([emb, prev_hidden.astype(dt)], axis=-1),
+            params["fc"],
+            "bkd,dh->bkh",
+        )
+        eps = c.rms_norm_eps
+        pos2 = jnp.broadcast_to(positions[:, None], (B, K))
+        Ld = path_k.shape[0]
+        node_ks, node_vs = [], []
+        for l in range(Ld):
+            lp = jax.tree.map(lambda a: a[l], params["layers"])
+            h = rms_norm(x, lp["input_norm"], eps)
+            q = qmm(h, lp["wq"], "bkd,dh->bkh").reshape(
+                B, K, c.num_attention_heads, c.head_dim
+            )
+            k = qmm(h, lp["wk"], "bkd,dh->bkh").reshape(
+                B, K, c.num_key_value_heads, c.head_dim
+            )
+            v = qmm(h, lp["wv"], "bkd,dh->bkh").reshape(
+                B, K, c.num_key_value_heads, c.head_dim
+            )
+            q, k = apply_rope(q, k, pos2, self.rope)
+            att = tree_attention(
+                q, kv_pool, l, page_tables, prefix_lens,
+                path_k[l], path_v[l], k, v, path_len, page_size, self.scale,
+            )
+            x = x + qmm(att, lp["wo"], "bkh,hd->bkd")
+            h2 = rms_norm(x, lp["post_norm"], eps)
+            gate = qmm(h2, lp["w_gate"], "bkd,df->bkf")
+            up = qmm(h2, lp["w_up"], "bkd,df->bkf")
+            x = x + qmm(jax.nn.silu(gate) * up, lp["w_down"], "bkf,fd->bkd")
+            node_ks.append(k)
+            node_vs.append(v)
+        return x, jnp.stack(node_ks), jnp.stack(node_vs)
 
 
 class Eagle3DraftModel(EagleDraftModel):
@@ -316,6 +445,58 @@ class Eagle3DraftModel(EagleDraftModel):
         # returns the PRE-norm hidden (next-step conditioning); logits go
         # through draft_logits (reference "capture before norm")
         return x, kv_pool
+
+    def tree_step(
+        self,
+        params: Dict[str, Any],
+        embed: jax.Array,  # unused: eagle3 has its own table
+        kv_pool: jax.Array,
+        page_tables: jax.Array,
+        prefix_lens: jax.Array,
+        positions: jax.Array,
+        tokens: jax.Array,  # [B, K] target-vocab ids
+        prev_hidden: jax.Array,  # [B, K, D]
+        path_k: jax.Array,
+        path_v: jax.Array,
+        path_len: int,
+        page_size: int,
+    ):
+        c = self.config
+        B, K = tokens.shape
+        dt = prev_hidden.dtype
+        emb = params["embed"][tokens].astype(dt)
+        x = prev_hidden.astype(dt)
+        eps = c.rms_norm_eps
+        pos2 = jnp.broadcast_to(positions[:, None], (B, K))
+        Ld = path_k.shape[0]
+        node_ks, node_vs = [], []
+        for l in range(Ld):
+            lp = jax.tree.map(lambda a: a[l], params["layers"])
+            e_n = rms_norm(emb, lp["input_norm"], eps)
+            h_n = rms_norm(x, lp["hidden_norm"], eps)
+            h = jnp.concatenate([e_n, h_n], axis=-1)
+            q = qmm(h, lp["wq"], "bkd,dh->bkh").reshape(
+                B, K, c.num_attention_heads, c.head_dim
+            )
+            k = qmm(h, lp["wk"], "bkd,dh->bkh").reshape(
+                B, K, c.num_key_value_heads, c.head_dim
+            )
+            v = qmm(h, lp["wv"], "bkd,dh->bkh").reshape(
+                B, K, c.num_key_value_heads, c.head_dim
+            )
+            q, k = apply_rope(q, k, pos2, self.rope)
+            att = tree_attention(
+                q, kv_pool, l, page_tables, prefix_lens,
+                path_k[l], path_v[l], k, v, path_len, page_size, self.scale,
+            )
+            x = x + qmm(att, lp["wo"], "bkh,hd->bkd")
+            h2 = rms_norm(x, lp["post_norm"], eps)
+            gate = qmm(h2, lp["w_gate"], "bkd,df->bkf")
+            up = qmm(h2, lp["w_up"], "bkd,df->bkf")
+            x = x + qmm(jax.nn.silu(gate) * up, lp["w_down"], "bkf,fd->bkd")
+            node_ks.append(k)
+            node_vs.append(v)
+        return x, jnp.stack(node_ks), jnp.stack(node_vs)
 
 
 ENTRY_CLASS = EagleDraftModel

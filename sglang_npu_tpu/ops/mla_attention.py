@@ -110,7 +110,9 @@ def tree_verify_mla_attention_xla(
             preferred_element_type=jnp.float32,
         )
     ) * scale  # [B, H, T, T]
-    s_fly = jnp.where(tree_mask[None, None, :, :], s_fly, NEG_INF)
+    # tree_mask: [T, T] static topology or [B, T, T] data-dependent tree
+    mb = tree_mask[None] if tree_mask.ndim == 2 else tree_mask
+    s_fly = jnp.where(mb[:, None, :, :], s_fly, NEG_INF)
 
     # joint softmax over [pool | fed]
     s_all = jnp.concatenate(

@@ -150,9 +150,10 @@ def tree_verify_attention_xla(
         )
         * scale
     )  # [B, Hkv, group, T, T]
-    s_fly = jnp.where(
-        tree_mask[None, None, None, :, :], s_fly, NEG_INF
-    )
+    # tree_mask: [T, T] (static topology) or [B, T, T] (data-dependent
+    # top-k tree built on device from parent ranks)
+    mb = tree_mask[None] if tree_mask.ndim == 2 else tree_mask
+    s_fly = jnp.where(mb[:, None, None, :, :], s_fly, NEG_INF)
 
     # joint softmax over [pool | fed]
     s_all = jnp.concatenate(

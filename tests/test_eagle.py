@@ -204,3 +204,31 @@ def test_eagle_chunked_prefill_and_prefix(oracle_setup):
     # radix prefix hit path
     out2 = engine.generate(input_ids=prompt, sampling_params=sp)
     assert out2["output_ids"] == ref
+
+
+def test_tree_walk_accepts_nonrank0_branches():
+    """The full top-k tree (reference build_eagle_tree.py) keeps drafting
+    below NON-rank-0 nodes: a target preferring the #2 candidate still
+    accepts multiple tokens, where the chain-with-siblings topology (all
+    parents rank 0) must stop after one."""
+    import numpy as np
+
+    from sglang_npu_tpu.model_executor.eagle_runner import tree_accept_walk
+
+    S, K = 3, 2
+    # tree: depth0 cands [10, 20]; depth1 under parent-rank1: [21, 22];
+    # depth2 under the depth-1 rank-0 node (which is 21's): [30, 31]
+    cand = np.array([[10, 20], [21, 99], [30, 31]])
+    par = np.array([[0, 0], [1, 0], [0, 0]])
+    preds = np.zeros(1 + S * K, np.int32)
+    preds[0] = 20       # root predicts the #2 candidate
+    preds[2] = 21       # node (0, rank1) predicts its child 21
+    preds[3] = 31       # node (1, rank0)=21 predicts 31
+    accepted, last = tree_accept_walk(cand, par, preds, S, K)
+    assert [t for t, _ in accepted] == [20, 21, 31]
+    assert last == 1 + 2 * K + 1
+
+    # chain topology (par all zero): same preds accept ONLY the sibling
+    par_chain = np.zeros((S, K), np.int32)
+    accepted_c, _ = tree_accept_walk(cand, par_chain, preds, S, K)
+    assert [t for t, _ in accepted_c] == [20]
