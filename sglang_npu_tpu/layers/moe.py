@@ -272,6 +272,173 @@ def moe_mlp_ep(
     )(*args)
 
 
+def moe_mlp_ep_a2a(
+    x: jax.Array,  # [T, Dm] (replicated at the call site; sliced below)
+    router_w: jax.Array,  # [Dm, E]
+    w_gate: jax.Array,  # [P, Dm, F] sharded on the physical-slot dim
+    w_up: jax.Array,
+    w_down: jax.Array,  # [P, F, Dm]
+    top_k: int,
+    norm_topk_prob: bool,
+    mesh,
+    axis: str = "model",
+    l2p: jax.Array | None = None,
+    rc: jax.Array | None = None,
+    collect_stats: bool = False,
+    stats_mask: jax.Array | None = None,
+    routing_fn=None,
+):
+    """Expert-parallel MoE with ALL-TO-ALL token dispatch (reference
+    `layers/moe/token_dispatcher/deepep.py` normal mode): tokens shard
+    over the EP axis, each rank routes only its own T/ep tokens, sends
+    every (token, expert) assignment to the expert's owner over a ragged
+    (capacity-padded, never-dropping) `lax.all_to_all`, computes its local
+    experts' grouped GEMMs, and a2a's the results back.  Unlike
+    `moe_mlp_ep` (replicated tokens — fine intra-host), activation compute
+    and routing both divide by ep, which is what scales past one host.
+
+    Capacity per (src, dst) pair = T_local*top_k (the degenerate
+    all-to-one case), so no token is ever dropped; the padded buffers are
+    [ep, T_local*K, Dm] — small at decode sizes, and at prefill the ICI
+    a2a volume matches the assignments actually moved plus padding."""
+    E = router_w.shape[-1]
+    ep = mesh.shape[axis]
+    T = x.shape[0]
+    pad = (-T) % ep
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        if stats_mask is not None:
+            stats_mask = jnp.pad(stats_mask, (0, pad))
+    P_slots = w_gate.shape[0]
+    assert P_slots % ep == 0
+
+    def local_fn(x, router_w, wg, wu, wd, l2p, rc, smask):
+        Tl, Dm = x.shape
+        E_local = wg.shape[0]
+        logits = jnp.einsum(
+            "td,de->te", x, router_w, preferred_element_type=jnp.float32
+        )
+        if routing_fn is not None:
+            weights, expert_ids = routing_fn(logits)
+        else:
+            weights, expert_ids = topk_routing(logits, top_k, norm_topk_prob)
+        stats = (
+            routing_counts(expert_ids, E, smask) if collect_stats else None
+        )
+        if stats is not None:
+            stats = jax.lax.psum(stats, axis)
+        if l2p is not None:
+            tok = jnp.arange(Tl, dtype=jnp.int32)[:, None]
+            expert_ids = l2p[expert_ids, tok % rc[expert_ids]]
+        A = Tl * top_k
+        flat_ids = expert_ids.reshape(-1).astype(jnp.int32)  # [A]
+        dest = flat_ids // E_local
+        rel = flat_ids % E_local
+        order = jnp.argsort(dest, stable=True)
+        sdest = dest[order]
+        # position within each destination bucket
+        first = jnp.searchsorted(sdest, sdest, side="left")
+        pos = jnp.arange(A, dtype=jnp.int32) - first.astype(jnp.int32)
+        rows = x[order // top_k]
+        send = jnp.zeros((ep, A, Dm), x.dtype).at[sdest, pos].set(rows)
+        send_rel = (
+            jnp.full((ep, A), E_local, jnp.int32).at[sdest, pos]
+            .set(rel[order])
+        )
+        send_src = (
+            jnp.full((ep, A), 0, jnp.int32).at[sdest, pos].set(order)
+        )
+
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+        recv = recv.reshape(ep, A, Dm)
+        recv_rel = jax.lax.all_to_all(
+            send_rel, axis, 0, 0, tiled=True
+        ).reshape(ep, A)
+
+        rflat = recv.reshape(ep * A, Dm)
+        rrel = recv_rel.reshape(-1)
+        order2 = jnp.argsort(rrel)  # padding (E_local) sorts last
+        sx = rflat[order2]
+        gs = jnp.bincount(rrel, length=E_local)
+        gate = jax.lax.ragged_dot(sx, wg, gs)
+        up = jax.lax.ragged_dot(sx, wu, gs)
+        act = (
+            jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+        ).astype(x.dtype)
+        out_sorted = jax.lax.ragged_dot(act, wd, gs)
+        out_r = (
+            jnp.zeros((ep * A, Dm), out_sorted.dtype)
+            .at[order2]
+            .set(out_sorted)
+        )
+        back = jax.lax.all_to_all(
+            out_r.reshape(ep, A, Dm), axis, 0, 0, tiled=True
+        ).reshape(ep, A, Dm)
+        # back[r, p] is the output for the assignment this rank staged at
+        # send slot (r, p); scatter it to that assignment's flat index
+        valid = send_rel < E_local  # [ep, A]
+        contrib = jnp.zeros((A, Dm), out_sorted.dtype).at[
+            jnp.where(valid, send_src, A)
+        ].set(back.reshape(ep, A, Dm), mode="drop")
+        w_eff = weights.reshape(-1).astype(contrib.dtype)
+        out = (
+            contrib.reshape(Tl, top_k, Dm)
+            * w_eff.reshape(Tl, top_k)[..., None]
+        ).sum(axis=1)
+        out = out.astype(x.dtype)
+        return (out, stats) if collect_stats else out
+
+    wspec = P(axis, *([None] * (w_gate.ndim - 1)))
+    have_tables = l2p is not None
+    have_mask = stats_mask is not None
+    args = [x, router_w, w_gate, w_up, w_down]
+    in_specs = [P(axis), P(), wspec, wspec, wspec]
+    if have_tables:
+        args += [l2p, rc]
+        in_specs += [P(), P()]
+    if have_mask:
+        args += [stats_mask]
+        in_specs += [P(axis)]
+
+    def fn(x, r, wg, wu, wd, *rest):
+        tl = tr = sm = None
+        i = 0
+        if have_tables:
+            tl, tr = rest[0], rest[1]
+            i = 2
+        if have_mask:
+            sm = rest[i]
+        return local_fn(x, r, wg, wu, wd, tl, tr, sm)
+
+    out = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(axis), P()) if collect_stats else P(axis),
+        check_vma=False,
+    )(*args)
+    if collect_stats:
+        out, stats = out
+        return (out[:T] if pad else out), stats
+    return out[:T] if pad else out
+
+
+_EP_DISPATCH = ["replicated"]  # replicated | a2a
+
+
+def set_ep_dispatch(mode: str):
+    """EP token-dispatch mode (reference deepep normal vs the replicated
+    local-expert design; see moe_mlp_ep / moe_mlp_ep_a2a)."""
+    assert mode in ("replicated", "a2a")
+    _EP_DISPATCH[0] = mode
+
+
+def ep_moe(*args, **kwargs):
+    """Dispatch-mode front door used by the MoE model layers."""
+    fn = moe_mlp_ep_a2a if _EP_DISPATCH[0] == "a2a" else moe_mlp_ep
+    return fn(*args, **kwargs)
+
+
 def sparsemixer_routing(logits: "jax.Array", jitter_eps: float):
     """PhiMoE inference-time sparsemixer top-2 routing (HF
     `modeling_phimoe.sparsemixer`, training branches elided): pick the

@@ -104,6 +104,9 @@ class ModelRunner:
                 )
             self.model.ep_size = server_args.ep_size
             self.model.ep_mesh = self.mesh
+            from sglang_npu_tpu.layers.moe import set_ep_dispatch
+
+            set_ep_dispatch(server_args.ep_dispatch)
         self.eplb = None  # EplbState when --enable-eplb
         self._moe_acc = None  # device [n_moe_layers, E] routed-token counts
         if server_args.enable_eplb:

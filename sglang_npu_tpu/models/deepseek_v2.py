@@ -365,9 +365,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     )
 
             if self.ep_size > 1:
-                from sglang_npu_tpu.layers.moe import moe_mlp_ep
+                from sglang_npu_tpu.layers.moe import ep_moe
 
-                out = moe_mlp_ep(
+                out = ep_moe(
                     flat,
                     lp["router"].astype(flat.dtype),
                     lp["e_gate"],

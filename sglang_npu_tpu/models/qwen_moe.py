@@ -198,9 +198,9 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
         flat = h.reshape(B * E_, Dm)
         stats = None
         if self.ep_size > 1:
-            from sglang_npu_tpu.layers.moe import moe_mlp_ep
+            from sglang_npu_tpu.layers.moe import ep_moe
 
-            out = moe_mlp_ep(
+            out = ep_moe(
                 flat,
                 lp["router"].astype(flat.dtype),
                 dequant(lp["e_gate"], flat.dtype),

@@ -117,6 +117,11 @@ class ServerArgs:
     ep_size: int = 1  # "expert" mesh axis size (MoE)
     # EPLB: expert-parallel load balancing (reference srt/eplb/)
     enable_eplb: bool = False
+    # EP token dispatch (reference deepep normal mode): "replicated" runs
+    # every rank over the full token set against its local experts (one
+    # psum; optimal intra-host); "a2a" shards tokens over the EP axis and
+    # all-to-alls assignments to expert owners (scales past one host)
+    ep_dispatch: str = "replicated"
     ep_num_redundant_experts: int = 0  # extra physical slots for replicas
     eplb_rebalance_interval: int = 512  # decode steps between rebalances
     pp_size: int = 1  # pipeline stages (rarely useful on TPU; kept for parity)
@@ -243,6 +248,8 @@ class ServerArgs:
             raise ValueError("pp_size must be >= 1")
         if self.model_impl not in ("auto", "tpu", "transformers"):
             raise ValueError(f"Unknown model_impl {self.model_impl}")
+        if self.ep_dispatch not in ("replicated", "a2a"):
+            raise ValueError(f"Unknown ep_dispatch {self.ep_dispatch}")
         if self.multihost_spmd:
             if self.nnodes <= 1:
                 raise ValueError("--multihost-spmd requires --nnodes > 1")

@@ -46,18 +46,19 @@ def _check(engine, hf, prompts, n=6):
 
 
 @pytest.mark.parametrize("ep", [2, 4])
-def test_qwen_moe_ep_matches_hf(tmp_path_factory, ep):
+@pytest.mark.parametrize("dispatch", ["replicated", "a2a"])
+def test_qwen_moe_ep_matches_hf(tmp_path_factory, ep, dispatch):
     if jax.device_count() < ep:
         pytest.skip("not enough devices")
     torch.manual_seed(0)
     hf = transformers.Qwen2MoeForCausalLM(_qwen_moe_cfg())
     hf.eval()
-    d = tmp_path_factory.mktemp(f"qwen2moe_ep{ep}")
+    d = tmp_path_factory.mktemp(f"qwen2moe_ep{ep}_{dispatch}")
     hf.save_pretrained(d, safe_serialization=True)
     e = Engine(
         model_path=str(d), dtype="float32", skip_tokenizer_init=True,
         page_size=4, max_total_tokens=4096, attention_backend="xla",
-        random_seed=0, tp_size=ep, ep_size=ep,
+        random_seed=0, tp_size=ep, ep_size=ep, ep_dispatch=dispatch,
     )
     try:
         assert e.model_runner.model.ep_size == ep
@@ -125,3 +126,48 @@ def test_ep_requires_moe_and_divisibility(tmp_path_factory):
             page_size=4, max_total_tokens=1024, attention_backend="xla",
             random_seed=0, tp_size=2, ep_size=2,
         )
+
+
+def test_a2a_dispatch_matches_replicated_with_eplb_tables():
+    """moe_mlp_ep_a2a (token-sharded all-to-all dispatch, reference
+    deepep normal mode) computes the same result as the replicated-token
+    design, including EPLB redundant-replica tables and routing stats."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from sglang_npu_tpu.layers.moe import moe_mlp_ep, moe_mlp_ep_a2a
+
+    ep = 4
+    if jax.device_count() < ep:
+        pytest.skip("not enough devices")
+    mesh = Mesh(np.asarray(jax.devices()[:ep]).reshape(1, ep), ("data", "model"))
+    rng = np.random.default_rng(0)
+    T, Dm, F, E, R, K = 13, 32, 16, 6, 2, 2
+    P_slots = 8  # 6 logical + 2 redundant
+    x = jnp.asarray(rng.standard_normal((T, Dm)).astype(np.float32))
+    router = jnp.asarray(rng.standard_normal((Dm, E)).astype(np.float32))
+    wg = rng.standard_normal((P_slots, Dm, F)).astype(np.float32)
+    wu = rng.standard_normal((P_slots, Dm, F)).astype(np.float32)
+    wd = rng.standard_normal((P_slots, F, Dm)).astype(np.float32)
+    # replicas: logical expert 0 lives at slots 0 and 6 (same weights)
+    wg[6], wu[6], wd[6] = wg[0], wu[0], wd[0]
+    wg[7], wu[7], wd[7] = wg[1], wu[1], wd[1]
+    l2p = jnp.asarray(
+        np.array([[0, 6], [1, 7], [2, 2], [3, 3], [4, 4], [5, 5]], np.int32)
+    )
+    rc = jnp.asarray(np.array([2, 2, 1, 1, 1, 1], np.int32))
+    smask = jnp.ones((T,), bool)
+    kw = dict(
+        top_k=K, norm_topk_prob=True, mesh=mesh, axis="model",
+        l2p=l2p, rc=rc, collect_stats=True, stats_mask=smask,
+    )
+    ref, ref_stats = moe_mlp_ep(
+        x, router, jnp.asarray(wg), jnp.asarray(wu), jnp.asarray(wd), **kw
+    )
+    got, got_stats = moe_mlp_ep_a2a(
+        x, router, jnp.asarray(wg), jnp.asarray(wu), jnp.asarray(wd), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got_stats), np.asarray(ref_stats))
