@@ -151,6 +151,20 @@ class GrammarBackend:
             cached = self._dfa_cache.get(key)
         if cached is None:
             if kind == "json":
+                from sglang_npu_tpu.constrained.pushdown import (
+                    build_json_pushdown,
+                    schema_needs_pushdown,
+                )
+
+                if schema_needs_pushdown(spec):
+                    # recursive ($ref) or over-deep schema: context-free
+                    # pushdown machine (reference xgrammar semantics);
+                    # LazyDFA-compatible surface, host per-token masking
+                    # (no dense device tables -> scheduler K=1 path)
+                    machine = build_json_pushdown(spec)
+                    with self._lock:
+                        self._dfa_cache[key] = (machine, None)
+                    return FsmGrammar(machine, self._get_vocab(), device=None)
                 pattern = build_json_regex(spec)
             elif kind == "regex":
                 pattern = spec
