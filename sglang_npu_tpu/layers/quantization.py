@@ -144,6 +144,18 @@ def matmul(x: jax.Array, w, eq: str) -> jax.Array:
         return einsum_w4(x, w, eq, act=_ACT_QUANT[0] or "a16")
     if isinstance(w, QuantizedWeight) and _ACT_QUANT[0] == "a8":
         return _einsum_w8a8(x, w, eq)
+    if isinstance(w, QuantizedWeightW4) and _ACT_QUANT[0] == "a8":
+        # XLA fallback for w4a8 (CPU tests / D-mismatch models): per-token
+        # int8 activation quant against the dequantized weight — same
+        # activation-quant numerics class as the int8-MXU Pallas kernel
+        x32 = x.astype(jnp.float32)
+        sx = (
+            jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-9)
+            / 127.0
+        )
+        xq = jnp.clip(jnp.round(x32 / sx), -127, 127)
+        out = jnp.einsum(eq, xq.astype(x.dtype), dequant(w, x.dtype))
+        return (out.astype(jnp.float32) * sx).astype(x.dtype)
     return jnp.einsum(eq, x, dequant(w, x.dtype))
 
 
