@@ -32,6 +32,12 @@ import numpy as np
 
 
 def main():
+    import jax
+
+    # float32 on TPU defaults to bf16-pass matmuls; long repetitive
+    # sequences on random models then flip near-tie argmaxes vs the torch
+    # CPU reference.  Full-precision f32 keeps the comparison honest.
+    jax.config.update("jax_default_matmul_precision", "highest")
     p = argparse.ArgumentParser()
     p.add_argument("--layers", type=int, default=2)
     p.add_argument("--hidden", type=int, default=512)

@@ -65,10 +65,14 @@ class CompletionServing:
         else:
             kwargs["input_ids"] = prompt
 
+        want_lp = req.logprobs is not None
         obj = GenerateReqInput(
             sampling_params=req.to_sampling_params(),
             stream=req.stream,
             rid=rid if isinstance(prompt, str) or (prompt and isinstance(prompt[0], int)) else None,
+            return_logprob=want_lp,
+            top_logprobs_num=int(req.logprobs or 0) if want_lp else 0,
+            logprob_start_len=0 if (want_lp and req.echo) else -1,
             **kwargs,
         )
 
@@ -122,7 +126,9 @@ class CompletionServing:
                 {
                     "index": i,
                     "text": text,
-                    "logprobs": None,
+                    "logprobs": (
+                        self._logprobs_obj(meta, req.echo) if want_lp else None
+                    ),
                     "finish_reason": map_finish_reason(meta["finish_reason"]),
                 }
             )
@@ -135,6 +141,40 @@ class CompletionServing:
         return web.json_response(
             completion_response(rid, req.model, choices, usage)
         )
+
+    def _logprobs_obj(self, meta, echo: bool):
+        """OpenAI completions `logprobs` object (reference serving path):
+        token strings + per-token logprobs (+top alternatives), echoing
+        prompt-token logprobs when `echo` (the sgl.select scoring path)."""
+        tokenizer = getattr(self.engine, "tokenizer", None)
+
+        def tok_str(tid):
+            if tokenizer is None:
+                return str(int(tid))
+            try:
+                return tokenizer.decode([int(tid)])
+            except Exception:
+                return str(int(tid))
+
+        entries = []
+        if echo:
+            entries += meta.get("input_token_logprobs") or []
+        entries += meta.get("output_token_logprobs") or []
+        tokens = [tok_str(e[1]) for e in entries]
+        tlp = [float(e[0]) if e[0] is not None else None for e in entries]
+        tops_raw = meta.get("output_top_logprobs") or []
+        top_logprobs = None
+        if tops_raw:
+            tops = [
+                {tok_str(t): float(v) for v, t, _ in row} for row in tops_raw
+            ]
+            top_logprobs = [None] * (len(entries) - len(tops)) + tops
+        return {
+            "tokens": tokens,
+            "token_logprobs": tlp,
+            "top_logprobs": top_logprobs,
+            "text_offset": None,
+        }
 
     async def _stream(self, request, req, obj, rid) -> web.StreamResponse:
         resp = web.StreamResponse(

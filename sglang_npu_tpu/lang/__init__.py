@@ -10,6 +10,11 @@ from sglang_npu_tpu.lang.api import (  # noqa: F401
     system,
     user,
 )
+from sglang_npu_tpu.lang.backends import (  # noqa: F401
+    AnthropicBackend,
+    LiteLLMBackend,
+    OpenAIBackend,
+)
 from sglang_npu_tpu.lang.tracer import (  # noqa: F401
     CompiledFunction,
     TracedProgram,

@@ -1011,16 +1011,56 @@ class ModelRunner:
     # ------------------------------------------------------------------
     def _vision_embed(self, req) -> jax.Array:
         """Run the vision tower once per request; embeddings are cached on
-        the Req for subsequent prefill chunks.  Layout/padding policy is
-        model-specific (windowed qwen ViT vs plain CLIP/SigLIP towers), so
-        the model owns it via `compute_vision_embeds`."""
+        the Req for subsequent prefill chunks AND in a content-hash LRU
+        across requests (reference `mem_cache/multimodal_cache.py:48`), so
+        a repeated image prompt never re-runs the ViT.  Layout/padding
+        policy is model-specific (windowed qwen ViT vs plain CLIP/SigLIP
+        towers), so the model owns it via `compute_vision_embeds`."""
         if req.mm_embeds is not None:
             return req.mm_embeds
+        if not hasattr(self, "_mm_embed_cache"):
+            from collections import OrderedDict
+
+            self._mm_embed_cache = OrderedDict()
+        key = getattr(req, "mm_cache_key", None)
+        if key is None:
+            import hashlib
+
+            # hash only the media CONTENT: prompt-dependent fields (token
+            # ids, radix key ids, mrope tables) don't affect the tower, so
+            # the same image under a different prompt still hits.  Unknown
+            # future keys stay IN the hash — worst case an extra miss,
+            # never a wrong reuse.
+            skip = {"input_ids", "key_ids", "mrope_positions", "mrope_delta"}
+            h = hashlib.sha256()
+            for name in sorted(req.mm_inputs):
+                if name in skip:
+                    continue
+                v = req.mm_inputs[name]
+                h.update(name.encode())
+                if isinstance(v, np.ndarray):
+                    h.update(v.tobytes())
+                else:
+                    h.update(repr(v).encode())
+            key = req.mm_cache_key = h.digest()
+        cached = self._mm_embed_cache.get(key)
+        if cached is not None:
+            self._mm_embed_cache.move_to_end(key)
+            self.mm_embed_cache_hits = (
+                getattr(self, "mm_embed_cache_hits", 0) + 1
+            )
+            req.mm_embeds = cached
+            return cached
         if not hasattr(self, "_vision_fn"):
             self._vision_fn = jax.jit(self.model.vision_forward)
         req.mm_embeds = self.model.compute_vision_embeds(
             self.params, req.mm_inputs, self._vision_fn
         )
+        self._mm_embed_cache[key] = req.mm_embeds
+        while len(self._mm_embed_cache) > max(
+            self.server_args.mm_embed_cache_entries, 0
+        ):
+            self._mm_embed_cache.popitem(last=False)
         return req.mm_embeds
 
     def _attach_mm_embeds(self, mwb, fb, bs_bucket: int, extend_bucket: int):

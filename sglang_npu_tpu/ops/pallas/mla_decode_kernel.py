@@ -179,10 +179,16 @@ def _mla_decode_kernel(
 
         ckv = ckv_buf[slot].reshape(block_t, R).astype(jnp.float32)
         kpe = kpe_buf[slot].reshape(block_t, 128).astype(jnp.float32)
-        tok = blk * block_t + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_t), 1
-        )
-        valid = tok < seq_len
+        # build each mask in its target shape: cross-dim iota reshapes are
+        # lane<->sublane relayouts Mosaic rejects (see decode_kernel.py)
+        valid_row = (
+            blk * block_t
+            + jax.lax.broadcasted_iota(jnp.int32, (1, block_t), 1)
+        ) < seq_len  # [1, T]
+        valid_col = (
+            blk * block_t
+            + jax.lax.broadcasted_iota(jnp.int32, (block_t, 1), 0)
+        ) < seq_len  # [T, 1]
         # scores [H, T]: q_abs.ckv + q_pe.kpe (kpe zero-padded past rope)
         s = jax.lax.dot_general(
             q_abs, ckv, (((1,), (1,)), ((), ())),
@@ -192,10 +198,10 @@ def _mla_decode_kernel(
             q_pe, kpe, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = jnp.where(valid, s, NEG_INF)
+        s = jnp.where(valid_row, s, NEG_INF)
         # garbage latents in unwritten rows could be NaN/inf: zero them so
         # p=0 rows can't poison the pv matmul
-        ckv = jnp.where(valid.reshape(block_t, 1), ckv, 0.0)
+        ckv = jnp.where(valid_col, ckv, 0.0)
 
         m_prev = m_ref[:, :1]  # [H, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)

@@ -74,6 +74,9 @@ class ServerArgs:
     # write_through: back up prefixes to host the moment they enter the tree
     # (eviction is then free); write_back: back up lazily at evict time.
     hicache_write_policy: str = "write_through"
+    # content-hash LRU of vision-tower embeddings (reference
+    # mem_cache/multimodal_cache.py): repeated image prompts skip the ViT
+    mm_embed_cache_entries: int = 32
     # Optional third tier below host DRAM (reference --hicache-storage-backend):
     # "file" spills host-budget overflow to page-hashed files so prefixes
     # survive restarts; "memory" is an in-process dict (tests).

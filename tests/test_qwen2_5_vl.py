@@ -218,3 +218,39 @@ def test_vl_image_prefix_cache(vl_setup):
     outB = engine_generate(e, cfg, ids, pixB, grid, 6)
     refB = hf_greedy(hf, ids, pixB, grid, 6)
     assert outB == refB, (outB, refB)
+
+
+def test_vl_embed_cache_skips_vit(vl_setup):
+    """Content-hash embedding cache (reference multimodal_cache.py):
+    repeated image content must not re-run the vision tower, even across
+    different requests and prompts; different pixels miss the cache."""
+    hf, e, cfg = vl_setup
+    e.flush_cache()
+    runner = e.model_runner
+    if hasattr(runner, "_mm_embed_cache"):
+        runner._mm_embed_cache.clear()
+    runner.mm_embed_cache_hits = 0
+    calls = {"n": 0}
+    orig = runner.model.compute_vision_embeds
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    runner.model.compute_vision_embeds = counting
+    try:
+        pix, grid = make_pixels(cfg, seed=21)
+        ids1 = build_ids(cfg, grid, seed=22)
+        ids2 = build_ids(cfg, grid, seed=23)  # different text, same image
+        out1 = engine_generate(e, cfg, ids1, pix, grid, 4)
+        out2 = engine_generate(e, cfg, ids2, pix, grid, 4)
+        assert calls["n"] == 1, calls  # second request hit the cache
+        assert runner.mm_embed_cache_hits >= 1
+        # correctness unchanged on the cache-hit path
+        assert out2 == hf_greedy(hf, ids2, pix, grid, 4)
+        # different image -> miss
+        pixB, gridB = make_pixels(cfg, seed=24)
+        engine_generate(e, cfg, build_ids(cfg, gridB, seed=25), pixB, gridB, 4)
+        assert calls["n"] == 2, calls
+    finally:
+        runner.model.compute_vision_embeds = orig
