@@ -183,5 +183,32 @@ def main():
         run("E xor8 int8-MXU group dots", kE, BK, BN, (xq, x2q, qw, s))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("W4_FULL"):
     main()
+
+
+def bench_full_kernels():
+    """Calibrated timing of the PRODUCTION matmul entry points (incl. the
+    zero-point epilogue + plane splits) at the decode shape."""
+    from sglang_npu_tpu.layers.quantization import quantize_params_w4, dequant
+    from sglang_npu_tpu.ops.pallas.quant_matmul import (
+        matmul_w4, matmul_w4a8, matmul_w4a16x2,
+    )
+
+    key = jax.random.key(1)
+    w = jax.random.normal(key, (K, N), jnp.bfloat16) * 0.05
+    qw = quantize_params_w4({"layers": {"wq": w}}, group_size=g)["layers"]["wq"]
+    x = jax.random.normal(jax.random.fold_in(key, 2), (M, K), jnp.bfloat16)
+    ref = np.asarray(jnp.asarray(x, jnp.float32) @ dequant(qw, jnp.float32))
+    for name, fn in (("matmul_w4 (bf16 A16)", matmul_w4),
+                     ("matmul_w4a16x2 (int8x2 A16)", matmul_w4a16x2),
+                     ("matmul_w4a8 (int8 A8)", matmul_w4a8)):
+        got = np.asarray(fn(x, qw.q, qw.s, qw.b, group_size=g)).astype(np.float32)
+        err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        dt = timeit(lambda xx, q, s, b: fn(xx, q, s, b, group_size=g),
+                    x, qw.q, qw.s, qw.b)
+        report(f"{name} err={err:.4f}", dt, WBYTES)
+
+
+if __name__ == "__main__" and os.environ.get("W4_FULL"):
+    bench_full_kernels()

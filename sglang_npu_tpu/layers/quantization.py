@@ -186,8 +186,10 @@ def set_w4_backend(name: str):
 
 
 def set_act_quant(mode):
-    """Activation quantization mode: None (A16) or 'a8' (per-token int8)."""
-    assert mode in (None, "a8")
+    """Activation compute mode: None (bf16 A16), 'a16x2' (A16 on the int8
+    MXU via residual two-component decomposition — precision >= one bf16
+    pass, speed = the W4 weight-DMA floor), or 'a8' (per-token int8)."""
+    assert mode in (None, "a8", "a16x2")
     _ACT_QUANT[0] = mode
 
 

@@ -232,14 +232,22 @@ class ModelRunner:
                 # chip (XLA materializes the bf16 weight in HBM)
                 set_w4_backend("pallas")
             # per-token int8 activations -> int8 MXU (2x bf16 rate; the
-            # W4A8 kernel streams weights at ~90% HBM roofline).  Module
-            # flag: set explicitly either way so engines created earlier in
-            # the process can't leak their mode.
-            set_act_quant(
-                "a8"
-                if server_args.quantization in ("w4a8", "w8a8_int8")
-                else None
-            )
+            # W4A8 kernel streams weights at ~90% HBM roofline).  W4A16
+            # defaults to the int8x2 residual decomposition on chip — same
+            # DMA-floor speed, >= one-bf16-pass precision.  Module flag:
+            # set explicitly either way so engines created earlier in the
+            # process can't leak their mode.
+            if server_args.quantization in ("w4a8", "w8a8_int8"):
+                set_act_quant("a8")
+            elif (
+                jax.default_backend() not in ("cpu",)
+                and server_args.w4_mxu_precision == "int8x2"
+                and server_args.quantization
+                in ("w4a16", "int4", "awq", "gptq", "awq_marlin", "gptq_marlin")
+            ):
+                set_act_quant("a16x2")
+            else:
+                set_act_quant(None)
 
         # Multi-LoRA adapters stacked into the param tree (slot 0 = none).
         self.lora_manager = None

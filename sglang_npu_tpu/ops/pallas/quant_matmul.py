@@ -131,6 +131,59 @@ def _w4a8_matmul_kernel(
         o_ref[...] = (acc_ref[...] * sx_ref[:, :1]).astype(out_dtype)
 
 
+def _w4a16x2_matmul_kernel(
+    x1lo_ref,  # [Mp, BK//2] int8 — coarse activation component
+    x1hi_ref,
+    x2lo_ref,  # [Mp, BK//2] int8 — residual component (1/127 weight)
+    x2hi_ref,
+    qw_ref,  # [BK//2, BN] uint8
+    s_ref,  # [BK//g, BN] f32
+    sx_ref,  # [Mp, 128] f32 — per-token coarse scale (col 0)
+    o_ref,  # [Mp, BN] out dtype
+    acc_ref,  # [Mp, BN] f32 scratch
+    *,
+    group_size: int,
+    out_dtype,
+):
+    """Exact-class A16 path on the int8 MXU: the bf16 activation row is
+    decomposed as x ~= s1*(q1 + q2/127) (two int8 components, ~14 mantissa
+    bits — more precise than one bf16 MXU pass), so the weight bytes feed
+    the MXU raw (two masks) and the kernel runs at the weight-DMA floor
+    like the W4A8 kernel, at 2x the (negligible at decode M) MXU work."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    BKh, BN = qw_ref.shape
+    g = group_size
+    gh = g // 2
+    G_blk = (2 * BKh) // g
+    p8 = jax.lax.bitcast_convert_type(qw_ref[...], jnp.int8)
+    lo8 = p8 & jnp.int8(0x0F)
+    hi8 = p8 & jnp.int8(-16)
+    a = jnp.zeros_like(acc_ref)
+    inv127 = 1.0 / 127.0
+    inv16 = 1.0 / 16.0
+    for G in range(G_blk):
+        r0, r1 = G * gh, (G + 1) * gh
+        wl, wh = lo8[r0:r1], hi8[r0:r1]
+        d1l = jnp.dot(x1lo_ref[:, r0:r1], wl, preferred_element_type=jnp.int32)
+        d1h = jnp.dot(x1hi_ref[:, r0:r1], wh, preferred_element_type=jnp.int32)
+        d2l = jnp.dot(x2lo_ref[:, r0:r1], wl, preferred_element_type=jnp.int32)
+        d2h = jnp.dot(x2hi_ref[:, r0:r1], wh, preferred_element_type=jnp.int32)
+        coarse = d1l.astype(jnp.float32) + d1h.astype(jnp.float32) * inv16
+        fine = d2l.astype(jnp.float32) + d2h.astype(jnp.float32) * inv16
+        a += (coarse + fine * inv127) * s_ref[G, :][None, :]
+    acc_ref[...] += a
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * sx_ref[:, :1]).astype(out_dtype)
+
+
 def _pick_block(total: int, unit: int, cap: int) -> int:
     """Largest multiple of `unit` dividing `total`, at most `cap`."""
     best = unit
@@ -284,6 +337,70 @@ def matmul_w4a8(
     return out[:M]
 
 
+@functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
+def matmul_w4a16x2(
+    x: jax.Array,  # [M, K]
+    qw: jax.Array,  # [K//2, N] uint8
+    s: jax.Array,  # [K//g, N] f32
+    b: jax.Array,  # [K//g, N] f32
+    group_size: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """A16 on the int8 MXU via residual two-component activation
+    decomposition (see _w4a16x2_matmul_kernel) — the compute-precision
+    analogue of XLA's multi-pass bf16 matmuls, at the W4 weight-DMA floor."""
+    M, K = x.shape
+    N = qw.shape[1]
+    g = group_size
+    BK, BN, BM, Mp = _plan(M, K, N, g)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    x32 = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True), 1e-9) / 127.0
+    q1 = jnp.clip(jnp.round(x32 / sx), -127, 127)
+    resid = x32 - q1 * sx
+    q2 = jnp.clip(jnp.round(resid / (sx * (1.0 / 127.0))), -127, 127)
+    q1 = q1.astype(jnp.int8)
+    q2 = q2.astype(jnp.int8)
+    _, q1l, q1h = _nibble_plane_split(q1, Mp, K, g)
+    _, q2l, q2h = _nibble_plane_split(q2, Mp, K, g)
+    xg_real = x.reshape(Mp, K // g, g)
+    sx_tile = jnp.broadcast_to(sx, (Mp, 128))
+
+    xspec = pl.BlockSpec(
+        (BM, BK // 2), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a16x2_matmul_kernel, group_size=g, out_dtype=x.dtype
+        ),
+        grid=(Mp // BM, N // BN, K // BK),
+        in_specs=[
+            xspec, xspec, xspec, xspec,
+            pl.BlockSpec(
+                (BK // 2, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BM, 128), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (BM, BN), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q1l, q1h, q2l, q2h, qw, s, sx_tile)
+    out = out + _zp_correction(xg_real, s, b).astype(out.dtype)
+    return out[:M]
+
+
 def einsum_w4(x: jax.Array, w, eq: str, act: str = "a16") -> jax.Array:
     """Route a model einsum (contraction of x's last dim with the weight's
     row dim) through the Pallas W4 kernels.  Falls back to gather-permuted
@@ -297,7 +414,11 @@ def einsum_w4(x: jax.Array, w, eq: str, act: str = "a16") -> jax.Array:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    fn = matmul_w4a8 if act == "a8" else matmul_w4
+    fn = {
+        "a8": matmul_w4a8,
+        "a16x2": matmul_w4a16x2,
+        "a16": matmul_w4,
+    }[act]
     out = fn(
         x2, w.q, w.s, w.b, group_size=w.group_size, interpret=interpret
     )

@@ -120,6 +120,11 @@ class ServerArgs:
     ep_size: int = 1  # "expert" mesh axis size (MoE)
     # EPLB: expert-parallel load balancing (reference srt/eplb/)
     enable_eplb: bool = False
+    # W4A16 MXU compute precision on chip: "int8x2" decomposes each bf16
+    # activation row into two int8 components (~14 mantissa bits, >= one
+    # bf16 MXU pass) so the dequant matmul runs at the weight-DMA floor;
+    # "bf16" keeps the convert-based kernel (the r2 design)
+    w4_mxu_precision: str = "int8x2"
     # EP token dispatch (reference deepep normal mode): "replicated" runs
     # every rank over the full token set against its local experts (one
     # psum; optimal intra-host); "a2a" shards tokens over the EP axis and
@@ -253,6 +258,8 @@ class ServerArgs:
             raise ValueError(f"Unknown model_impl {self.model_impl}")
         if self.ep_dispatch not in ("replicated", "a2a"):
             raise ValueError(f"Unknown ep_dispatch {self.ep_dispatch}")
+        if self.w4_mxu_precision not in ("int8x2", "bf16"):
+            raise ValueError(f"Unknown w4_mxu_precision {self.w4_mxu_precision}")
         if self.multihost_spmd:
             if self.nnodes <= 1:
                 raise ValueError("--multihost-spmd requires --nnodes > 1")

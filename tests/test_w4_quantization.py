@@ -397,3 +397,36 @@ def test_engine_a8_modes_generate(tiny_model_dir, method):
     finally:
         e.shutdown()
         set_act_quant(None)  # module flag: don't leak into other tests
+
+
+def test_pallas_w4a16x2_precision():
+    """The int8x2 residual decomposition must be at least as close to the
+    exact f32 dequant reference as the bf16-convert kernel (it carries
+    ~14 activation mantissa bits vs bf16's 8)."""
+    from sglang_npu_tpu.ops.pallas.quant_matmul import (
+        matmul_w4,
+        matmul_w4a16x2,
+    )
+
+    rng = np.random.default_rng(9)
+    M, K, N, g = 8, 256, 256, 128
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    qw = quantize_params_w4({"layers": {"wq": jnp.asarray(w)}}, group_size=g)[
+        "layers"
+    ]["wq"]
+    x = jnp.asarray(
+        rng.standard_normal((M, K)).astype(np.float32), jnp.bfloat16
+    )
+    ref = np.asarray(
+        jnp.asarray(x, jnp.float32) @ dequant(qw, jnp.float32)
+    )
+    bf = np.asarray(
+        matmul_w4(x, qw.q, qw.s, qw.b, group_size=g, interpret=True)
+    ).astype(np.float32)
+    x2 = np.asarray(
+        matmul_w4a16x2(x, qw.q, qw.s, qw.b, group_size=g, interpret=True)
+    ).astype(np.float32)
+    err_bf = np.abs(bf - ref).max()
+    err_x2 = np.abs(x2 - ref).max()
+    assert err_x2 <= err_bf * 1.5 + 1e-4, (err_x2, err_bf)
+    assert err_x2 < 0.02 * np.abs(ref).max() + 0.02
