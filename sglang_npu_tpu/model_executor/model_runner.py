@@ -381,6 +381,18 @@ class ModelRunner:
             if use_pallas:
                 self.attention_backend_name = "mla_pallas"
             return
+        self.double_sparse = name == "double_sparse"
+        if self.double_sparse:
+            # sparse decode runs inside the XLA attention path via the
+            # DoubleSparsePool dispatch (ops/double_sparse.py)
+            if self.kv_dtype not in (jnp.bfloat16, jnp.float32):
+                raise ValueError("double_sparse requires bf16/f32 KV")
+            if self.server_args.enable_hierarchical_cache:
+                raise ValueError("double_sparse + hicache not supported")
+            from sglang_npu_tpu.ops.double_sparse import DS_TOKEN_K
+
+            DS_TOKEN_K[0] = self.server_args.ds_token_num
+            name = "xla"
         if getattr(self.model, "requires_xla_attention", False):
             # models needing non-causal mask overrides (gemma3-mm same-image
             # bidirectional attention) run the XLA path until the pallas
@@ -599,6 +611,32 @@ class ModelRunner:
                 scale=zeros_global(
                     shape[:-1], jnp.float32, NamedSharding(self.mesh, scale_spec)
                 ),
+            )
+        if getattr(self, "double_sparse", False):
+            from sglang_npu_tpu.ops.double_sparse import (
+                DoubleSparsePool,
+                default_heavy_channels,
+            )
+
+            r = self.server_args.ds_heavy_channel_num
+            wk = None
+            try:
+                wk = self.params["layers"].get("wk")
+            except Exception:
+                pass
+            ch = default_heavy_channels(
+                wk, c.num_hidden_layers, c.num_key_value_heads,
+                c.head_dim, r,
+            )
+            lshape = (
+                c.num_hidden_layers, c.num_key_value_heads, self.num_pages,
+                self.page_size, r,
+            )
+            repl = NamedSharding(self.mesh, P())
+            return DoubleSparsePool(
+                data=zeros_global(shape, self.kv_dtype, sharding),
+                labels=zeros_global(lshape, self.kv_dtype, repl),
+                channels=jax.device_put(jnp.asarray(ch), repl),
             )
         return zeros_global(shape, self.kv_dtype, sharding)
 

@@ -132,15 +132,13 @@ def _w4a8_matmul_kernel(
 
 
 def _w4a16x2_matmul_kernel(
-    x1lo_ref,  # [Mp, BK//2] int8 — coarse activation component
-    x1hi_ref,
-    x2lo_ref,  # [Mp, BK//2] int8 — residual component (1/127 weight)
-    x2hi_ref,
+    xlo_ref,  # [2, BM, BK//2] int8 — [coarse; residual] lo-plane rows
+    xhi_ref,  # [2, BM, BK//2] int8
     qw_ref,  # [BK//2, BN] uint8
     s_ref,  # [BK//g, BN] f32
-    sx_ref,  # [Mp, 128] f32 — per-token coarse scale (col 0)
-    o_ref,  # [Mp, BN] out dtype
-    acc_ref,  # [Mp, BN] f32 scratch
+    sx_ref,  # [BM, 128] f32 — per-token coarse scale (col 0)
+    o_ref,  # [BM, BN] out dtype
+    acc_ref,  # [BM, BN] f32 scratch
     *,
     group_size: int,
     out_dtype,
@@ -149,7 +147,9 @@ def _w4a16x2_matmul_kernel(
     decomposed as x ~= s1*(q1 + q2/127) (two int8 components, ~14 mantissa
     bits — more precise than one bf16 MXU pass), so the weight bytes feed
     the MXU raw (two masks) and the kernel runs at the weight-DMA floor
-    like the W4A8 kernel, at 2x the (negligible at decode M) MXU work."""
+    like the W4A8 kernel.  Both components ride the SAME dot as extra M
+    rows (fixed MXU pass latency dominated when each group issued four
+    small dots — probe6 W4_FULL)."""
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -158,25 +158,28 @@ def _w4a16x2_matmul_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     BKh, BN = qw_ref.shape
+    BM = acc_ref.shape[0]
     g = group_size
     gh = g // 2
     G_blk = (2 * BKh) // g
     p8 = jax.lax.bitcast_convert_type(qw_ref[...], jnp.int8)
     lo8 = p8 & jnp.int8(0x0F)
     hi8 = p8 & jnp.int8(-16)
+    xlo = xlo_ref[...].reshape(2 * BM, BKh)
+    xhi = xhi_ref[...].reshape(2 * BM, BKh)
     a = jnp.zeros_like(acc_ref)
     inv127 = 1.0 / 127.0
     inv16 = 1.0 / 16.0
     for G in range(G_blk):
         r0, r1 = G * gh, (G + 1) * gh
-        wl, wh = lo8[r0:r1], hi8[r0:r1]
-        d1l = jnp.dot(x1lo_ref[:, r0:r1], wl, preferred_element_type=jnp.int32)
-        d1h = jnp.dot(x1hi_ref[:, r0:r1], wh, preferred_element_type=jnp.int32)
-        d2l = jnp.dot(x2lo_ref[:, r0:r1], wl, preferred_element_type=jnp.int32)
-        d2h = jnp.dot(x2hi_ref[:, r0:r1], wh, preferred_element_type=jnp.int32)
-        coarse = d1l.astype(jnp.float32) + d1h.astype(jnp.float32) * inv16
-        fine = d2l.astype(jnp.float32) + d2h.astype(jnp.float32) * inv16
-        a += (coarse + fine * inv127) * s_ref[G, :][None, :]
+        dlo = jnp.dot(
+            xlo[:, r0:r1], lo8[r0:r1], preferred_element_type=jnp.int32
+        )  # [2*BM, BN]
+        dhi = jnp.dot(
+            xhi[:, r0:r1], hi8[r0:r1], preferred_element_type=jnp.int32
+        )
+        d = dlo.astype(jnp.float32) + dhi.astype(jnp.float32) * inv16
+        a += (d[:BM] + d[BM:] * inv127) * s_ref[G, :][None, :]
     acc_ref[...] += a
 
     @pl.when(k == nk - 1)
@@ -364,11 +367,13 @@ def matmul_w4a16x2(
     q2 = q2.astype(jnp.int8)
     _, q1l, q1h = _nibble_plane_split(q1, Mp, K, g)
     _, q2l, q2h = _nibble_plane_split(q2, Mp, K, g)
+    xlo = jnp.stack([q1l, q2l])  # [2, Mp, K//2]
+    xhi = jnp.stack([q1h, q2h])
     xg_real = x.reshape(Mp, K // g, g)
     sx_tile = jnp.broadcast_to(sx, (Mp, 128))
 
     xspec = pl.BlockSpec(
-        (BM, BK // 2), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
+        (2, BM, BK // 2), lambda m, n, k: (0, m, k), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         functools.partial(
@@ -376,7 +381,7 @@ def matmul_w4a16x2(
         ),
         grid=(Mp // BM, N // BN, K // BK),
         in_specs=[
-            xspec, xspec, xspec, xspec,
+            xspec, xspec,
             pl.BlockSpec(
                 (BK // 2, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
             ),
@@ -396,7 +401,7 @@ def matmul_w4a16x2(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q1l, q1h, q2l, q2h, qw, s, sx_tile)
+    )(xlo, xhi, qw, s, sx_tile)
     out = out + _zp_correction(xg_real, s, b).astype(out.dtype)
     return out[:M]
 

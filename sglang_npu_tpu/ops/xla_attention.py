@@ -66,6 +66,10 @@ def write_kv(
     """
     if isinstance(kv_pool, QuantKVPool):
         return _write_kv_quant(kv_pool, layer_idx, new_k, new_v, out_slots)
+    from sglang_npu_tpu.ops.double_sparse import DoubleSparsePool, ds_write_kv
+
+    if isinstance(kv_pool, DoubleSparsePool):
+        return ds_write_kv(kv_pool, layer_idx, new_k, new_v, out_slots)
     ps = kv_pool.shape[4]
     flat_slots = out_slots.reshape(-1)
     pages = flat_slots // ps
@@ -204,6 +208,28 @@ def paged_attention_xla(
     Returns [B, E, H_q, D].
     """
     B, E, Hq, D = q.shape
+    from sglang_npu_tpu.ops.double_sparse import (
+        DoubleSparsePool,
+        ds_decode_attention_xla,
+    )
+
+    if isinstance(kv_pool, DoubleSparsePool):
+        if (
+            E == 1
+            and sliding_window <= 0
+            and logit_cap <= 0
+            and sinks is None
+            and chunk_size <= 0
+            and mm_groups is None
+        ):
+            from sglang_npu_tpu.ops.double_sparse import DS_TOKEN_K
+
+            return ds_decode_attention_xla(
+                q, kv_pool, layer_idx, page_tables, seq_lens,
+                page_size, scale, DS_TOKEN_K[0],
+            )
+        # extend / feature-heavy paths run dense over the data buffer
+        kv_pool = kv_pool.data
     P = page_tables.shape[1]
     Hkv = pool_num_heads(kv_pool)
     Lkv = P * page_size

@@ -120,6 +120,11 @@ class ServerArgs:
     ep_size: int = 1  # "expert" mesh axis size (MoE)
     # EPLB: expert-parallel load balancing (reference srt/eplb/)
     enable_eplb: bool = False
+    # double-sparsity sparse decode (reference double_sparsity_backend.py):
+    # labels = K restricted to r heavy channels; decode scores labels,
+    # takes the top ds-token-num tokens, exact attention over those only
+    ds_heavy_channel_num: int = 16
+    ds_token_num: int = 256
     # W4A16 MXU compute precision on chip: "int8x2" decomposes each bf16
     # activation row into two int8 components (~14 mantissa bits, >= one
     # bf16 MXU pass) so the dequant matmul runs at the weight-DMA floor;
