@@ -178,8 +178,8 @@ def run_config(name, spec, args):
             input_ids=prompts[0], sampling_params={**sp, "max_new_tokens": 1}
         )
         engine.generate(
-            input_ids=prompts[0], sampling_params={**sp, "max_new_tokens": 17}
-        )
+            input_ids=prompts[0], sampling_params={**sp}
+        )  # full single-request shape: the ITL proxy must never compile
         engine.flush_cache()
 
         # best-of-2: the tunnel's dispatch latency wanders by multiples
