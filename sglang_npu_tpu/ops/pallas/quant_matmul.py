@@ -424,6 +424,11 @@ def einsum_w4(x: jax.Array, w, eq: str, act: str = "a16") -> jax.Array:
         "a16x2": matmul_w4a16x2,
         "a16": matmul_w4,
     }[act]
+    if act == "a16x2" and x2.shape[0] > 256:
+        # prefill-sized M: the per-group int8 dots under-fill the MXU
+        # (K-depth g/2); the full-depth bf16 kernel wins there, and
+        # prefill is compute- not weight-bandwidth-bound anyway
+        fn = matmul_w4
     out = fn(
         x2, w.q, w.s, w.b, group_size=w.group_size, interpret=interpret
     )
