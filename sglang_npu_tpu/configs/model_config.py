@@ -262,13 +262,14 @@ class ModelConfig:
     def kv_bytes_per_token(self, kv_dtype_bytes: int = 2) -> int:
         if self.is_mla:
             # latent cache: kv_lora_rank + rope dims (padded to one
-            # 128-lane tile), shared across heads — see ops/mla_attention
+            # 128-lane tile), shared across heads — see ops/mla_attention.
+            # Quantized (1-byte) pools keep the kpe row in bf16 (it also
+            # carries the per-row ckv scale in its pad lane).
             from sglang_npu_tpu.ops.mla_attention import KPE_PAD
 
-            return (
-                self.num_hidden_layers
-                * (self.kv_lora_rank + KPE_PAD)
-                * kv_dtype_bytes
+            kpe_bytes = 2 if kv_dtype_bytes == 1 else kv_dtype_bytes
+            return self.num_hidden_layers * (
+                self.kv_lora_rank * kv_dtype_bytes + KPE_PAD * kpe_bytes
             )
         return (
             2

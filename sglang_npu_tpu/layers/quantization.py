@@ -294,6 +294,69 @@ def quantize_params_w4(params: dict, group_size: int = 128) -> dict:
     return out
 
 
+def merge_stacked_weights(layers: dict, groups) -> dict:
+    """Load-time fusion of per-layer projections that share an input
+    (reference `QKVParallelLinear` / `MergedColumnParallelLinear`,
+    `srt/layers/linear.py:1`): concatenate stacked weights along the
+    output dim so decode issues one wide matmul instead of 2-3 narrow
+    ones (the Pallas W4 kernels and the XLA dequant dots both pay a fixed
+    per-dispatch cost).  Only valid at tp=1 — the model splits the fused
+    output at static offsets which must not cross shard boundaries.
+
+    ``groups`` = ((merged_key, (src_key, ...)), ...).  Skips a group when
+    keys are missing, dtypes/classes differ, or a GPTQ act-order perm is
+    present (per-source activation permutations cannot share one dot).
+
+    Returns ``(layers, manifest)`` where manifest maps each fused-away
+    source key to ``(merged_key, col_offset, col_width)`` so live weight
+    updates can still target the original projection
+    (`model_runner.update_weights_from_tensor`)."""
+
+    def cat(ws):
+        w0 = ws[0]
+        if all(isinstance(w, jax.Array) for w in ws):
+            return jnp.concatenate(ws, axis=-1)
+        if isinstance(w0, (QuantizedWeight, QuantizedWeightFP8)) and all(
+            type(w) is type(w0) for w in ws
+        ):
+            return type(w0)(
+                q=jnp.concatenate([w.q for w in ws], axis=-1),
+                s=jnp.concatenate([w.s for w in ws], axis=-1),
+            )
+        if isinstance(w0, QuantizedWeightW4) and all(
+            type(w) is type(w0)
+            and w.perm is None
+            and w.group_size == w0.group_size
+            for w in ws
+        ):
+            return QuantizedWeightW4(
+                q=jnp.concatenate([w.q for w in ws], axis=-1),
+                s=jnp.concatenate([w.s for w in ws], axis=-1),
+                b=jnp.concatenate([w.b for w in ws], axis=-1),
+            )
+        return None
+
+    out = dict(layers)
+    manifest = {}
+    for merged_key, srcs in groups:
+        if not all(k in out for k in srcs):
+            continue
+        m = cat([out[k] for k in srcs])
+        if m is None:
+            continue
+        off = 0
+        for k in srcs:
+            w = out[k]
+            width = (w.s if hasattr(w, "s") else w).shape[-1]
+            manifest[k] = (merged_key, off, width)
+            off += width
+        out[merged_key] = m
+        for k in srcs:
+            del out[k]
+        logger.info("fused %s <- %s", merged_key, "+".join(srcs))
+    return out, manifest
+
+
 def apply_quantization(params: dict, method: Optional[str], **kw) -> dict:
     if method in (None, "", "none"):
         return params

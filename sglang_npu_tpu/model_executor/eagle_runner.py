@@ -546,7 +546,12 @@ class EagleRunner:
         """MLA target pool: scatter accepted latent rows (safe — the
         latent pool takes the XLA attention path, no pallas layout
         conflict).  ckv_c [L, B, C, R], kpe_c [L, B, C, rope]."""
-        from sglang_npu_tpu.ops.mla_attention import KPE_PAD, MLALatentPool
+        from sglang_npu_tpu.ops.mla_attention import (
+            KPE_PAD,
+            MLA_SCALE_LANE,
+            MLALatentPool,
+            quant_latent_rows,
+        )
 
         ps = self.page_size
         flat = commit_slots.reshape(-1)
@@ -558,6 +563,12 @@ class EagleRunner:
         kpe_rows = jnp.pad(
             kpe_c.reshape(L, -1, rope), ((0, 0), (0, 0), (0, KPE_PAD - rope))
         )
+        if t_pool.quantized:
+            ckv_rows, s = quant_latent_rows(
+                ckv_rows, t_pool.ckv.dtype, t_pool.qmax
+            )
+            lane = jnp.arange(KPE_PAD)[None, None, :] == MLA_SCALE_LANE
+            kpe_rows = jnp.where(lane, s.astype(kpe_rows.dtype), kpe_rows)
         # adjacent advanced indices (dims 1, 2) stay in place: view [L, n, R]
         ckv = t_pool.ckv.at[:, pages, offs].set(
             ckv_rows.astype(t_pool.ckv.dtype), mode="drop"

@@ -249,6 +249,25 @@ class ModelRunner:
             else:
                 set_act_quant(None)
 
+        # Load-time projection fusion (qkv / gate+up) at tp=1: fewer,
+        # wider matmul dispatches per layer.  Skipped with LoRA (adapters
+        # target the unfused keys) and under PP/spec-draft sharing.
+        if (
+            tp_degree(self.mesh) == 1
+            and self.pp == 1
+            and not server_args.lora_paths
+            and getattr(self.model, "merge_groups", None)
+            and isinstance(self.params.get("layers"), dict)
+        ):
+            from sglang_npu_tpu.layers.quantization import (
+                merge_stacked_weights,
+            )
+
+            self.params = dict(self.params)
+            self.params["layers"], self._merged_slices = merge_stacked_weights(
+                self.params["layers"], self.model.merge_groups
+            )
+
         # Multi-LoRA adapters stacked into the param tree (slot 0 = none).
         self.lora_manager = None
         if server_args.lora_paths:
@@ -528,11 +547,18 @@ class ModelRunner:
         if c.is_mla:
             from sglang_npu_tpu.ops.mla_attention import KPE_PAD, MLALatentPool
 
-            dt = (
-                self.kv_dtype
-                if self.kv_dtype in (jnp.bfloat16, jnp.float32)
-                else jnp.bfloat16
-            )
+            # quantized latent KV: int8/fp8 ckv rows with per-row scales in
+            # the kpe pad lane; kpe itself keeps bf16 (rope fidelity + the
+            # free scale slot) — see ops/mla_attention.py module doc.
+            # Reference: MLATokenToKVPool fp8 (`mem_cache/memory_pool.py:708`).
+            if self.kv_dtype in (jnp.int8, jnp.float8_e4m3fn):
+                ckv_dt, kpe_dt = self.kv_dtype, jnp.bfloat16
+            else:
+                ckv_dt = kpe_dt = (
+                    self.kv_dtype
+                    if self.kv_dtype in (jnp.bfloat16, jnp.float32)
+                    else jnp.bfloat16
+                )
             page_ax = "data" if self.dp_attn else None
             rep = NamedSharding(self.mesh, P(None, page_ax))
             return MLALatentPool(
@@ -542,13 +568,13 @@ class ModelRunner:
                         self.num_pages,
                         self.page_size,
                         c.kv_lora_rank,
-                    ), dt, rep),
+                    ), ckv_dt, rep),
                 kpe=zeros_global((
                             c.num_hidden_layers,
                             self.num_pages,
                             self.page_size,
                             KPE_PAD,
-                        ), dt, rep),
+                        ), kpe_dt, rep),
             )
         shape = (
             c.num_hidden_layers,
@@ -1811,6 +1837,27 @@ class ModelRunner:
                 arr = arr.reshape(-1)
             elif transform == "flatten_oc_transpose":
                 arr = arr.reshape(arr.shape[0], -1).T
+            merged = getattr(self, "_merged_slices", {})
+            leaf_key = dest.split(".")[-1]
+            if (
+                dest.startswith("layers.")
+                and layer_idx is not None
+                and leaf_key in merged
+            ):
+                # projection was load-time fused; update its column slice
+                mk, off, width = merged[leaf_key]
+                leaf = params["layers"][mk]
+                if not isinstance(leaf, jax.Array):
+                    raise ValueError(
+                        f"{name!r} targets a quantized fused stack; push "
+                        "dense weights or reload from disk"
+                    )
+                val = jnp.asarray(np.ascontiguousarray(arr), dtype=leaf.dtype)
+                params["layers"][mk] = leaf.at[
+                    layer_idx, :, off : off + width
+                ].set(val)
+                n += 1
+                continue
             leaf = _get_path(params, dest)
             if not isinstance(leaf, jax.Array):
                 raise ValueError(

@@ -462,6 +462,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 ctx, kv_pool = dp_mla_attention(
                     self.dp_attn_mesh, q_abs, q_pe, c_kv, k_pe, kv_pool,
                     jnp.int32(i), fb, page_size, self.scale,
+                    use_pallas=getattr(self, "use_pallas_mla", False),
                 )
             elif E == 1 and getattr(self, "use_pallas_mla", False):
                 # decode: fused latent-write + flash attention kernel

@@ -51,6 +51,14 @@ class LlamaForCausalLM:
     # applies to input/post/final norms in backbone_forward — q/k head
     # norms stay plain rms_norm
     norm_fn = staticmethod(rms_norm)
+    # load-time fused projections (reference QKVParallelLinear /
+    # MergedColumnParallelLinear, `srt/layers/linear.py`): merged at tp=1
+    # by ModelRunner.merge_projections — fewer, wider matmul dispatches
+    # (the W4/FP8 decode paths pay a fixed cost per kernel call)
+    merge_groups = (
+        ("w_qkv", ("wq", "wk", "wv")),
+        ("w_gateup", ("w_gate", "w_up")),
+    )
 
     def __init__(self, config: ModelConfig, attn_backend=None):
         self.config = config
@@ -318,9 +326,7 @@ class LlamaForCausalLM:
         def layer_fn(carry, lp):
             x, kv_pool, l = carry
             h = self.norm_fn(x, lp["input_norm"], eps)
-            q = _proj(h, lp, "wq", "bed,dh->beh")
-            k = _proj(h, lp, "wk", "bed,dh->beh")
-            v = _proj(h, lp, "wv", "bed,dh->beh")
+            q, k, v = self._qkv_proj(h, lp, _proj)
             if "bq" in lp:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
@@ -437,9 +443,7 @@ class LlamaForCausalLM:
                 def layer_fn(carry, lp):
                     x, pool, l = carry
                     h = rms_norm(x, lp["input_norm"], eps)
-                    q = qmm(h, lp["wq"], "bed,dh->beh")
-                    k = qmm(h, lp["wk"], "bed,dh->beh")
-                    v = qmm(h, lp["wv"], "bed,dh->beh")
+                    q, k, v = self._qkv_proj(h, lp)
                     if "bq" in lp:
                         q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
                     q = q.reshape(mb, E, c.num_attention_heads, c.head_dim)
@@ -540,9 +544,7 @@ class LlamaForCausalLM:
         def layer_fn(carry, lp):
             x, l = carry
             h = rms_norm(x, lp["input_norm"], eps)
-            q = qmm(h, lp["wq"], "bed,dh->beh")
-            k = qmm(h, lp["wk"], "bed,dh->beh")
-            v = qmm(h, lp["wv"], "bed,dh->beh")
+            q, k, v = self._qkv_proj(h, lp)
             if "bq" in lp:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
@@ -613,13 +615,35 @@ class LlamaForCausalLM:
         ).clip(1e-9)
         return normed, kv_pool
 
+    def _qkv_proj(self, h, lp, proj=None):
+        """q/k/v projections, transparently using the load-time-fused
+        ``w_qkv`` when present (ModelRunner.merge_projections; tp=1 only
+        so the static output splits never cross shard boundaries)."""
+        if proj is None:
+            proj = lambda x, lp_, k, eq: qmm(x, lp_[k], eq)
+        if "w_qkv" in lp:
+            qkv = proj(h, lp, "w_qkv", "bed,dh->beh")
+            q = qkv[..., : self.q_size]
+            k = qkv[..., self.q_size : self.q_size + self.kv_size]
+            v = qkv[..., self.q_size + self.kv_size :]
+            return q, k, v
+        q = proj(h, lp, "wq", "bed,dh->beh")
+        k = proj(h, lp, "wk", "bed,dh->beh")
+        v = proj(h, lp, "wv", "bed,dh->beh")
+        return q, k, v
+
     def _mlp(self, h, lp, proj=None, collect_stats=False, stats_mask=None):
         """Dense SwiGLU MLP; overridden by MoE models."""
         assert not collect_stats, "collect_moe requires a MoE model"
         if proj is None:
             proj = lambda x, lp_, k, eq: qmm(x, lp_[k], eq)
-        gate = proj(h, lp, "w_gate", "bed,df->bef")
-        up = proj(h, lp, "w_up", "bed,df->bef")
+        if "w_gateup" in lp:
+            gu = proj(h, lp, "w_gateup", "bed,df->bef")
+            F = gu.shape[-1] // 2
+            gate, up = gu[..., :F], gu[..., F:]
+        else:
+            gate = proj(h, lp, "w_gate", "bed,df->bef")
+            up = proj(h, lp, "w_up", "bed,df->bef")
         act = jax.nn.silu(gate) * up  # stays shard-local under TP
         return proj(act, lp, "w_down", "bef,fd->bed")
 

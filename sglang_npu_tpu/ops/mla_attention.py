@@ -20,7 +20,17 @@ the (small) query side.
 Pool layout: ckv [L, NP, ps, R], kpe [L, NP, ps, Rp] with Rp = rope dims
 padded to 128 lanes (Pallas-ready split: both trailing dims are 128-
 multiples, unlike the fused 576).
-"""
+
+Quantized latent KV (``--kv-cache-dtype int8|fp8_e4m3`` on MLA models,
+reference `MLATokenToKVPool` fp8 path, `mem_cache/memory_pool.py:708`):
+``ckv`` stores int8/f8 rows and the PER-ROW dequant scale rides in the
+kpe row's pad lanes (lane ``MLA_SCALE_LANE``) — the rope key keeps bf16
+precision (it drives the positional logits and is only 128 of the 640
+lanes), every row has an exact scale (no per-page grow-requantization),
+and readers get the scale for free with the kpe DMA they already issue.
+Latent bytes/row: 512+256 = 768 vs bf16's 1280 (1.67x cut; int8 whole-row
+576+... would save 17% more at the cost of rope fidelity + a separate
+scale stream)."""
 
 from __future__ import annotations
 
@@ -31,13 +41,39 @@ import jax.numpy as jnp
 
 NEG_INF = -1e9
 KPE_PAD = 128  # rope dims padded to one 128-lane tile
+MLA_SCALE_LANE = KPE_PAD - 1  # per-row ckv dequant scale (quantized pools)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MLALatentPool:
-    ckv: jax.Array  # [L, NP, ps, R]
+    ckv: jax.Array  # [L, NP, ps, R]  bf16 | int8 | f8_e4m3 (see module doc)
     kpe: jax.Array  # [L, NP, ps, KPE_PAD]
+
+    @property
+    def quantized(self) -> bool:
+        return self.ckv.dtype in (jnp.int8, jnp.float8_e4m3fn)
+
+    @property
+    def qmax(self) -> float:
+        return 127.0 if self.ckv.dtype == jnp.int8 else 448.0
+
+
+def quant_latent_rows(ckv_rows: jax.Array, dtype, qmax: float):
+    """Quantize latent rows [..., R] -> (q [..., R] dtype, scale [..., 1])."""
+    r32 = ckv_rows.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(r32), axis=-1, keepdims=True) / qmax, 1e-8)
+    q = r32 / s
+    if dtype == jnp.int8:
+        q = jnp.clip(jnp.round(q), -127, 127)
+    return q.astype(dtype), s
+
+
+def _dequant_gathered(ckv, kpe_full):
+    """Dequant a gathered latent block using the in-row scale lane.
+    ckv [..., R] int, kpe_full [..., KPE_PAD] -> ckv f32."""
+    s = kpe_full[..., MLA_SCALE_LANE:].astype(jnp.float32)  # [..., 1]
+    return ckv.astype(jnp.float32) * s
 
 
 def write_latent(
@@ -51,11 +87,18 @@ def write_latent(
     flat = out_slots.reshape(-1)
     pages = flat // ps
     offs = flat % ps
-    ckv_rows = c_kv.reshape(-1, c_kv.shape[-1]).astype(pool.ckv.dtype)
     rope = k_pe.shape[-1]
     kpe_rows = jnp.pad(
         k_pe.reshape(-1, rope), ((0, 0), (0, KPE_PAD - rope))
     ).astype(pool.kpe.dtype)
+    if pool.quantized:
+        ckv_rows, s = quant_latent_rows(
+            c_kv.reshape(-1, c_kv.shape[-1]), pool.ckv.dtype, pool.qmax
+        )
+        lane = jnp.arange(KPE_PAD)[None, :] == MLA_SCALE_LANE
+        kpe_rows = jnp.where(lane, s.astype(pool.kpe.dtype), kpe_rows)
+    else:
+        ckv_rows = c_kv.reshape(-1, c_kv.shape[-1]).astype(pool.ckv.dtype)
     ckv = pool.ckv.at[layer_idx, pages, offs].set(ckv_rows, mode="drop")
     kpe = pool.kpe.at[layer_idx, pages, offs].set(kpe_rows, mode="drop")
     return MLALatentPool(ckv=ckv, kpe=kpe)
@@ -86,7 +129,10 @@ def tree_verify_mla_attention_xla(
     Lkv = P * page_size
 
     ckv = pool.ckv[layer_idx, page_tables]  # [B, P, ps, R]
-    kpe = pool.kpe[layer_idx, page_tables][..., :rope]
+    kpe_full = pool.kpe[layer_idx, page_tables]
+    kpe = kpe_full[..., :rope]
+    if pool.quantized:
+        ckv = _dequant_gathered(ckv, kpe_full).astype(q_abs.dtype)
 
     s_pool = (
         jnp.einsum(
@@ -148,7 +194,10 @@ def mla_attention_xla(
     Lkv = P * page_size
 
     ckv = pool.ckv[layer_idx, page_tables]  # [B, P, ps, R]
-    kpe = pool.kpe[layer_idx, page_tables][..., :rope]  # [B, P, ps, rope]
+    kpe_full = pool.kpe[layer_idx, page_tables]
+    kpe = kpe_full[..., :rope]  # [B, P, ps, rope]
+    if pool.quantized:
+        ckv = _dequant_gathered(ckv, kpe_full).astype(q_abs.dtype)
 
     scores = (
         jnp.einsum(

@@ -60,6 +60,8 @@ def _mla_decode_kernel(
     page_size: int,
     block_t: int,
     scale: float,
+    quantized: bool = False,
+    qmax: float = 127.0,
 ):
     b = pl.program_id(0)
     layer = layer_ref[0]
@@ -93,14 +95,33 @@ def _mla_decode_kernel(
         ps_ = wc_buf.shape[0]
         row_c = jax.lax.broadcasted_iota(jnp.int32, (ps_, R), 0) == off
         row_p = jax.lax.broadcasted_iota(jnp.int32, (ps_, 128), 0) == off
+        kpe_row = new_kpe_ref[0]  # [1, 128]
+        if quantized:
+            # per-row scale: quantize the new latent row and stash its
+            # dequant scale in the kpe pad lane (ops/mla_attention.py
+            # module doc — no per-page grow-requantization needed)
+            row32 = new_ckv_ref[0].astype(jnp.float32)  # [1, R]
+            s_new = jnp.maximum(
+                jnp.max(jnp.abs(row32), axis=-1, keepdims=True) / qmax, 1e-8
+            )  # [1, 1]
+            qrow = row32 / s_new
+            if wc_buf.dtype == jnp.int8:
+                qrow = jnp.clip(jnp.round(qrow), -127, 127)
+            ckv_row = qrow.astype(wc_buf.dtype)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            kpe_row = jnp.where(
+                lane == (128 - 1),
+                jnp.broadcast_to(s_new, (1, 128)).astype(kpe_row.dtype),
+                kpe_row,
+            )
+        else:
+            ckv_row = new_ckv_ref[0].astype(wc_buf.dtype)
         wc_buf[...] = jnp.where(
-            row_c,
-            jnp.broadcast_to(new_ckv_ref[0].astype(wc_buf.dtype), (ps_, R)),
-            wc_buf[...],
+            row_c, jnp.broadcast_to(ckv_row, (ps_, R)), wc_buf[...]
         )
         wp_buf[...] = jnp.where(
             row_p,
-            jnp.broadcast_to(new_kpe_ref[0].astype(wp_buf.dtype), (ps_, 128)),
+            jnp.broadcast_to(kpe_row.astype(wp_buf.dtype), (ps_, 128)),
             wp_buf[...],
         )
         pltpu.make_async_copy(
@@ -179,6 +200,15 @@ def _mla_decode_kernel(
 
         ckv = ckv_buf[slot].reshape(block_t, R).astype(jnp.float32)
         kpe = kpe_buf[slot].reshape(block_t, 128).astype(jnp.float32)
+        if quantized:
+            # per-row dequant scale rides in the kpe pad lane; the q_pe
+            # operand is zero there so the score dot never sees it
+            lane = jax.lax.broadcasted_iota(jnp.int32, (block_t, 128), 1)
+            srow = jnp.sum(
+                jnp.where(lane == (128 - 1), kpe, 0.0),
+                axis=-1, keepdims=True,
+            )  # [T, 1]
+            ckv = ckv * srow
         # build each mask in its target shape: cross-dim iota reshapes are
         # lane<->sublane relayouts Mosaic rejects (see decode_kernel.py)
         valid_row = (
@@ -255,6 +285,7 @@ def mla_paged_decode_fused(
     np_per_blk = min(max(256 // page_size, 1), P)
     block_t = np_per_blk * page_size
     dt = pool.ckv.dtype
+    quantized = pool.quantized
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -279,9 +310,9 @@ def mla_paged_decode_fused(
         ),
         scratch_shapes=[
             pltpu.VMEM((4, np_per_blk, page_size, R), dt),
-            pltpu.VMEM((4, np_per_blk, page_size, KPE_PAD), dt),
+            pltpu.VMEM((4, np_per_blk, page_size, KPE_PAD), pool.kpe.dtype),
             pltpu.VMEM((page_size, R), dt),
-            pltpu.VMEM((page_size, KPE_PAD), dt),
+            pltpu.VMEM((page_size, KPE_PAD), pool.kpe.dtype),
             pltpu.VMEM((H, R), jnp.float32),
             pltpu.VMEM((H, 128), jnp.float32),
             pltpu.VMEM((H, 128), jnp.float32),
@@ -296,6 +327,8 @@ def mla_paged_decode_fused(
             page_size=page_size,
             block_t=block_t,
             scale=scale,
+            quantized=quantized,
+            qmax=pool.qmax,
         ),
         grid_spec=grid_spec,
         out_shape=(

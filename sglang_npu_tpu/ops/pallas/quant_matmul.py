@@ -13,19 +13,40 @@ so, bitcast to SIGNED int8,
     byte & 0x0F == q_lo               exactly
     byte & 0xF0 == 16 * (q_hi - 8)    exactly
 — both planes extract with one int8 mask each (Mosaic supports neither
-8-bit shifts nor uint8->float casts; the round-2 kernel's i32-domain
-unpack was the dominant VPU cost).  The -8 offset and the /16 fold into
-the zero-point term and the group scale respectively.
+8-bit shifts nor uint8->float casts).  The -8 offset and the /16 fold
+into the zero-point term and the group scale respectively.
 
-Two kernels:
-  * matmul_w4   — exact W4A16: masks + int8->bf16 converts + bf16 MXU.
-                  Conversion-bound at ~350 GB/s weight-stream (probe6).
-  * matmul_w4a8 — W4A8: per-token int8 activations hit the int8 MXU with
-                  the RAW masked bytes (zero converts); scales apply
-                  post-dot per group.  ~90% of the 819 GB/s weight-read
-                  roofline on v5e (probe6: 40 us for [64,4096]x[4096,14336]).
+Round-4 redesign (probes 7-9, `scripts/bench_w4_probe*.py`):
+  * All kernels take the NATURAL activation block [BM, BK] — the nibble
+    planes are per-group static lane slices inside the kernel, and the
+    int8 paths quantize activations in-kernel (per-token scale is one
+    tiny XLA reduce).  The round-3 XLA-side plane-split/stack prep
+    (strided copies per call) is gone.
+  * int8 paths exploit dhi = 16*(x . (q_hi-8)) being EXACTLY divisible
+    by 16: `dhi >> 4` replaces a f32 convert+multiply per plane, and the
+    a16x2 combine (d1 << 7) + d2 is exact in i32 (|d1| < 2^18).  Probe9:
+    568 GB/s for the a8 kernel at the [64, 4096, 14336] decode shape
+    (DMA floor 864).
+  * Dead ends measured so far, do not re-try blindly: s4/int4 Refs and
+    bitcasts (Mosaic "changing bitwidths not supported" + broken jit arg
+    path), int8 dots with preferred_element_type=f32 (compiler crash),
+    batched dot_general over the group dim (compiler crash).
 
-Zero-point convention: dequant w = q*s - b.  Both kernels compute
+Kernel roles (VPU cost model from probe9: per-weight-element ops cost
+~4x a per-[M,N]-block op at M=64; exact per-group f32 scaling floors the
+group-dot kernels at ~5 block-ops/group):
+  * matmul_w4     — bf16 MXU, per-ELEMENT-bound (~330 GB/s) independent
+                    of M: the batch-amortizable path (prefill + batch>64
+                    decode; one bf16-pass precision, the reference AWQ
+                    dequant-GEMM class).
+  * matmul_w4a8   — per-token int8 activations on the int8 MXU; ~570
+                    GB/s at M<=64 but per-[M,N]-unit-bound (cost scales
+                    with M): the small-batch latency king.
+  * matmul_w4a16x2— A16-class on the int8 MXU via exact two-component
+                    residual decomposition x = sx*(q1 + q2/128); ~314
+                    GB/s at M=64, also M-scaling.
+
+Zero-point convention: dequant w = q*s - b.  All kernels compute
     x_lo @ (q_lo * s)  +  x_hi @ ((q_hi - 8) * s)
 so the caller subtracts/adds the tiny XLA-side correction
     out += 8 * (xsum_hi @ s) - xsum @ b
@@ -44,17 +65,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _w4_matmul_kernel(
-    xlo_ref,  # [Mp, BK//2] bf16 — activation cols for the lo nibbles
-    xhi_ref,  # [Mp, BK//2] bf16 — activation cols for the hi nibbles
+    x_ref,  # [BM, BK] bf16 — natural activation block
     qw_ref,  # [BK//2, BN] uint8
     s_ref,  # [BK//g, BN] f32
-    o_ref,  # [Mp, BN] out dtype
-    acc_ref,  # [Mp, BN] f32 scratch
+    o_ref,  # [BM, BN] out dtype
+    acc_ref,  # [BM, BN] f32 scratch
+    xlo_ref,  # [BM, BK//2] bf16 scratch — gathered lo-plane activations
+    xhi_ref,  # [BM, BK//2] bf16 scratch
     *,
     group_size: int,
     out_dtype,
 ):
-    """Exact A16 path: int8-domain masks + direct int8->bf16 converts."""
+    """Exact A16 path: int8-domain masks + direct int8->bf16 converts +
+    full-depth bf16 dots.  Per-weight-element VPU cost (mask, convert,
+    scale-mul) is independent of M — this is the path that amortizes with
+    batch."""
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -66,6 +91,11 @@ def _w4_matmul_kernel(
     g = group_size
     gh = g // 2
     G_blk = (2 * BKh) // g
+    # shuffle in-group halves into contiguous planes (cost ~ |x| moves,
+    # negligible next to the per-weight-element work)
+    for G in range(G_blk):
+        xlo_ref[:, G * gh : (G + 1) * gh] = x_ref[:, G * g : G * g + gh]
+        xhi_ref[:, G * gh : (G + 1) * gh] = x_ref[:, G * g + gh : (G + 1) * g]
     p8 = jax.lax.bitcast_convert_type(qw_ref[...], jnp.int8)
     lo_bf = (p8 & jnp.int8(0x0F)).astype(jnp.bfloat16)  # q_lo
     hi_bf = (p8 & jnp.int8(-16)).astype(jnp.bfloat16)  # 16*(q_hi-8)
@@ -83,21 +113,20 @@ def _w4_matmul_kernel(
 
 
 def _w4a8_matmul_kernel(
-    xlo_ref,  # [Mp, BK//2] int8
-    xhi_ref,  # [Mp, BK//2] int8
+    x_ref,  # [BM, BK] bf16 — natural activation block
     qw_ref,  # [BK//2, BN] uint8
     s_ref,  # [BK//g, BN] f32
-    sx_ref,  # [Mp, 128] f32 — per-token activation scale (col 0)
-    o_ref,  # [Mp, BN] out dtype
-    acc_ref,  # [Mp, BN] f32 scratch
+    sx_ref,  # [BM, 128] f32 — per-token activation scale (col 0)
+    o_ref,  # [BM, BN] out dtype
+    acc_ref,  # [BM, BN] f32 scratch
     *,
     group_size: int,
     out_dtype,
 ):
-    """W4A8 path: the int8 MXU consumes the masked bytes directly —
-    per-weight VPU work is exactly two int8 masks.  Group scales apply to
-    the per-group int32 partial dots (the /16 of the hi plane rides along:
-    dhi is 16x the true hi contribution)."""
+    """W4A8: in-kernel per-token int8 activation quant; the int8 MXU
+    consumes the RAW masked weight bytes (per-weight VPU work = two int8
+    masks) and the hi plane's /16 is an exact arithmetic shift on the
+    int32 partial dots."""
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -112,18 +141,23 @@ def _w4a8_matmul_kernel(
     p8 = jax.lax.bitcast_convert_type(qw_ref[...], jnp.int8)
     lo8 = p8 & jnp.int8(0x0F)
     hi8 = p8 & jnp.int8(-16)
+    inv = 1.0 / sx_ref[:, :1]  # [BM, 1]
+    xq = jnp.clip(
+        jnp.round(x_ref[...].astype(jnp.float32) * inv), -127, 127
+    ).astype(jnp.int8)
     a = jnp.zeros_like(acc_ref)
     for G in range(G_blk):
+        c0 = G * g
         r0, r1 = G * gh, (G + 1) * gh
         dlo = jnp.dot(
-            xlo_ref[:, r0:r1], lo8[r0:r1], preferred_element_type=jnp.int32
+            xq[:, c0 : c0 + gh], lo8[r0:r1], preferred_element_type=jnp.int32
         )
         dhi = jnp.dot(
-            xhi_ref[:, r0:r1], hi8[r0:r1], preferred_element_type=jnp.int32
+            xq[:, c0 + gh : c0 + g], hi8[r0:r1],
+            preferred_element_type=jnp.int32,
         )
-        a += (
-            dlo.astype(jnp.float32) + dhi.astype(jnp.float32) * (1.0 / 16.0)
-        ) * s_ref[G, :][None, :]
+        d = dlo + jax.lax.shift_right_arithmetic(dhi, 4)  # exact: 16 | dhi
+        a += d.astype(jnp.float32) * s_ref[G, :][None, :]
     acc_ref[...] += a
 
     @pl.when(k == nk - 1)
@@ -132,24 +166,21 @@ def _w4a8_matmul_kernel(
 
 
 def _w4a16x2_matmul_kernel(
-    xlo_ref,  # [2, BM, BK//2] int8 — [coarse; residual] lo-plane rows
-    xhi_ref,  # [2, BM, BK//2] int8
+    x_ref,  # [BM, BK] bf16 — natural activation block
     qw_ref,  # [BK//2, BN] uint8
     s_ref,  # [BK//g, BN] f32
     sx_ref,  # [BM, 128] f32 — per-token coarse scale (col 0)
     o_ref,  # [BM, BN] out dtype
     acc_ref,  # [BM, BN] f32 scratch
+    xq_ref,  # [2, BM, BK] int8 scratch — [coarse; residual] components
     *,
     group_size: int,
     out_dtype,
 ):
-    """Exact-class A16 path on the int8 MXU: the bf16 activation row is
-    decomposed as x ~= s1*(q1 + q2/127) (two int8 components, ~14 mantissa
-    bits — more precise than one bf16 MXU pass), so the weight bytes feed
-    the MXU raw (two masks) and the kernel runs at the weight-DMA floor
-    like the W4A8 kernel.  Both components ride the SAME dot as extra M
-    rows (fixed MXU pass latency dominated when each group issued four
-    small dots — probe6 W4_FULL)."""
+    """Exact-class A16 on the int8 MXU: x = sx*(q1 + q2/128) in-kernel
+    (two int8 components, ~15 mantissa bits — more precise than one bf16
+    MXU pass); both components ride the SAME dots as extra M rows and the
+    component/plane combines are exact int32 shifts."""
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -165,26 +196,30 @@ def _w4a16x2_matmul_kernel(
     p8 = jax.lax.bitcast_convert_type(qw_ref[...], jnp.int8)
     lo8 = p8 & jnp.int8(0x0F)
     hi8 = p8 & jnp.int8(-16)
-    xlo = xlo_ref[...].reshape(2 * BM, BKh)
-    xhi = xhi_ref[...].reshape(2 * BM, BKh)
+    inv = 1.0 / sx_ref[:, :1]
+    z = x_ref[...].astype(jnp.float32) * inv
+    q1 = jnp.clip(jnp.round(z), -127, 127)
+    q2 = jnp.clip(jnp.round((z - q1) * 128.0), -127, 127)
+    xq_ref[0] = q1.astype(jnp.int8)
+    xq_ref[1] = q2.astype(jnp.int8)
     a = jnp.zeros_like(acc_ref)
-    inv127 = 1.0 / 127.0
-    inv16 = 1.0 / 16.0
     for G in range(G_blk):
+        c0 = G * g
         r0, r1 = G * gh, (G + 1) * gh
-        dlo = jnp.dot(
-            xlo[:, r0:r1], lo8[r0:r1], preferred_element_type=jnp.int32
-        )  # [2*BM, BN]
-        dhi = jnp.dot(
-            xhi[:, r0:r1], hi8[r0:r1], preferred_element_type=jnp.int32
-        )
-        d = dlo.astype(jnp.float32) + dhi.astype(jnp.float32) * inv16
-        a += (d[:BM] + d[BM:] * inv127) * s_ref[G, :][None, :]
+        xlo = xq_ref[:, :, c0 : c0 + gh].reshape(2 * BM, gh)
+        xhi = xq_ref[:, :, c0 + gh : c0 + g].reshape(2 * BM, gh)
+        dlo = jnp.dot(xlo, lo8[r0:r1], preferred_element_type=jnp.int32)
+        dhi = jnp.dot(xhi, hi8[r0:r1], preferred_element_type=jnp.int32)
+        d = dlo + jax.lax.shift_right_arithmetic(dhi, 4)  # [2BM, BN] exact
+        D = jax.lax.shift_left(d[:BM], 7) + d[BM:]  # exact, |d1| < 2^18
+        a += D.astype(jnp.float32) * s_ref[G, :][None, :]
     acc_ref[...] += a
 
     @pl.when(k == nk - 1)
     def _():
-        o_ref[...] = (acc_ref[...] * sx_ref[:, :1]).astype(out_dtype)
+        o_ref[...] = (
+            acc_ref[...] * (sx_ref[:, :1] * (1.0 / 128.0))
+        ).astype(out_dtype)
 
 
 def _pick_block(total: int, unit: int, cap: int) -> int:
@@ -201,28 +236,63 @@ def _pick_block(total: int, unit: int, cap: int) -> int:
 def _plan(M: int, K: int, N: int, g: int):
     BK = _pick_block(K, g, 4096)
     BN = _pick_block(N, 128, 1024)
-    # Tile M too: a chunked-prefill extend feeds thousands of rows, and an
-    # untiled Mp block blew the scoped-VMEM limit at M=4096.
-    BM = 256 if M > 256 else max(-(-M // 16) * 16, 16)
+    # Tile M: chunked-prefill extends feed thousands of rows.  Large BM
+    # matters for matmul_w4 — its per-weight-element dequant re-runs per
+    # M-block, so fewer blocks = less VPU (512 keeps VMEM in budget).
+    BM = 512 if M > 256 else max(-(-M // 16) * 16, 16)
     Mp = -(-M // BM) * BM
     return BK, BN, BM, Mp
 
 
-def _nibble_plane_split(x, Mp: int, K: int, g: int):
-    """lo plane covers in-group cols [0, g/2), hi plane [g/2, g) — matches
-    pack_w4's packing."""
-    xg = x.reshape(Mp, K // g, g)
-    x_lo = xg[:, :, : g // 2].reshape(Mp, K // 2)
-    x_hi = xg[:, :, g // 2 :].reshape(Mp, K // 2)
-    return xg, x_lo, x_hi
-
-
-def _zp_correction(xg, s, b):
-    """8*(xsum_hi @ s) - xsum @ b  (see module docstring)."""
-    g = xg.shape[-1]
-    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)  # [Mp, K/g]
-    xsum_hi = jnp.sum(xg[:, :, g // 2 :].astype(jnp.float32), axis=2)
+def _zp_correction(x32, s, b, g: int):
+    """8*(xsum_hi @ s) - xsum @ b  (see module docstring); x32 [Mp, K] f32."""
+    Mp, K = x32.shape
+    xg = x32.reshape(Mp, K // g, g)
+    xsum = jnp.sum(xg, axis=2)  # [Mp, K/g]
+    xsum_hi = jnp.sum(xg[:, :, g // 2 :], axis=2)
     return 8.0 * (xsum_hi @ s) - (xsum @ b)
+
+
+def _sx_tile(x32, Mp: int):
+    sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True), 1e-9) / 127.0
+    return jnp.broadcast_to(sx, (Mp, 128))
+
+
+def _call_w4_kernel(kernel, x, qw, s, extra, M, K, N, g, interpret, scratch):
+    BK, BN, BM, Mp = _plan(M, K, N, g)
+    if x.shape[0] != Mp:
+        x = jnp.pad(x, ((0, Mp - x.shape[0]), (0, 0)))
+    in_specs = [
+        pl.BlockSpec((BM, BK), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (BK // 2, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+        ),
+    ]
+    args = [x, qw, s]
+    for e in extra:
+        in_specs.append(
+            pl.BlockSpec((BM, 128), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(e)
+    out = pl.pallas_call(
+        functools.partial(kernel, group_size=g, out_dtype=x.dtype),
+        grid=(Mp // BM, N // BN, K // BK),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (BM, BN), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)] + scratch(BM, BK),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
@@ -237,41 +307,18 @@ def matmul_w4(
     M, K = x.shape
     N = qw.shape[1]
     g = group_size
-    BK, BN, BM, Mp = _plan(M, K, N, g)
-    if Mp != M:
-        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
-    xg, x_lo, x_hi = _nibble_plane_split(x, Mp, K, g)
-
-    out = pl.pallas_call(
-        functools.partial(
-            _w4_matmul_kernel, group_size=g, out_dtype=x.dtype
-        ),
-        grid=(Mp // BM, N // BN, K // BK),
-        in_specs=[
-            pl.BlockSpec(
-                (BM, BK // 2), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (BM, BK // 2), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (BK // 2, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
-            ),
+    out = _call_w4_kernel(
+        _w4_matmul_kernel, x.astype(jnp.bfloat16), qw, s, (), M, K, N, g,
+        interpret,
+        lambda BM, BK: [
+            pltpu.VMEM((BM, BK // 2), jnp.bfloat16),
+            pltpu.VMEM((BM, BK // 2), jnp.bfloat16),
         ],
-        out_specs=pl.BlockSpec(
-            (BM, BN), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
-        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(x_lo.astype(jnp.bfloat16), x_hi.astype(jnp.bfloat16), qw, s)
-    out = out + _zp_correction(xg, s, b).astype(out.dtype)
+    )
+    x32 = x.astype(jnp.float32)
+    if out.shape[0] != M:
+        x32 = jnp.pad(x32, ((0, out.shape[0] - M), (0, 0)))
+    out = out + _zp_correction(x32, s, b, g).astype(out.dtype)
     return out[:M]
 
 
@@ -286,57 +333,22 @@ def matmul_w4a8(
 ) -> jax.Array:
     """W4A8: per-token symmetric int8 activation quantization feeding the
     int8 MXU (reference headline path analogue `w8a8_int8.py`, applied to
-    W4 weights; v5e int8 MXU runs 2x bf16 rate and the kernel streams
-    weights at ~90% of HBM roofline)."""
+    W4 weights); quantization happens in-kernel."""
     M, K = x.shape
     N = qw.shape[1]
     g = group_size
     BK, BN, BM, Mp = _plan(M, K, N, g)
-    if Mp != M:
-        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
-    # per-token symmetric quant
     x32 = x.astype(jnp.float32)
-    sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True), 1e-9) / 127.0
-    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
-    xg, xq_lo, xq_hi = _nibble_plane_split(xq, Mp, K, g)
-    xg_real = x.reshape(Mp, K // g, g)
-    sx_tile = jnp.broadcast_to(sx, (Mp, 128))
-
-    out = pl.pallas_call(
-        functools.partial(
-            _w4a8_matmul_kernel, group_size=g, out_dtype=x.dtype
-        ),
-        grid=(Mp // BM, N // BN, K // BK),
-        in_specs=[
-            pl.BlockSpec(
-                (BM, BK // 2), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (BM, BK // 2), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (BK // 2, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (BM, 128), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (BM, BN), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
-        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(xq_lo, xq_hi, qw, s, sx_tile)
+    if Mp != M:
+        x32 = jnp.pad(x32, ((0, Mp - M), (0, 0)))
+    sx = _sx_tile(x32, Mp)
+    out = _call_w4_kernel(
+        _w4a8_matmul_kernel, x32.astype(x.dtype), qw, s, (sx,),
+        M, K, N, g, interpret, lambda BM, BK: [],
+    )
     # zero-point correction uses the REAL activations (exact for the b/-8s
     # terms; only the q*s term carries activation-quant error)
-    out = out + _zp_correction(xg_real, s, b).astype(out.dtype)
+    out = out + _zp_correction(x32, s, b, g).astype(out.dtype)
     return out[:M]
 
 
@@ -349,60 +361,22 @@ def matmul_w4a16x2(
     group_size: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    """A16 on the int8 MXU via residual two-component activation
-    decomposition (see _w4a16x2_matmul_kernel) — the compute-precision
-    analogue of XLA's multi-pass bf16 matmuls, at the W4 weight-DMA floor."""
+    """A16 on the int8 MXU via exact residual two-component decomposition
+    (see _w4a16x2_matmul_kernel)."""
     M, K = x.shape
     N = qw.shape[1]
     g = group_size
     BK, BN, BM, Mp = _plan(M, K, N, g)
-    if Mp != M:
-        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
     x32 = x.astype(jnp.float32)
-    sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True), 1e-9) / 127.0
-    q1 = jnp.clip(jnp.round(x32 / sx), -127, 127)
-    resid = x32 - q1 * sx
-    q2 = jnp.clip(jnp.round(resid / (sx * (1.0 / 127.0))), -127, 127)
-    q1 = q1.astype(jnp.int8)
-    q2 = q2.astype(jnp.int8)
-    _, q1l, q1h = _nibble_plane_split(q1, Mp, K, g)
-    _, q2l, q2h = _nibble_plane_split(q2, Mp, K, g)
-    xlo = jnp.stack([q1l, q2l])  # [2, Mp, K//2]
-    xhi = jnp.stack([q1h, q2h])
-    xg_real = x.reshape(Mp, K // g, g)
-    sx_tile = jnp.broadcast_to(sx, (Mp, 128))
-
-    xspec = pl.BlockSpec(
-        (2, BM, BK // 2), lambda m, n, k: (0, m, k), memory_space=pltpu.VMEM
+    if Mp != M:
+        x32 = jnp.pad(x32, ((0, Mp - M), (0, 0)))
+    sx = _sx_tile(x32, Mp)
+    out = _call_w4_kernel(
+        _w4a16x2_matmul_kernel, x32.astype(x.dtype), qw, s, (sx,),
+        M, K, N, g, interpret,
+        lambda BM, BK: [pltpu.VMEM((2, BM, BK), jnp.int8)],
     )
-    out = pl.pallas_call(
-        functools.partial(
-            _w4a16x2_matmul_kernel, group_size=g, out_dtype=x.dtype
-        ),
-        grid=(Mp // BM, N // BN, K // BK),
-        in_specs=[
-            xspec, xspec,
-            pl.BlockSpec(
-                (BK // 2, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (BM, 128), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (BM, BN), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
-        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(xlo, xhi, qw, s, sx_tile)
-    out = out + _zp_correction(xg_real, s, b).astype(out.dtype)
+    out = out + _zp_correction(x32, s, b, g).astype(out.dtype)
     return out[:M]
 
 
@@ -410,7 +384,12 @@ def einsum_w4(x: jax.Array, w, eq: str, act: str = "a16") -> jax.Array:
     """Route a model einsum (contraction of x's last dim with the weight's
     row dim) through the Pallas W4 kernels.  Falls back to gather-permuted
     activations for GPTQ act-order.  ``act='a8'`` selects the int8-MXU
-    W4A8 kernel (per-token activation quant)."""
+    W4A8 kernel (per-token activation quant).
+
+    Routing by M (probe9 cost model): the int8-MXU group-dot kernels'
+    VPU cost scales with M while matmul_w4's is M-independent, so past
+    M=64 the bf16 kernel dominates both — and prefill is compute-bound
+    anyway."""
     import os
 
     interpret = bool(os.environ.get("SGLANG_TPU_PALLAS_INTERPRET"))
@@ -424,10 +403,7 @@ def einsum_w4(x: jax.Array, w, eq: str, act: str = "a16") -> jax.Array:
         "a16x2": matmul_w4a16x2,
         "a16": matmul_w4,
     }[act]
-    if act == "a16x2" and x2.shape[0] > 256:
-        # prefill-sized M: the per-group int8 dots under-fill the MXU
-        # (K-depth g/2); the full-depth bf16 kernel wins there, and
-        # prefill is compute- not weight-bandwidth-bound anyway
+    if act in ("a16x2", "a8") and x2.shape[0] > 64:
         fn = matmul_w4
     out = fn(
         x2, w.q, w.s, w.b, group_size=w.group_size, interpret=interpret

@@ -32,7 +32,8 @@ def test_int8_weights(tmp_path_factory):
     e = Engine(**common)
     eq = Engine(**common, quantization="int8")
     try:
-        wq = eq.model_runner.params["layers"]["wq"]
+        # projections fuse at tp=1 (merge_projections): wq lives in w_qkv
+        wq = eq.model_runner.params["layers"]["w_qkv"]
         assert isinstance(wq, QuantizedWeight)
         assert wq.q.dtype == jax.numpy.int8
 
