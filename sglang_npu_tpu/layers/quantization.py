@@ -52,6 +52,19 @@ class QuantizedWeightFP8:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class QuantizedWeightFP8Block:
+    """Blockwise-FP8 weight (native DeepSeek-V3/R1 checkpoint format,
+    reference `layers/quantization/fp8.py` + `fp8_kernel.py` blockwise-128
+    path): q fp8 e4m3 [..., K, N]; s f32 [..., ceil(K/bk), ceil(N/bn)]
+    holds the PER-BLOCK dequant scale (HF `weight_scale_inv`, transposed
+    to our [K, N] convention).  Dequant fuses into the XLA dot operand."""
+
+    q: jax.Array  # f8_e4m3 [..., K, N]
+    s: jax.Array  # f32     [..., ceil(K/bk), ceil(N/bn)]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class QuantizedWeightW4:
     """W4A16 grouped weight (AWQ/GPTQ class).
 
@@ -113,6 +126,15 @@ def dequant(w, dtype):
         return w.q.astype(dtype) * w.s.astype(dtype)
     if isinstance(w, QuantizedWeightFP8):
         return w.q.astype(dtype) * w.s.astype(dtype)
+    if isinstance(w, QuantizedWeightFP8Block):
+        K, N = w.q.shape[-2], w.q.shape[-1]
+        bk = -(-K // w.s.shape[-2])
+        bn = -(-N // w.s.shape[-1])
+        sb = jnp.repeat(w.s, bk, axis=-2)[..., :K, :]
+        sb = jnp.repeat(sb, bn, axis=-1)[..., :N]
+        # dequant in f32, single rounding into the compute dtype (matches
+        # the reference's fp32 block-dequant then cast)
+        return (w.q.astype(jnp.float32) * sb).astype(dtype)
     if isinstance(w, QuantizedWeightW4):
         g = w.group_size
         vals = unpack_w4(w.q, g).astype(dtype)  # [..., K, N]
@@ -216,7 +238,9 @@ def quantize_params_int8(params: dict) -> dict:
     layers = dict(params["layers"])
     n = 0
     for k in QUANT_LAYER_KEYS:
-        if k in layers and not isinstance(layers[k], QuantizedWeight):
+        if k in layers and not isinstance(
+            layers[k], (QuantizedWeight, QuantizedWeightFP8Block)
+        ):
             q, s = q8(layers[k])
             layers[k] = QuantizedWeight(q=q, s=s)
             n += 1
@@ -242,7 +266,7 @@ def quantize_params_fp8(params: dict) -> dict:
     n = 0
     for k in QUANT_LAYER_KEYS:
         if k in layers and not isinstance(
-            layers[k], (QuantizedWeight, QuantizedWeightFP8)
+            layers[k], (QuantizedWeight, QuantizedWeightFP8, QuantizedWeightFP8Block)
         ):
             q, s = qf8(layers[k])
             layers[k] = QuantizedWeightFP8(q=q, s=s)
@@ -279,7 +303,13 @@ def quantize_params_w4(params: dict, group_size: int = 128) -> dict:
     for k in QUANT_LAYER_KEYS:
         w = layers.get(k)
         if w is None or isinstance(
-            w, (QuantizedWeight, QuantizedWeightFP8, QuantizedWeightW4)
+            w,
+            (
+                QuantizedWeight,
+                QuantizedWeightFP8,
+                QuantizedWeightFP8Block,
+                QuantizedWeightW4,
+            ),
         ):
             continue
         if w.shape[-2] % group_size != 0:

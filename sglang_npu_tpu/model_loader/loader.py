@@ -90,6 +90,12 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
     bnb = is_bnb_quant_config(qcfg)
     if bnb:
         qcfg = None  # the AWQ/GPTQ suffix path below does not apply
+    # native blockwise-FP8 checkpoints (DeepSeek-V3/R1): fp8 `.weight`
+    # tensors paired with `.weight_scale_inv` per-128x128-block scales
+    fp8_block = None
+    if qcfg is not None and qcfg["method"] == "fp8":
+        fp8_block = qcfg.get("weight_block_size") or [128, 128]
+        qcfg = None
     if qcfg is not None and qcfg["bits"] != 4:
         logger.warning(
             "quantized checkpoint with bits=%d; only 4-bit ingestion is "
@@ -109,6 +115,25 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
     loaded = set()
     qcollect: Dict[tuple, Dict[str, np.ndarray]] = {}
     bnb_collect: Dict[str, Dict] = {}
+    fp8_collect: Dict[tuple, Dict[str, np.ndarray]] = {}
+
+    def _get_tensor_any(fpath, np_file, name):
+        """np-framework read with a torch fallback for dtypes numpy's
+        safetensors bridge rejects (float8)."""
+        try:
+            return np_file.get_tensor(name)
+        except Exception:
+            import ml_dtypes
+            import torch
+            from safetensors import safe_open as _so
+
+            with _so(fpath, framework="pt") as pf:
+                t = pf.get_tensor(name)
+            if t.dtype == torch.float8_e4m3fn:
+                return t.view(torch.uint8).numpy().view(ml_dtypes.float8_e4m3fn)
+            if t.dtype == torch.bfloat16:
+                return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+            return t.numpy()
 
     def _store(dest, layer_idx, expert_idx, transform, tensor):
         if transform == "transpose":
@@ -167,6 +192,12 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                     if tail in _QUANT_SUFFIXES:
                         qsuffix = tail
                         lookup = name[: -(len(tail) + 1)] + ".weight"
+                fscale = False
+                if fp8_block is not None and lookup.endswith(
+                    ".weight_scale_inv"
+                ):
+                    fscale = True
+                    lookup = lookup[: -len(".weight_scale_inv")] + ".weight"
                 dest = None
                 layer_idx = None
                 if lookup in top_map:
@@ -204,7 +235,17 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                 if ".__expert__" in dest:
                     dest, e = dest.split(".__expert__")
                     expert_idx = int(e)
-                tensor = f.get_tensor(name)
+                tensor = _get_tensor_any(fpath, f, name)
+                if fp8_block is not None and (
+                    fscale or str(tensor.dtype) == "float8_e4m3fn"
+                ):
+                    entry = fp8_collect.setdefault(
+                        (dest, layer_idx, expert_idx), {}
+                    )
+                    entry["scale" if fscale else "weight"] = tensor
+                    entry["_t"] = transform
+                    loaded.add(name)
+                    continue
                 if qsuffix is not None:
                     qcollect.setdefault((dest, layer_idx, expert_idx), {})[
                         qsuffix
@@ -232,8 +273,57 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
     if qcollect:
         _assemble_w4_stacks(host, model, qcollect, qcfg, pack_w4_np,
                             convert_quant_tensors)
+    if fp8_collect:
+        _assemble_fp8_stacks(host, model, fp8_collect, fp8_block)
     logger.info("loaded %d tensors from %d files", len(loaded), len(files))
     return host
+
+
+def _assemble_fp8_stacks(host, model, collect, block_size):
+    """Replace dense host stacks with blockwise-FP8 stacks (native
+    DeepSeek-V3/R1 format: fp8 `.weight` + f32 `.weight_scale_inv` per
+    [block_n, block_k] block; reference `layers/quantization/fp8.py`)."""
+    import ml_dtypes
+
+    shapes = model.param_shapes()
+    by_dest: Dict[str, Dict] = {}
+    for (dest, layer_idx, expert_idx), entry in collect.items():
+        by_dest.setdefault(dest, {})[(layer_idx, expert_idx)] = entry
+    bn_out, bk_in = int(block_size[0]), int(block_size[1])
+    for dest, entries in by_dest.items():
+        (L_shape, _dt) = _get_path(shapes, dest)
+        K, N = L_shape[-2], L_shape[-1]
+        Kb, Nb = -(-K // bk_in), -(-N // bn_out)
+        q_stack = np.zeros(
+            L_shape[:-2] + (K, N), dtype=ml_dtypes.float8_e4m3fn
+        )
+        s_stack = np.ones(L_shape[:-2] + (Kb, Nb), dtype=np.float32)
+        for (layer_idx, expert_idx), entry in entries.items():
+            w = entry.get("weight")
+            s = entry.get("scale")
+            if w is None:
+                logger.warning("fp8 scale without weight for %s", dest)
+                continue
+            t = entry.get("_t")
+            if t == "transpose" or (t is None and w.shape == (N, K)):
+                w = w.T
+                s = s.T if s is not None else None
+            assert w.shape == (K, N), (dest, w.shape, (K, N))
+            idx = ()
+            if layer_idx is not None:
+                idx = idx + (layer_idx,)
+            if expert_idx is not None:
+                idx = idx + (expert_idx,)
+            q_stack[idx] = w
+            if s is not None:
+                s_stack[idx] = s.astype(np.float32)
+        _set_path(
+            host, dest, {"__fp8b__": True, "q": q_stack, "s": s_stack}
+        )
+        logger.info(
+            "ingested blockwise-FP8 stack for %s: K=%d N=%d blocks=(%d,%d)",
+            dest, K, N, bk_in, bn_out,
+        )
 
 
 def _assemble_w4_stacks(host, model, qcollect, qcfg, pack_w4_np, convert):
@@ -361,6 +451,26 @@ def device_put_params(host_params, model, mesh) -> Dict[str, Any]:
             if isinstance(v, dict) and v.get("__w4__"):
                 spec = spec_node.get(k, P()) if isinstance(spec_node, dict) else P()
                 out[k] = put_w4(v, spec)
+            elif isinstance(v, dict) and v.get("__fp8b__"):
+                from sglang_npu_tpu.layers.quantization import (
+                    QuantizedWeightFP8Block,
+                )
+
+                spec = spec_node.get(k, P()) if isinstance(spec_node, dict) else P()
+                out[k] = QuantizedWeightFP8Block(
+                    q=jax.device_put(
+                        v["q"],
+                        NamedSharding(
+                            mesh, _validate_spec(v["q"].shape, spec, mesh)
+                        ),
+                    ),
+                    s=jax.device_put(
+                        v["s"],
+                        NamedSharding(
+                            mesh, _validate_spec(v["s"].shape, spec, mesh)
+                        ),
+                    ),
+                )
             elif isinstance(v, dict):
                 out[k] = put(v, spec_node[k])
             else:

@@ -148,6 +148,9 @@ def detect_quant_config(model_path: str) -> Optional[Dict]:
         "desc_act": bool(qcfg.get("desc_act", False)),
         "checkpoint_format": qcfg.get("checkpoint_format", method),
         "sym": bool(qcfg.get("sym", False)),
+        # native DeepSeek-V3/R1 blockwise FP8 (reference fp8.py): e.g.
+        # {"quant_method": "fp8", "weight_block_size": [128, 128]}
+        "weight_block_size": qcfg.get("weight_block_size"),
     }
 
 
