@@ -143,17 +143,28 @@ class ModelRunner:
                     f"{model_config.num_hidden_layers} layers not divisible "
                     f"by pp={self.pp}"
                 )
-            if server_args.attention_backend not in (None, "xla"):
-                raise ValueError("PP currently requires the XLA backend")
-            if server_args.speculative_draft_model_path or server_args.lora_paths:
-                raise ValueError("PP + speculative/LoRA is not supported")
+            if server_args.attention_backend not in (None, "xla", "pallas"):
+                raise ValueError(
+                    "PP supports the xla and pallas attention backends"
+                )
+            if server_args.speculative_draft_model_path:
+                raise ValueError("PP + speculative is not supported")
             if server_args.enable_dp_attention:
                 raise ValueError(
                     "PP + DP-attention is not supported yet (the GPipe "
                     "microbatch split and the data-axis batch shard both "
                     "partition the batch dim)"
                 )
-            server_args.attention_backend = "xla"
+            if (
+                server_args.attention_backend == "pallas"
+                and self.kv_dtype not in (jnp.bfloat16, jnp.float32)
+            ):
+                raise ValueError(
+                    "PP + pallas requires bf16/f32 KV (the quant scale "
+                    "slabs are not pipe-sharded yet)"
+                )
+            if server_args.attention_backend is None:
+                server_args.attention_backend = "xla"
             self.model.pp_size = self.pp
             self.model.pp_mesh = self.mesh
         # DP-attention: KV pages shard over the data axis; attention runs

@@ -422,8 +422,13 @@ class LlamaForCausalLM:
         xs, cs, ss = split(x_all), split(cos), split(sin)
         pts, sls = split(fb.page_tables), split(fb.seq_lens)
         poss, oss = split(fb.positions), split(fb.out_slots)
+        use_lora = fb.lora_ids is not None and "lora_scaling" in params
+        lids = split(fb.lora_ids) if use_lora else jnp.zeros((M, mb), jnp.int32)
+        lora_scaling = params.get(
+            "lora_scaling", jnp.zeros((1,), jnp.float32)
+        )
 
-        def local(layers, pool, xs, cs, ss, pts, sls, poss, oss):
+        def local(layers, pool, xs, cs, ss, pts, sls, poss, oss, lids, lsc):
             s = jax.lax.axis_index("pipe")
             T = M + S - 1
 
@@ -431,19 +436,36 @@ class LlamaForCausalLM:
                 fb_mb = ForwardBatch(
                     input_ids=None,
                     positions=poss[midx],
-                    # inactive ticks write to slot 0 (the garbage page)
+                    # inactive ticks write to slot 0 (the garbage page)...
                     out_slots=jnp.where(active, oss[midx], 0),
                     page_tables=pts[midx],
-                    seq_lens=sls[midx],
+                    # ...and are invisible to the fused Pallas write (its
+                    # in-place insert targets seq_len-1 of the REAL page
+                    # table, so inactive ticks must see an empty sequence)
+                    seq_lens=jnp.where(active, sls[midx], 0),
                     extend_seq_lens=None,
                     extend_prefix_lens=None,
                 )
                 rope_cs = (cs[midx], ss[midx])
+                if use_lora:
+                    from sglang_npu_tpu.lora.lora_manager import apply_lora
+
+                    lora_ids_mb = lids[midx]
+
+                    def proj(x_, lp_, wkey, eq):
+                        out = qmm(x_, lp_[wkey], eq)
+                        if f"lora_{wkey}_a" in lp_:
+                            out = apply_lora(
+                                x_, out, lp_, wkey, lora_ids_mb, lsc
+                            )
+                        return out
+                else:
+                    proj = None
 
                 def layer_fn(carry, lp):
                     x, pool, l = carry
                     h = rms_norm(x, lp["input_norm"], eps)
-                    q, k, v = self._qkv_proj(h, lp)
+                    q, k, v = self._qkv_proj(h, lp, proj)
                     if "bq" in lp:
                         q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
                     q = q.reshape(mb, E, c.num_attention_heads, c.head_dim)
@@ -456,12 +478,13 @@ class LlamaForCausalLM:
                     att, pool = self._attention(
                         q, k, v, pool, l, fb_mb, page_size
                     )
-                    x = x + qmm(
-                        att.reshape(mb, E, self.q_size), lp["wo"],
-                        "beh,hd->bed",
-                    )
+                    wo_in = att.reshape(mb, E, self.q_size)
+                    if proj is not None:
+                        x = x + proj(wo_in, lp, "wo", "beh,hd->bed")
+                    else:
+                        x = x + qmm(wo_in, lp["wo"], "beh,hd->bed")
                     h2 = rms_norm(x, lp["post_norm"], eps)
-                    x = x + self._mlp(h2, lp)
+                    x = x + self._mlp(h2, lp, proj)
                     return (x, pool, l + 1), None
 
                 (h, pool, _), _ = jax.lax.scan(
@@ -506,12 +529,15 @@ class LlamaForCausalLM:
             mesh=mesh,
             in_specs=(
                 layer_specs, pool_specs,
-                P(), P(), P(), P(), P(), P(), P(),
+                P(), P(), P(), P(), P(), P(), P(), P(), P(),
             ),
             out_specs=(P(), pool_specs),
             axis_names={"pipe"},
             check_vma=False,
-        )(params["layers"], kv_pool, xs, cs, ss, pts, sls, poss, oss)
+        )(
+            params["layers"], kv_pool, xs, cs, ss, pts, sls, poss, oss,
+            lids, lora_scaling,
+        )
         x = rms_norm(x, params["final_norm"], eps)
         return x, new_kv
 

@@ -27,6 +27,20 @@ def _interpret() -> bool:
     return os.environ.get("SGLANG_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
+def _shard_mesh(mesh):
+    """Mesh for the kernel shard_map: inside an outer manual region (PP's
+    GPipe shard_map) the inner partial-manual shard_map must receive the
+    CONTEXT AbstractMesh (whose 'pipe' axis is already Manual), not the
+    concrete mesh."""
+    try:
+        cur = jax.sharding.get_abstract_mesh()
+        if cur is not None and not cur.empty:
+            return cur
+    except Exception:
+        pass
+    return mesh
+
+
 def make_pallas_attention_backend(mesh=None):
     from sglang_npu_tpu.parallel.mesh import MODEL_AXIS
 
@@ -83,7 +97,7 @@ def make_pallas_attention_backend(mesh=None):
             if tp > 1:
                 call = jax.shard_map(
                     call,
-                    mesh=mesh,
+                    mesh=_shard_mesh(mesh),
                     in_specs=(
                         P(None, MODEL_AXIS, None),
                         P(None, MODEL_AXIS, None),
@@ -97,6 +111,7 @@ def make_pallas_attention_backend(mesh=None):
                         P(None, MODEL_AXIS, None),
                         pool_specs,
                     ),
+                    axis_names={MODEL_AXIS},
                     check_vma=False,
                 )
             out, kv_pool = call(
@@ -128,7 +143,7 @@ def make_pallas_attention_backend(mesh=None):
             if tp > 1:
                 pcall = jax.shard_map(
                     pcall,
-                    mesh=mesh,
+                    mesh=_shard_mesh(mesh),
                     in_specs=(
                         P(None, None, MODEL_AXIS, None),
                         P(None, None, MODEL_AXIS, None),
@@ -143,6 +158,7 @@ def make_pallas_attention_backend(mesh=None):
                         P(None, None, MODEL_AXIS, None),
                         pool_specs,
                     ),
+                    axis_names={MODEL_AXIS},
                     check_vma=False,
                 )
             out, kv_pool = pcall(

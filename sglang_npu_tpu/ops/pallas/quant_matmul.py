@@ -16,42 +16,44 @@ so, bitcast to SIGNED int8,
 8-bit shifts nor uint8->float casts).  The -8 offset and the /16 fold
 into the zero-point term and the group scale respectively.
 
-Round-4 redesign (probes 7-9, `scripts/bench_w4_probe*.py`):
+Round-4 redesign (probes 7-10, `scripts/bench_w4_probe*.py`):
   * All kernels take the NATURAL activation block [BM, BK] — the nibble
     planes are per-group static lane slices inside the kernel, and the
     int8 paths quantize activations in-kernel (per-token scale is one
     tiny XLA reduce).  The round-3 XLA-side plane-split/stack prep
     (strided copies per call) is gone.
+  * The zero-point correction runs IN-KERNEL as two depth-(BK/g) MXU
+    dots per tile against per-group activation sums — the separate XLA
+    [M, N] epilogue pass cost ~13 us/call at the decode shape (probe10).
   * int8 paths exploit dhi = 16*(x . (q_hi-8)) being EXACTLY divisible
     by 16: `dhi >> 4` replaces a f32 convert+multiply per plane, and the
     a16x2 combine (d1 << 7) + d2 is exact in i32 (|d1| < 2^18).  Probe9:
-    568 GB/s for the a8 kernel at the [64, 4096, 14336] decode shape
-    (DMA floor 864).
+    568 GB/s for the a8 kernel core at the [64, 4096, 14336] decode
+    shape (DMA floor 864).
   * Dead ends measured so far, do not re-try blindly: s4/int4 Refs and
     bitcasts (Mosaic "changing bitwidths not supported" + broken jit arg
     path), int8 dots with preferred_element_type=f32 (compiler crash),
     batched dot_general over the group dim (compiler crash).
 
-Kernel roles (VPU cost model from probe9: per-weight-element ops cost
-~4x a per-[M,N]-block op at M=64; exact per-group f32 scaling floors the
-group-dot kernels at ~5 block-ops/group):
-  * matmul_w4     — bf16 MXU, per-ELEMENT-bound (~330 GB/s) independent
-                    of M: the batch-amortizable path (prefill + batch>64
-                    decode; one bf16-pass precision, the reference AWQ
-                    dequant-GEMM class).
-  * matmul_w4a8   — per-token int8 activations on the int8 MXU; ~570
+Kernel roles (probe10, production entry points at [*, 4096, 14336]):
+  * matmul_w4     — bf16 MXU, per-weight-element-bound: ~290 GB/s at
+                    M=64, ~210 at M=128 (MXU time adds in), M-amortizing.
+                    One-bf16-pass precision = the reference AWQ
+                    dequant-GEMM class.  DEFAULT for W4A16.
+  * matmul_w4a8   — per-token int8 activations on the int8 MXU; ~480
                     GB/s at M<=64 but per-[M,N]-unit-bound (cost scales
                     with M): the small-batch latency king.
   * matmul_w4a16x2— A16-class on the int8 MXU via exact two-component
-                    residual decomposition x = sx*(q1 + q2/128); ~314
-                    GB/s at M=64, also M-scaling.
+                    residual decomposition x = sx*(q1 + q2/128)
+                    (precision >= one bf16 pass, ~264 GB/s at M=64);
+                    opt-in via --w4-mxu-precision int8x2.
 
 Zero-point convention: dequant w = q*s - b.  All kernels compute
     x_lo @ (q_lo * s)  +  x_hi @ ((q_hi - 8) * s)
-so the caller subtracts/adds the tiny XLA-side correction
-    out += 8 * (xsum_hi @ s) - xsum @ b
-(the per-group activation sums make it a [M, K/g] x [K/g, N] matmul XLA
-fuses with the epilogue).
+      + 8 * (xsum_hi @ s) - xsum @ b
+where the per-group activation sums (xsum*, from the REAL activations)
+enter as the xh8/xs operands, pre-scaled to ride the kernels' output
+epilogue (see the callers).
 """
 
 from __future__ import annotations
@@ -64,10 +66,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _zp_dots(acc, xh8_ref, xs_ref, s_ref, b_ref):
+    """acc += xh8 @ s - xs @ b  (depth BK/g — two tiny MXU dots)."""
+    return (
+        acc
+        + jnp.dot(xh8_ref[...], s_ref[...], preferred_element_type=jnp.float32)
+        - jnp.dot(xs_ref[...], b_ref[...], preferred_element_type=jnp.float32)
+    )
+
+
 def _w4_matmul_kernel(
     x_ref,  # [BM, BK] bf16 — natural activation block
     qw_ref,  # [BK//2, BN] uint8
     s_ref,  # [BK//g, BN] f32
+    b_ref,  # [BK//g, BN] f32
+    xh8_ref,  # [BM, BK//g] f32 — 8 * per-group hi-half activation sums
+    xs_ref,  # [BM, BK//g] f32 — per-group activation sums
     o_ref,  # [BM, BN] out dtype
     acc_ref,  # [BM, BN] f32 scratch
     xlo_ref,  # [BM, BK//2] bf16 scratch — gathered lo-plane activations
@@ -105,7 +119,7 @@ def _w4_matmul_kernel(
     whi = (hi_bf.reshape(G_blk, gh, BN) * sh).reshape(BKh, BN)
     acc = jnp.dot(xlo_ref[...], wlo, preferred_element_type=jnp.float32)
     acc += jnp.dot(xhi_ref[...], whi, preferred_element_type=jnp.float32)
-    acc_ref[...] += acc
+    acc_ref[...] += _zp_dots(acc, xh8_ref, xs_ref, s_ref, b_ref)
 
     @pl.when(k == nk - 1)
     def _():
@@ -116,6 +130,9 @@ def _w4a8_matmul_kernel(
     x_ref,  # [BM, BK] bf16 — natural activation block
     qw_ref,  # [BK//2, BN] uint8
     s_ref,  # [BK//g, BN] f32
+    b_ref,  # [BK//g, BN] f32
+    xh8_ref,  # [BM, BK//g] f32 — 8*hi-sums / sx (rides the sx epilogue)
+    xs_ref,  # [BM, BK//g] f32 — sums / sx
     sx_ref,  # [BM, 128] f32 — per-token activation scale (col 0)
     o_ref,  # [BM, BN] out dtype
     acc_ref,  # [BM, BN] f32 scratch
@@ -158,7 +175,7 @@ def _w4a8_matmul_kernel(
         )
         d = dlo + jax.lax.shift_right_arithmetic(dhi, 4)  # exact: 16 | dhi
         a += d.astype(jnp.float32) * s_ref[G, :][None, :]
-    acc_ref[...] += a
+    acc_ref[...] += _zp_dots(a, xh8_ref, xs_ref, s_ref, b_ref)
 
     @pl.when(k == nk - 1)
     def _():
@@ -169,6 +186,9 @@ def _w4a16x2_matmul_kernel(
     x_ref,  # [BM, BK] bf16 — natural activation block
     qw_ref,  # [BK//2, BN] uint8
     s_ref,  # [BK//g, BN] f32
+    b_ref,  # [BK//g, BN] f32
+    xh8_ref,  # [BM, BK//g] f32 — 8*hi-sums * 128/sx
+    xs_ref,  # [BM, BK//g] f32 — sums * 128/sx
     sx_ref,  # [BM, 128] f32 — per-token coarse scale (col 0)
     o_ref,  # [BM, BN] out dtype
     acc_ref,  # [BM, BN] f32 scratch
@@ -213,7 +233,7 @@ def _w4a16x2_matmul_kernel(
         d = dlo + jax.lax.shift_right_arithmetic(dhi, 4)  # [2BM, BN] exact
         D = jax.lax.shift_left(d[:BM], 7) + d[BM:]  # exact, |d1| < 2^18
         a += D.astype(jnp.float32) * s_ref[G, :][None, :]
-    acc_ref[...] += a
+    acc_ref[...] += _zp_dots(a, xh8_ref, xs_ref, s_ref, b_ref)
 
     @pl.when(k == nk - 1)
     def _():
@@ -244,21 +264,23 @@ def _plan(M: int, K: int, N: int, g: int):
     return BK, BN, BM, Mp
 
 
-def _zp_correction(x32, s, b, g: int):
-    """8*(xsum_hi @ s) - xsum @ b  (see module docstring); x32 [Mp, K] f32."""
+def _group_sums(x32, g: int):
+    """(8*hi-half sums, full sums) per group — the zero-point operands;
+    x32 [Mp, K] f32 -> two [Mp, K//g] f32."""
     Mp, K = x32.shape
     xg = x32.reshape(Mp, K // g, g)
-    xsum = jnp.sum(xg, axis=2)  # [Mp, K/g]
-    xsum_hi = jnp.sum(xg[:, :, g // 2 :], axis=2)
-    return 8.0 * (xsum_hi @ s) - (xsum @ b)
+    xsum = jnp.sum(xg, axis=2)
+    xsum_hi8 = 8.0 * jnp.sum(xg[:, :, g // 2 :], axis=2)
+    return xsum_hi8, xsum
 
 
 def _sx_tile(x32, Mp: int):
     sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True), 1e-9) / 127.0
-    return jnp.broadcast_to(sx, (Mp, 128))
+    return sx, jnp.broadcast_to(sx, (Mp, 128))
 
 
-def _call_w4_kernel(kernel, x, qw, s, extra, M, K, N, g, interpret, scratch):
+def _call_w4_kernel(kernel, x, qw, s, b, zp, extra, M, K, N, g, interpret,
+                    scratch):
     BK, BN, BM, Mp = _plan(M, K, N, g)
     if x.shape[0] != Mp:
         x = jnp.pad(x, ((0, Mp - x.shape[0]), (0, 0)))
@@ -270,9 +292,19 @@ def _call_w4_kernel(kernel, x, qw, s, extra, M, K, N, g, interpret, scratch):
         pl.BlockSpec(
             (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
         ),
+        pl.BlockSpec(
+            (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+        ),
     ]
-    args = [x, qw, s]
-    for e in extra:
+    args = [x, qw, s, b]
+    for e in zp:  # xh8, xs: [Mp, K//g]
+        in_specs.append(
+            pl.BlockSpec(
+                (BM, BK // g), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(e)
+    for e in extra:  # sx tile [Mp, 128]
         in_specs.append(
             pl.BlockSpec((BM, 128), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM)
         )
@@ -292,7 +324,7 @@ def _call_w4_kernel(kernel, x, qw, s, extra, M, K, N, g, interpret, scratch):
         ),
         interpret=interpret,
     )(*args)
-    return out
+    return out[:M]
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
@@ -307,19 +339,19 @@ def matmul_w4(
     M, K = x.shape
     N = qw.shape[1]
     g = group_size
-    out = _call_w4_kernel(
-        _w4_matmul_kernel, x.astype(jnp.bfloat16), qw, s, (), M, K, N, g,
-        interpret,
+    BK, BN, BM, Mp = _plan(M, K, N, g)
+    x32 = x.astype(jnp.float32)
+    if Mp != M:
+        x32 = jnp.pad(x32, ((0, Mp - M), (0, 0)))
+    xh8, xs = _group_sums(x32, g)
+    return _call_w4_kernel(
+        _w4_matmul_kernel, x32.astype(jnp.bfloat16), qw, s, b,
+        (xh8, xs), (), M, K, N, g, interpret,
         lambda BM, BK: [
             pltpu.VMEM((BM, BK // 2), jnp.bfloat16),
             pltpu.VMEM((BM, BK // 2), jnp.bfloat16),
         ],
     )
-    x32 = x.astype(jnp.float32)
-    if out.shape[0] != M:
-        x32 = jnp.pad(x32, ((0, out.shape[0] - M), (0, 0)))
-    out = out + _zp_correction(x32, s, b, g).astype(out.dtype)
-    return out[:M]
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
@@ -333,7 +365,10 @@ def matmul_w4a8(
 ) -> jax.Array:
     """W4A8: per-token symmetric int8 activation quantization feeding the
     int8 MXU (reference headline path analogue `w8a8_int8.py`, applied to
-    W4 weights); quantization happens in-kernel."""
+    W4 weights); quantization happens in-kernel.  The zero-point term
+    uses the REAL activations (exact for the b/-8s terms; only the q*s
+    term carries activation-quant error) — its operands pre-divide by sx
+    so it can ride the kernel's sx output epilogue."""
     M, K = x.shape
     N = qw.shape[1]
     g = group_size
@@ -341,15 +376,14 @@ def matmul_w4a8(
     x32 = x.astype(jnp.float32)
     if Mp != M:
         x32 = jnp.pad(x32, ((0, Mp - M), (0, 0)))
-    sx = _sx_tile(x32, Mp)
-    out = _call_w4_kernel(
-        _w4a8_matmul_kernel, x32.astype(x.dtype), qw, s, (sx,),
-        M, K, N, g, interpret, lambda BM, BK: [],
+    sx, sxt = _sx_tile(x32, Mp)
+    xh8, xs = _group_sums(x32, g)
+    inv = 1.0 / sx
+    return _call_w4_kernel(
+        _w4a8_matmul_kernel, x32.astype(x.dtype), qw, s, b,
+        (xh8 * inv, xs * inv), (sxt,), M, K, N, g, interpret,
+        lambda BM, BK: [],
     )
-    # zero-point correction uses the REAL activations (exact for the b/-8s
-    # terms; only the q*s term carries activation-quant error)
-    out = out + _zp_correction(x32, s, b, g).astype(out.dtype)
-    return out[:M]
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
@@ -370,14 +404,14 @@ def matmul_w4a16x2(
     x32 = x.astype(jnp.float32)
     if Mp != M:
         x32 = jnp.pad(x32, ((0, Mp - M), (0, 0)))
-    sx = _sx_tile(x32, Mp)
-    out = _call_w4_kernel(
-        _w4a16x2_matmul_kernel, x32.astype(x.dtype), qw, s, (sx,),
-        M, K, N, g, interpret,
+    sx, sxt = _sx_tile(x32, Mp)
+    xh8, xs = _group_sums(x32, g)
+    f = 128.0 / sx
+    return _call_w4_kernel(
+        _w4a16x2_matmul_kernel, x32.astype(x.dtype), qw, s, b,
+        (xh8 * f, xs * f), (sxt,), M, K, N, g, interpret,
         lambda BM, BK: [pltpu.VMEM((2, BM, BK), jnp.int8)],
     )
-    out = out + _zp_correction(x32, s, b, g).astype(out.dtype)
-    return out[:M]
 
 
 def einsum_w4(x: jax.Array, w, eq: str, act: str = "a16") -> jax.Array:
@@ -386,10 +420,10 @@ def einsum_w4(x: jax.Array, w, eq: str, act: str = "a16") -> jax.Array:
     activations for GPTQ act-order.  ``act='a8'`` selects the int8-MXU
     W4A8 kernel (per-token activation quant).
 
-    Routing by M (probe9 cost model): the int8-MXU group-dot kernels'
-    VPU cost scales with M while matmul_w4's is M-independent, so past
-    M=64 the bf16 kernel dominates both — and prefill is compute-bound
-    anyway."""
+    Routing by M (probe10): the int8-MXU group-dot kernels' VPU cost
+    scales with M while matmul_w4's per-weight work is M-independent, so
+    past M=64 the bf16 kernel dominates both — and prefill is
+    compute-bound anyway."""
     import os
 
     interpret = bool(os.environ.get("SGLANG_TPU_PALLAS_INTERPRET"))

@@ -129,7 +129,11 @@ class ServerArgs:
     # activation row into two int8 components (~14 mantissa bits, >= one
     # bf16 MXU pass) so the dequant matmul runs at the weight-DMA floor;
     # "bf16" keeps the convert-based kernel (the r2 design)
-    w4_mxu_precision: str = "int8x2"
+    # W4A16 decode compute: "bf16" = dequant + bf16 MXU (reference AWQ
+    # dequant-GEMM class; fastest measured, probe10) | "int8x2" = exact
+    # two-component int8-MXU decomposition (>= one-bf16-pass precision,
+    # slower on v5e: the per-group scale work is VPU-bound)
+    w4_mxu_precision: str = "bf16"
     # EP token dispatch (reference deepep normal mode): "replicated" runs
     # every rank over the full token set against its local experts (one
     # psum; optimal intra-host); "a2a" shards tokens over the EP axis and

@@ -294,9 +294,17 @@ def test_awq_checkpoint_loads_end_to_end(tiny_model_dir, tmp_path):
         quantization="awq",
     )
     try:
-        # loaded params are W4 stacks
-        wq = e.scheduler.runner.params["layers"]["wq"]
-        assert isinstance(wq, QuantizedWeightW4)
+        # loaded params are W4 stacks (q/k/v fused at tp=1)
+        wqkv = e.scheduler.runner.params["layers"]["w_qkv"]
+        assert isinstance(wqkv, QuantizedWeightW4)
+        import dataclasses as _dc
+
+        q_cols = e.scheduler.runner.model.q_size
+        wq = QuantizedWeightW4(
+            q=wqkv.q[..., :q_cols],
+            s=wqkv.s[..., :q_cols],
+            b=wqkv.b[..., :q_cols],
+        )
         # dequantized AWQ weights must match the dense weights within the
         # 4-bit group quantization error (+ f16 scale rounding)
         dense = src["model.layers.0.self_attn.q_proj.weight"].T.astype(
