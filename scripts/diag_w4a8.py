@@ -21,6 +21,8 @@ import numpy as np
 
 def main():
     cfg_name = sys.argv[1] if len(sys.argv) > 1 else "llama8b_w4a8_int8kv"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    decode_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench as B
 
@@ -40,19 +42,23 @@ def main():
             quantization=spec["quantization"],
             kv_cache_dtype=spec["kv_cache_dtype"],
             page_size=16,
-            max_total_tokens=spec["max_total_tokens"],
+            max_total_tokens=max(spec["max_total_tokens"], batch * 256),
             skip_tokenizer_init=True,
             random_seed=0,
             max_prefill_tokens=8192,
             chunked_prefill_size=4096,
             decode_log_interval=1000000,
             watchdog_timeout=3600.0,
-            decode_steps=16,
+            decode_steps=decode_steps,
         )
     )
     try:
+        print(f"config={cfg_name} batch={batch} decode_steps={decode_steps}",
+              flush=True)
         rng = np.random.default_rng(0)
-        prompts = [rng.integers(1, 120000, size=128).tolist() for _ in range(64)]
+        prompts = [
+            rng.integers(1, 120000, size=128).tolist() for _ in range(batch)
+        ]
         sp = {"max_new_tokens": 128, "temperature": 0.0, "ignore_eos": True}
 
         def run(tag, n_new, reps=1):
@@ -81,7 +87,7 @@ def main():
         dec_per_step_late = (t_full - t17) / 111
         print(f"decode steps 1-16  : {dec_per_step_early*1e3:7.2f} ms/step")
         print(f"decode steps 17-128: {dec_per_step_late*1e3:7.2f} ms/step")
-        print(f"implied tok/s (full): {64*128/t_full:.1f}")
+        print(f"implied tok/s (full): {batch*128/t_full:.1f}")
     finally:
         engine.shutdown()
 

@@ -546,6 +546,26 @@ class Engine:
         out = self.tokenizer_manager.control_mailbox.get(timeout=600)
         return out.success, out.message
 
+    def load_lora_adapter(self, lora_name: str, lora_path: str):
+        """Dynamic adapter load (reference `Engine.load_lora_adapter` /
+        `/load_lora_adapter`, `http_server.py:625`)."""
+        from sglang_npu_tpu.managers.io_struct import LoadLoRAAdapterReqInput
+
+        self._sched_in.put(
+            LoadLoRAAdapterReqInput(lora_name=lora_name, lora_path=lora_path)
+        )
+        out = self.tokenizer_manager.control_mailbox.get(timeout=600)
+        return out.success, out.message
+
+    def unload_lora_adapter(self, lora_name: str):
+        from sglang_npu_tpu.managers.io_struct import (
+            UnloadLoRAAdapterReqInput,
+        )
+
+        self._sched_in.put(UnloadLoRAAdapterReqInput(lora_name=lora_name))
+        out = self.tokenizer_manager.control_mailbox.get(timeout=600)
+        return out.success, out.message
+
     def update_weights_from_tensor(self, named_tensors):
         """In-memory weight sync: [(hf_name, np.ndarray)] (reference
         `Engine.update_weights_from_tensor`, RL trainer push)."""

@@ -78,6 +78,8 @@ class HttpServer:
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post("/load_lora_adapter", self.load_lora_adapter)
+        r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
         r.add_post("/prefill_only", self.prefill_only)
         r.add_post("/receive_prefill", self.receive_prefill)
         r.add_post("/pd_register", self.pd_register)
@@ -294,6 +296,32 @@ class HttpServer:
             self.engine.update_weights_from_disk,
             body["model_path"],
             body.get("load_format"),
+        )
+        return web.json_response(
+            {"success": ok, "message": msg}, status=200 if ok else 400
+        )
+
+    async def load_lora_adapter(self, request: web.Request) -> web.Response:
+        """Dynamic adapter load (reference `/load_lora_adapter`,
+        `http_server.py:625-643`)."""
+        body = await _json_body(request)
+        if "lora_name" not in body or "lora_path" not in body:
+            return _json_error("lora_name and lora_path required")
+        ok, msg = await asyncio.to_thread(
+            self.engine.load_lora_adapter,
+            body["lora_name"],
+            body["lora_path"],
+        )
+        return web.json_response(
+            {"success": ok, "message": msg}, status=200 if ok else 400
+        )
+
+    async def unload_lora_adapter(self, request: web.Request) -> web.Response:
+        body = await _json_body(request)
+        if "lora_name" not in body:
+            return _json_error("lora_name required")
+        ok, msg = await asyncio.to_thread(
+            self.engine.unload_lora_adapter, body["lora_name"]
         )
         return web.json_response(
             {"success": ok, "message": msg}, status=200 if ok else 400

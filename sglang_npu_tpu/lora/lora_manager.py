@@ -37,24 +37,61 @@ TARGET_MAP = {
 
 class LoRAManager:
     def __init__(self, lora_paths: List[str], model, mesh):
-        """lora_paths entries: "name=path" or bare path (name = basename)."""
+        """lora_paths entries: "name=path" or bare path (name = basename).
+        May be empty (--enable-lora with no adapters: dynamic-only)."""
         self.model = model
         self.mesh = mesh
         self.name_to_id: Dict[str, int] = {}
-        self.paths: List[str] = []
+        # slot s (1-based id s+1) -> adapter path or None (freed slot);
+        # slot id 0 = no adapter
+        self.slots: List[Optional[str]] = []
         for spec in lora_paths:
             if "=" in spec:
                 name, path = spec.split("=", 1)
             else:
                 name, path = os.path.basename(spec.rstrip("/")), spec
-            self.name_to_id[name] = len(self.paths) + 1  # 0 = no adapter
-            self.name_to_id[path] = self.name_to_id[name]
-            self.paths.append(path)
+            self.slots.append(path)
+            self.name_to_id[name] = len(self.slots)
+            self.name_to_id[path] = len(self.slots)
 
     def lora_id(self, lora_path: Optional[str]) -> int:
         if not lora_path:
             return 0
         return self.name_to_id.get(lora_path, 0)
+
+    # ------------------------------------------------------------------
+    # Dynamic load/unload (reference `/load_lora_adapter` /
+    # `/unload_lora_adapter`, `http_server.py:625-643`).  A freed slot is
+    # reused when possible (no shape change -> no jit recompile); a new
+    # slot grows the stacked adapter dim (one-time recompile).
+    # ------------------------------------------------------------------
+    def add(self, name: str, path: str):
+        sid = self.name_to_id.get(name)
+        if sid is not None and self.slots[sid - 1] is not None:
+            return False, f"adapter {name!r} already loaded (slot {sid})"
+        if not os.path.exists(os.path.join(path, "adapter_config.json")):
+            return False, f"no adapter_config.json under {path!r}"
+        for i, p in enumerate(self.slots):
+            if p is None:
+                self.slots[i] = path
+                sid = i + 1
+                break
+        else:
+            self.slots.append(path)
+            sid = len(self.slots)
+        self.name_to_id[name] = sid
+        self.name_to_id[path] = sid
+        return True, f"loaded adapter {name!r} into slot {sid}"
+
+    def remove(self, name: str):
+        sid = self.name_to_id.get(name)
+        if sid is None or self.slots[sid - 1] is None:
+            return False, f"unknown adapter {name!r}"
+        path = self.slots[sid - 1]
+        self.slots[sid - 1] = None
+        self.name_to_id.pop(name, None)
+        self.name_to_id.pop(path, None)
+        return True, f"unloaded adapter {name!r} (slot {sid} freed)"
 
     # ------------------------------------------------------------------
     def build_params(self) -> Dict[str, object]:
@@ -64,12 +101,15 @@ class LoRAManager:
 
         shapes = self.model.param_shapes()["layers"]
         L = shapes["wq"][0][0]
-        n = len(self.paths) + 1
+        n = len(self.slots) + 1
 
-        # discover max rank + targets
+        # discover max rank + targets (freed slots contribute zeros)
         adapters = []
         max_rank = 1
-        for path in self.paths:
+        for path in self.slots:
+            if path is None:
+                adapters.append(None)
+                continue
             with open(os.path.join(path, "adapter_config.json")) as f:
                 cfg = json.load(f)
             rank = cfg["r"]
@@ -84,8 +124,9 @@ class LoRAManager:
 
         out: Dict[str, object] = {}
         scaling = np.zeros((n,), np.float32)
-        for i, (_, rank, alpha, _) in enumerate(adapters):
-            scaling[i + 1] = alpha / rank
+        for i, ad in enumerate(adapters):
+            if ad is not None:
+                scaling[i + 1] = ad[2] / ad[1]
         host: Dict[str, np.ndarray] = {}
         for mod, wkey in TARGET_MAP.items():
             if wkey not in shapes:
@@ -95,7 +136,10 @@ class LoRAManager:
             host[f"lora_{wkey}_b"] = np.zeros((Lk, n, max_rank, dout), np.float32)
 
         n_loaded = 0
-        for i, (_cfg, rank, _alpha, tensors) in enumerate(adapters):
+        for i, ad in enumerate(adapters):
+            if ad is None:
+                continue
+            _cfg, rank, _alpha, tensors = ad
             for key, t in tensors.items():
                 # ...model.layers.{l}.self_attn.q_proj.lora_A.weight
                 parts = key.split(".")

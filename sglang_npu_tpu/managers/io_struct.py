@@ -249,6 +249,20 @@ class UpdateWeightsFromTensorReqInput:
 
 
 @dataclasses.dataclass
+class LoadLoRAAdapterReqInput:
+    """Dynamic adapter load (reference `/load_lora_adapter`,
+    `http_server.py:625-643`)."""
+
+    lora_name: str
+    lora_path: str
+
+
+@dataclasses.dataclass
+class UnloadLoRAAdapterReqInput:
+    lora_name: str
+
+
+@dataclasses.dataclass
 class ReleaseMemoryOccupationReqInput:
     tags: Optional[List[str]] = None
 

@@ -46,7 +46,9 @@ from sglang_npu_tpu.managers.io_struct import (
     ReleaseMemoryOccupationReqInput,
     ResumeMemoryOccupationReqInput,
     TokenizedGenerateReqInput,
+    LoadLoRAAdapterReqInput,
     RebalanceExpertsReqInput,
+    UnloadLoRAAdapterReqInput,
     UpdateWeightFromDiskReqInput,
     UpdateWeightFromDiskReqOutput,
     UpdateWeightsFromTensorReqInput,
@@ -518,6 +520,24 @@ class Scheduler:
                 ok, msg = self.runner.update_weights_from_tensor(
                     item.named_tensors
                 )
+            except Exception as e:
+                ok, msg = False, str(e)
+            self.output_queue.put(
+                UpdateWeightFromDiskReqOutput(success=ok, message=msg)
+            )
+        elif isinstance(item, LoadLoRAAdapterReqInput):
+            try:
+                ok, msg = self.runner.load_lora_adapter(
+                    item.lora_name, item.lora_path
+                )
+            except Exception as e:
+                ok, msg = False, str(e)
+            self.output_queue.put(
+                UpdateWeightFromDiskReqOutput(success=ok, message=msg)
+            )
+        elif isinstance(item, UnloadLoRAAdapterReqInput):
+            try:
+                ok, msg = self.runner.unload_lora_adapter(item.lora_name)
             except Exception as e:
                 ok, msg = False, str(e)
             self.output_queue.put(

@@ -267,6 +267,7 @@ class ModelRunner:
             tp_degree(self.mesh) == 1
             and self.pp == 1
             and not server_args.lora_paths
+            and not server_args.enable_lora
             and getattr(self.model, "merge_groups", None)
             and isinstance(self.params.get("layers"), dict)
         ):
@@ -281,17 +282,13 @@ class ModelRunner:
 
         # Multi-LoRA adapters stacked into the param tree (slot 0 = none).
         self.lora_manager = None
-        if server_args.lora_paths:
+        if server_args.lora_paths or server_args.enable_lora:
             from sglang_npu_tpu.lora.lora_manager import LoRAManager
 
             self.lora_manager = LoRAManager(
-                server_args.lora_paths, self.model, self.mesh
+                server_args.lora_paths or [], self.model, self.mesh
             )
-            additions = self.lora_manager.build_params()
-            scaling = additions.pop("__scaling__")
-            self.params = dict(self.params)
-            self.params["layers"] = {**self.params["layers"], **additions}
-            self.params["lora_scaling"] = scaling
+            self._refresh_lora_params()
         if server_args.enable_eplb:
             # Identity placement; redundant slots stay unread (rc=1) until
             # the first rebalance copies live weights into them.
@@ -1780,6 +1777,46 @@ class ModelRunner:
         return np.asarray(fetch_np(self._moe_acc))
 
     # ------------------------------------------------------------------
+    def _refresh_lora_params(self):
+        """(Re)build the stacked adapter arrays from the manager's current
+        slots and splice them into the live param tree."""
+        additions = self.lora_manager.build_params()
+        scaling = additions.pop("__scaling__")
+        layers = {
+            k: v
+            for k, v in self.params["layers"].items()
+            if not k.startswith("lora_")
+        }
+        layers.update(additions)
+        self.params = dict(self.params)
+        self.params["layers"] = layers
+        self.params["lora_scaling"] = scaling
+
+    def load_lora_adapter(self, lora_name: str, lora_path: str):
+        """Dynamic adapter load (reference `/load_lora_adapter`,
+        `http_server.py:625`).  Reusing a freed slot keeps array shapes
+        (no recompile); a fresh slot grows the adapter dim (one-time
+        recompile of the forward buckets)."""
+        if self.lora_manager is None:
+            return False, (
+                "server not launched with LoRA enabled "
+                "(--lora-paths or --enable-lora)"
+            )
+        ok, msg = self.lora_manager.add(lora_name, lora_path)
+        if ok:
+            self._refresh_lora_params()
+        return ok, msg
+
+    def unload_lora_adapter(self, lora_name: str):
+        """Dynamic adapter unload: the slot zeroes (in-flight requests
+        pinned to it degrade to the base model) and becomes reusable."""
+        if self.lora_manager is None:
+            return False, "server not launched with LoRA enabled"
+        ok, msg = self.lora_manager.remove(lora_name)
+        if ok:
+            self._refresh_lora_params()
+        return ok, msg
+
     def update_weights_from_disk(self, model_path: str, load_format: str = "auto"):
         """Live weight swap (reference `model_runner.py:731`
         `update_weights_from_disk`, used for RL rollout weight sync)."""

@@ -22,9 +22,10 @@ Round-4 redesign (probes 7-10, `scripts/bench_w4_probe*.py`):
     int8 paths quantize activations in-kernel (per-token scale is one
     tiny XLA reduce).  The round-3 XLA-side plane-split/stack prep
     (strided copies per call) is gone.
-  * The zero-point correction runs IN-KERNEL as two depth-(BK/g) MXU
-    dots per tile against per-group activation sums — the separate XLA
-    [M, N] epilogue pass cost ~13 us/call at the decode shape (probe10).
+  * The a8 kernel fuses the zero-point correction as two depth-(BK/g)
+    MXU dots per tile (saves its ~10us XLA [M, N] epilogue pass); the
+    bf16/int8x2 kernels keep the XLA epilogue — in-kernel fusion measured
+    SLOWER for them (probe10: the b-stream + extra dots cost more).
   * int8 paths exploit dhi = 16*(x . (q_hi-8)) being EXACTLY divisible
     by 16: `dhi >> 4` replaces a f32 convert+multiply per plane, and the
     a16x2 combine (d1 << 7) + d2 is exact in i32 (|d1| < 2^18).  Probe9:
@@ -51,9 +52,8 @@ Kernel roles (probe10, production entry points at [*, 4096, 14336]):
 Zero-point convention: dequant w = q*s - b.  All kernels compute
     x_lo @ (q_lo * s)  +  x_hi @ ((q_hi - 8) * s)
       + 8 * (xsum_hi @ s) - xsum @ b
-where the per-group activation sums (xsum*, from the REAL activations)
-enter as the xh8/xs operands, pre-scaled to ride the kernels' output
-epilogue (see the callers).
+where the per-group activation sums come from the REAL activations (for
+a8/x2, pre-scaled to ride the kernels' sx output epilogue).
 """
 
 from __future__ import annotations
@@ -79,9 +79,6 @@ def _w4_matmul_kernel(
     x_ref,  # [BM, BK] bf16 — natural activation block
     qw_ref,  # [BK//2, BN] uint8
     s_ref,  # [BK//g, BN] f32
-    b_ref,  # [BK//g, BN] f32
-    xh8_ref,  # [BM, BK//g] f32 — 8 * per-group hi-half activation sums
-    xs_ref,  # [BM, BK//g] f32 — per-group activation sums
     o_ref,  # [BM, BN] out dtype
     acc_ref,  # [BM, BN] f32 scratch
     xlo_ref,  # [BM, BK//2] bf16 scratch — gathered lo-plane activations
@@ -119,7 +116,7 @@ def _w4_matmul_kernel(
     whi = (hi_bf.reshape(G_blk, gh, BN) * sh).reshape(BKh, BN)
     acc = jnp.dot(xlo_ref[...], wlo, preferred_element_type=jnp.float32)
     acc += jnp.dot(xhi_ref[...], whi, preferred_element_type=jnp.float32)
-    acc_ref[...] += _zp_dots(acc, xh8_ref, xs_ref, s_ref, b_ref)
+    acc_ref[...] += acc
 
     @pl.when(k == nk - 1)
     def _():
@@ -186,9 +183,6 @@ def _w4a16x2_matmul_kernel(
     x_ref,  # [BM, BK] bf16 — natural activation block
     qw_ref,  # [BK//2, BN] uint8
     s_ref,  # [BK//g, BN] f32
-    b_ref,  # [BK//g, BN] f32
-    xh8_ref,  # [BM, BK//g] f32 — 8*hi-sums * 128/sx
-    xs_ref,  # [BM, BK//g] f32 — sums * 128/sx
     sx_ref,  # [BM, 128] f32 — per-token coarse scale (col 0)
     o_ref,  # [BM, BN] out dtype
     acc_ref,  # [BM, BN] f32 scratch
@@ -233,7 +227,7 @@ def _w4a16x2_matmul_kernel(
         d = dlo + jax.lax.shift_right_arithmetic(dhi, 4)  # [2BM, BN] exact
         D = jax.lax.shift_left(d[:BM], 7) + d[BM:]  # exact, |d1| < 2^18
         a += D.astype(jnp.float32) * s_ref[G, :][None, :]
-    acc_ref[...] += _zp_dots(a, xh8_ref, xs_ref, s_ref, b_ref)
+    acc_ref[...] += a
 
     @pl.when(k == nk - 1)
     def _():
@@ -264,6 +258,15 @@ def _plan(M: int, K: int, N: int, g: int):
     return BK, BN, BM, Mp
 
 
+def _zp_correction(x32, s, b, g: int):
+    """XLA-side  8*(xsum_hi @ s) - xsum @ b  epilogue (used by the bf16 and
+    int8x2 kernels — in-kernel fusion measured SLOWER for them, probe10:
+    the b-stream + extra dots exceed the saved [M, N] pass; the a8 kernel
+    keeps the fused version, where it wins)."""
+    xh8, xs = _group_sums(x32, g)
+    return xh8 @ s - xs @ b
+
+
 def _group_sums(x32, g: int):
     """(8*hi-half sums, full sums) per group — the zero-point operands;
     x32 [Mp, K] f32 -> two [Mp, K//g] f32."""
@@ -292,11 +295,15 @@ def _call_w4_kernel(kernel, x, qw, s, b, zp, extra, M, K, N, g, interpret,
         pl.BlockSpec(
             (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
         ),
-        pl.BlockSpec(
-            (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
-        ),
     ]
-    args = [x, qw, s, b]
+    args = [x, qw, s]
+    if b is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(b)
     for e in zp:  # xh8, xs: [Mp, K//g]
         in_specs.append(
             pl.BlockSpec(
@@ -343,15 +350,15 @@ def matmul_w4(
     x32 = x.astype(jnp.float32)
     if Mp != M:
         x32 = jnp.pad(x32, ((0, Mp - M), (0, 0)))
-    xh8, xs = _group_sums(x32, g)
-    return _call_w4_kernel(
-        _w4_matmul_kernel, x32.astype(jnp.bfloat16), qw, s, b,
-        (xh8, xs), (), M, K, N, g, interpret,
+    out = _call_w4_kernel(
+        _w4_matmul_kernel, x32.astype(jnp.bfloat16), qw, s, None,
+        (), (), M, K, N, g, interpret,
         lambda BM, BK: [
             pltpu.VMEM((BM, BK // 2), jnp.bfloat16),
             pltpu.VMEM((BM, BK // 2), jnp.bfloat16),
         ],
     )
+    return out + _zp_correction(x32, s, b, g)[:M].astype(out.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
@@ -405,13 +412,12 @@ def matmul_w4a16x2(
     if Mp != M:
         x32 = jnp.pad(x32, ((0, Mp - M), (0, 0)))
     sx, sxt = _sx_tile(x32, Mp)
-    xh8, xs = _group_sums(x32, g)
-    f = 128.0 / sx
-    return _call_w4_kernel(
-        _w4a16x2_matmul_kernel, x32.astype(x.dtype), qw, s, b,
-        (xh8 * f, xs * f), (sxt,), M, K, N, g, interpret,
+    out = _call_w4_kernel(
+        _w4a16x2_matmul_kernel, x32.astype(x.dtype), qw, s, None,
+        (), (sxt,), M, K, N, g, interpret,
         lambda BM, BK: [pltpu.VMEM((2, BM, BK), jnp.int8)],
     )
+    return out + _zp_correction(x32, s, b, g)[:M].astype(out.dtype)
 
 
 def einsum_w4(x: jax.Array, w, eq: str, act: str = "a16") -> jax.Array:

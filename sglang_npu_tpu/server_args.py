@@ -202,6 +202,9 @@ class ServerArgs:
     # ------------------------------------------------------------------
     enable_lora: bool = False
     lora_paths: Optional[List[str]] = None
+    # enable the LoRA machinery with zero initial adapters so
+    # /load_lora_adapter can add them at runtime (reference --enable-lora)
+    enable_lora: bool = False
     max_loras_per_batch: int = 4
 
     # ------------------------------------------------------------------

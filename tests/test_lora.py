@@ -87,3 +87,61 @@ def test_lora_matches_merged(setup):
         assert outs[1]["output_ids"] == ref_base
     finally:
         e.shutdown()
+
+
+def test_dynamic_lora_load_unload(setup):
+    """Runtime adapter management (reference `/load_lora_adapter` /
+    `/unload_lora_adapter`, `http_server.py:625-643`): a server launched
+    with --enable-lora and no adapters loads one at runtime, serves it,
+    unloads it (slot freed), and reuses the freed slot without a shape
+    change."""
+    base_dir, adapter_path, base, merged = setup
+    e = Engine(
+        model_path=base_dir, dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=4096, attention_backend="xla",
+        random_seed=0, enable_lora=True,
+    )
+    try:
+        prompt = list(np.random.default_rng(7).integers(3, VOCAB, size=10))
+        sp = {"max_new_tokens": 5, "temperature": 0.0, "ignore_eos": True}
+
+        def hf_ref(m):
+            with torch.no_grad():
+                return m.generate(
+                    torch.tensor([prompt]), max_new_tokens=5, do_sample=False
+                )[0][len(prompt):].tolist()
+
+        base.eval()
+        # no adapters yet: base behavior, unknown adapter name -> slot 0
+        out0 = e.generate(input_ids=prompt, sampling_params=sp)
+        assert out0["output_ids"] == hf_ref(base)
+
+        ok, msg = e.load_lora_adapter("dyn1", adapter_path)
+        assert ok, msg
+        out1 = e.generate(
+            input_ids=prompt, sampling_params=sp, lora_path="dyn1"
+        )
+        assert out1["output_ids"] == hf_ref(merged)
+
+        ok, msg = e.unload_lora_adapter("dyn1")
+        assert ok, msg
+        out2 = e.generate(
+            input_ids=prompt, sampling_params=sp, lora_path="dyn1"
+        )
+        assert out2["output_ids"] == hf_ref(base)
+
+        # freed slot reuse: shapes unchanged -> same stacked adapter dim
+        n_before = e.model_runner.params["lora_scaling"].shape[0]
+        ok, msg = e.load_lora_adapter("dyn2", adapter_path)
+        assert ok, msg
+        assert e.model_runner.params["lora_scaling"].shape[0] == n_before
+        out3 = e.generate(
+            input_ids=prompt, sampling_params=sp, lora_path="dyn2"
+        )
+        assert out3["output_ids"] == hf_ref(merged)
+
+        # double-load and unknown unload are clean errors
+        assert not e.load_lora_adapter("dyn2", adapter_path)[0]
+        assert not e.unload_lora_adapter("nope")[0]
+    finally:
+        e.shutdown()
