@@ -42,7 +42,7 @@ def main():
             quantization=spec["quantization"],
             kv_cache_dtype=spec["kv_cache_dtype"],
             page_size=16,
-            max_total_tokens=max(spec["max_total_tokens"], batch * 256),
+            max_total_tokens=max(spec["max_total_tokens"], batch * 320),
             skip_tokenizer_init=True,
             random_seed=0,
             max_prefill_tokens=8192,

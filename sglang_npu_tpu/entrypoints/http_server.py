@@ -445,11 +445,23 @@ class HttpServer:
         out_dir = body.get("output_dir") or "/tmp/sglang_tpu_profile"
         import jax
 
+        num_steps = body.get("num_steps")
+        if body.get("by_stage"):
+            # by-stage capture (reference --profile-by-stage): the
+            # scheduler writes SEPARATE traces for the next N prefill
+            # forwards (out_dir/prefill) and N decode windows
+            # (out_dir/decode)
+            n = int(num_steps or 3)
+            for sched in getattr(self.engine, "schedulers", []):
+                sched.start_stage_profile(out_dir, n)
+            self._profile_dir = out_dir
+            return web.json_response(
+                {"success": True, "output_dir": out_dir, "by_stage": True}
+            )
         try:
             jax.profiler.start_trace(out_dir)
         except Exception as e:
             return _json_error(f"profiler start failed: {e}", 500)
-        num_steps = body.get("num_steps")
         if num_steps:
             # bounded capture: the scheduler stops the trace after N
             # forwards (reference /start_profile num_steps)

@@ -245,6 +245,9 @@ class Scheduler:
         # profiler: stop the jax trace after N forwards (reference
         # /start_profile num_steps)
         self.profile_steps_remaining: Optional[int] = None
+        # by-stage capture (reference --profile-by-stage,
+        # scheduler_profiler_mixin.py): separate prefill/decode traces
+        self.profile_stage_state: Optional[dict] = None
 
         # Multi-turn sessions (reference session_controller.py)
         from sglang_npu_tpu.managers.session_controller import SessionController
@@ -315,13 +318,16 @@ class Scheduler:
                     self._consecutive_failures = 0
                     continue
                 if not is_prefill:
+                    self._profile_stage_begin("decode")
                     handle = self.runner.decode_dispatch(mwb)
                     self._run_decode_window(mwb, handle)
                     self._consecutive_failures = 0
                     continue
+                self._profile_stage_begin("prefill")
                 next_tokens, logprob_info = self.runner.forward_and_sample(mwb)
                 self.forward_ct += 1
                 self._profile_tick()
+                self._profile_stage_end("prefill")
                 if is_prefill and self.draft_runner is not None:
                     # keep the draft model's KV in lockstep (same slots)
                     self.draft_runner.forward_and_sample(mwb)
@@ -348,6 +354,18 @@ class Scheduler:
                     self._consecutive_failures = 0
                 else:
                     self._abort_current_batch("internal scheduler error")
+        if (
+            self.profile_stage_state is not None
+            and self.profile_stage_state.get("active") is not None
+        ):
+            # never leave a jax trace open across shutdown
+            try:
+                import jax
+
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+            self.profile_stage_state = None
         cache_shutdown = getattr(self.tree_cache, "shutdown", None)
         if cache_shutdown is not None:
             cache_shutdown()
@@ -369,6 +387,8 @@ class Scheduler:
         can_chain = (
             handle.chainable
             and not self.server_args.disable_window_pipelining
+            # by-stage traces must not straddle windows
+            and self.profile_stage_state is None
             and self.spmd is None  # lockstep replicas re-derive composition
             and self.draft_runner is None
             and self.eagle is None
@@ -400,6 +420,7 @@ class Scheduler:
         next_tokens, logprob_info = self.runner.decode_fetch(handle)
         self.forward_ct += 1
         self._profile_tick()
+        self._profile_stage_end("decode")
         self.process_batch_result(mwb, next_tokens, False, logprob_info)
 
     def shutdown(self):
@@ -1525,6 +1546,53 @@ class Scheduler:
                 logger.info("profiler trace stopped (num_steps reached)")
             except Exception:
                 logger.exception("profiler stop failed")
+
+    def start_stage_profile(self, out_dir: str, num_steps: int):
+        """Arm by-stage capture: the next `num_steps` prefill forwards and
+        `num_steps` decode windows each get their OWN jax trace under
+        out_dir/prefill and out_dir/decode (reference --profile-by-stage,
+        `scheduler_profiler_mixin.py`)."""
+        self.profile_stage_state = {
+            "dir": out_dir,
+            "remaining": {"prefill": num_steps, "decode": num_steps},
+            "active": None,
+        }
+
+    def _profile_stage_begin(self, stage: str):
+        st = self.profile_stage_state
+        if st is None:
+            return
+        import jax
+
+        if st["remaining"].get(stage, 0) <= 0:
+            if st["active"] == stage:
+                # shouldn't happen, but never trace past the budget
+                jax.profiler.stop_trace()
+                st["active"] = None
+            return
+        if st["active"] != stage:
+            if st["active"] is not None:
+                jax.profiler.stop_trace()
+            import os as _os
+
+            jax.profiler.start_trace(_os.path.join(st["dir"], stage))
+            st["active"] = stage
+
+    def _profile_stage_end(self, stage: str):
+        st = self.profile_stage_state
+        if st is None or st["active"] != stage:
+            return
+        import jax
+
+        st["remaining"][stage] -= 1
+        if st["remaining"][stage] <= 0:
+            jax.profiler.stop_trace()
+            st["active"] = None
+            if all(v <= 0 for v in st["remaining"].values()):
+                self.profile_stage_state = None
+                logger.info(
+                    "by-stage profiler finished (traces under %s)", st["dir"]
+                )
 
     def _record_recent(self, req: Req):
         self._recent_reqs.append({

@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -369,6 +370,21 @@ class ModelRunner:
         self.max_pages_per_req = cdiv(
             model_config.context_length, self.page_size
         )
+
+        # tensor dump/compare debugging (reference `debug_utils/dumper.py`
+        # + `--debug-tensor-dump-*`): see scripts/dump_compare.py
+        self.dump_dir = server_args.debug_tensor_dump_output_folder
+        self._dump_ct = 0
+        if self.dump_dir:
+            os.makedirs(self.dump_dir, exist_ok=True)
+            if hasattr(self.model, "debug_forward"):
+                self._dump_step_fn = self._build_dump_step_fn()
+            else:
+                self._dump_step_fn = None
+                logger.warning(
+                    "%s has no debug_forward; tensor dump records "
+                    "tokens/logits metadata only", type(self.model).__name__,
+                )
 
     # ------------------------------------------------------------------
     def _resolve_kv_dtype(self):
@@ -840,6 +856,66 @@ class ModelRunner:
             ),
         )
 
+    def _build_dump_step_fn(self):
+        """Extend step variant for tensor-dump debugging: the model's
+        debug_forward (per-layer residual hiddens) + the standard sampling
+        chain.  Reference `debug_utils/dumper.py` (dump) +
+        `dump_comparator.py` (compare; here scripts/dump_compare.py)."""
+        model = self.model
+        page_size = self.page_size
+
+        def step(
+            params, kv_pool, fb: ForwardBatch, sampling, rng, sample_mode,
+            has_penalties=False, has_min_new=False, has_logit_bias=False,
+        ):
+            logits, kv_pool, aux = model.debug_forward(
+                params, kv_pool, fb, page_size
+            )
+            raw_logits = logits
+            if has_penalties:
+                co, ca = sampler_ops.build_penalty_counts(
+                    sampling, logits.shape[-1]
+                )
+                logits = sampler_ops.apply_penalties(logits, sampling, co, ca)
+            if has_logit_bias:
+                logits = sampler_ops.apply_logit_bias(logits, sampling)
+            if sampling.vocab_mask is not None:
+                logits = sampler_ops.apply_packed_vocab_mask(
+                    logits, sampling.vocab_mask
+                )
+            if has_min_new:
+                logits = sampler_ops.apply_min_new_tokens(logits, sampling, 0)
+            if sample_mode == "greedy":
+                toks = sampler_ops.sample_greedy(logits, sampling, rng)
+            elif sample_mode == "simple":
+                toks = sampler_ops.sample_simple(logits, sampling, rng)
+            else:
+                toks = sampler_ops.sample_full(logits, sampling, rng)
+            return (toks, aux, raw_logits), kv_pool
+
+        return jax.jit(
+            step,
+            donate_argnums=(1,),
+            static_argnames=(
+                "sample_mode", "has_penalties", "has_min_new",
+                "has_logit_bias",
+            ),
+        )
+
+    def _dump_write(self, kind: str, **arrays):
+        self._dump_ct += 1
+        path = os.path.join(
+            self.dump_dir, f"{self._dump_ct:06d}_{kind}.npz"
+        )
+        np.savez(
+            path,
+            **{
+                k: np.asarray(v)
+                for k, v in arrays.items()
+                if v is not None
+            },
+        )
+
     def _build_multi_step_fn(self):
         """K decode steps fused in one jit with on-device token feedback —
         the TPU answer to per-step dispatch latency (and the clean version
@@ -1246,6 +1322,35 @@ class ModelRunner:
                 )
                 self.eagle.kv_pool, self.eagle.hidden_buf = eagle_state
                 return np.asarray(fetch_np(out))[: mwb.real_bs], None
+            if (
+                self.dump_dir
+                and self._dump_step_fn is not None
+                and not rl
+                and restore is None
+            ):
+                out, self.kv_pool = self._dump_step_fn(
+                    self.params,
+                    self.kv_pool,
+                    fb,
+                    sampling,
+                    rng,
+                    sample_mode=self._sample_mode(mwb),
+                    has_penalties=mwb.sampling_info.has_penalties,
+                    has_min_new=mwb.sampling_info.has_min_new,
+                    has_logit_bias=mwb.sampling_info.has_logit_bias,
+                )
+                toks, aux, raw_logits = out
+                n = mwb.real_bs
+                self._dump_write(
+                    "extend",
+                    input_ids=fb.input_ids[:n],
+                    positions=fb.positions[:n],
+                    extend_seq_lens=mwb.extend_seq_lens,
+                    hidden=aux[:, :n],
+                    logits=raw_logits[:n],
+                    tokens=np.asarray(fetch_np(toks))[:n],
+                )
+                return np.asarray(fetch_np(toks))[:n], None
             out, self.kv_pool = self._step_fn(
                 self.params,
                 self.kv_pool,
@@ -1407,7 +1512,12 @@ class ModelRunner:
             (lambda a: a[restore]) if restore is not None else (lambda a: a[:n])
         )
         if not rl:
-            return take(np.asarray(fetch_np(out))), None
+            toks = take(np.asarray(fetch_np(out)))
+            if self.dump_dir:
+                self._dump_write(
+                    "decode", seq_lens=mwb.seq_lens, tokens=toks
+                )
+            return toks, None
         got = tuple(fetch_np(o) for o in out)
         if len(got) == 5:
             toks, chosen, tv, ti, inp_lp = got

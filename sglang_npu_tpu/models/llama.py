@@ -190,6 +190,13 @@ class LlamaForCausalLM:
             )
         else:
             last, new_kv = self.hidden_forward(params, kv_pool, fb, page_size)
+        logits = self.logits_from_hidden(params, last)
+        if collect_moe:
+            return logits, new_kv, moe_stats
+        return logits, new_kv
+
+    def logits_from_hidden(self, params, last):
+        """lm-head tail shared by __call__ and debug_forward."""
         # bf16 x bf16 matmul with f32 accumulation — never materialize an
         # f32 copy of the vocab matrix.
         if "lm_head" not in params:
@@ -210,9 +217,22 @@ class LlamaForCausalLM:
             logits = logits + params["lm_head_b"]
         if self.logits_scaling != 1.0:
             logits = logits / self.logits_scaling
-        if collect_moe:
-            return logits, new_kv, moe_stats
-        return logits, new_kv
+        return logits
+
+    def debug_forward(self, params, kv_pool, fb: ForwardBatch, page_size: int):
+        """Tensor-dump forward (reference `debug_utils/dumper.py`): the
+        normal extend forward PLUS the post-layer residual stream of every
+        layer.  Returns (logits [B, V], new_kv, aux [L, B, E, D])."""
+        L = self.config.num_hidden_layers
+        x, new_kv, aux = self.backbone_forward(
+            params, kv_pool, fb, page_size, aux_after=tuple(range(L))
+        )
+        if fb.extend_seq_lens is not None:
+            idx = jnp.maximum(fb.extend_seq_lens - 1, 0)
+            last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+        else:
+            last = x[:, 0]
+        return self.logits_from_hidden(params, last), new_kv, aux
 
     def _rope_cos_sin(self, fb: ForwardBatch):
         """Per-token rope cos/sin [..., D/2].  Standard models gather at

@@ -205,6 +205,12 @@ class ServerArgs:
     # enable the LoRA machinery with zero initial adapters so
     # /load_lora_adapter can add them at runtime (reference --enable-lora)
     enable_lora: bool = False
+    # tensor dump/compare debugging (reference --debug-tensor-dump-* +
+    # `debug_utils/dumper.py`): every extend forward dumps per-layer
+    # residual hiddens + logits + sampled tokens as npz under this folder;
+    # decode windows dump their token streams.  Compare two runs with
+    # `scripts/dump_compare.py`.
+    debug_tensor_dump_output_folder: Optional[str] = None
     max_loras_per_batch: int = 4
 
     # ------------------------------------------------------------------
