@@ -546,6 +546,42 @@ class Engine:
         out = self.tokenizer_manager.control_mailbox.get(timeout=600)
         return out.success, out.message
 
+    def init_weights_update_group(
+        self, master_address: str, master_port: int = 0,
+        group_name: str = "default",
+    ):
+        """Join a trainer's weight-publish group (reference
+        `Engine.init_weights_update_group` — NCCL there, ZMQ here; see
+        weight_sync.py)."""
+        from sglang_npu_tpu.managers.io_struct import (
+            InitWeightsUpdateGroupReqInput,
+        )
+
+        self._sched_in.put(
+            InitWeightsUpdateGroupReqInput(
+                master_address=master_address,
+                master_port=master_port,
+                group_name=group_name,
+            )
+        )
+        out = self.tokenizer_manager.control_mailbox.get(timeout=600)
+        return out.success, out.message
+
+    def update_weights_from_distributed(self, names, group_name="default"):
+        """Pull named tensors from the trainer group and apply (reference
+        `Engine.update_weights_from_distributed`)."""
+        from sglang_npu_tpu.managers.io_struct import (
+            UpdateWeightsFromDistributedReqInput,
+        )
+
+        self._sched_in.put(
+            UpdateWeightsFromDistributedReqInput(
+                names=list(names), group_name=group_name
+            )
+        )
+        out = self.tokenizer_manager.control_mailbox.get(timeout=600)
+        return out.success, out.message
+
     def load_lora_adapter(self, lora_name: str, lora_path: str):
         """Dynamic adapter load (reference `Engine.load_lora_adapter` /
         `/load_lora_adapter`, `http_server.py:625`)."""

@@ -80,6 +80,13 @@ class HttpServer:
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
         r.add_post("/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
+        r.add_post(
+            "/init_weights_update_group", self.init_weights_update_group
+        )
+        r.add_post(
+            "/update_weights_from_distributed",
+            self.update_weights_from_distributed,
+        )
         r.add_post("/prefill_only", self.prefill_only)
         r.add_post("/receive_prefill", self.receive_prefill)
         r.add_post("/pd_register", self.pd_register)
@@ -296,6 +303,38 @@ class HttpServer:
             self.engine.update_weights_from_disk,
             body["model_path"],
             body.get("load_format"),
+        )
+        return web.json_response(
+            {"success": ok, "message": msg}, status=200 if ok else 400
+        )
+
+    async def init_weights_update_group(
+        self, request: web.Request
+    ) -> web.Response:
+        """Reference `/init_weights_update_group` (RL trainer attach)."""
+        body = await _json_body(request)
+        if "master_address" not in body:
+            return _json_error("master_address required")
+        ok, msg = await asyncio.to_thread(
+            self.engine.init_weights_update_group,
+            body["master_address"],
+            int(body.get("master_port", 0)),
+            body.get("group_name", "default"),
+        )
+        return web.json_response(
+            {"success": ok, "message": msg}, status=200 if ok else 400
+        )
+
+    async def update_weights_from_distributed(
+        self, request: web.Request
+    ) -> web.Response:
+        body = await _json_body(request)
+        if "names" not in body:
+            return _json_error("names required")
+        ok, msg = await asyncio.to_thread(
+            self.engine.update_weights_from_distributed,
+            body["names"],
+            body.get("group_name", "default"),
         )
         return web.json_response(
             {"success": ok, "message": msg}, status=200 if ok else 400

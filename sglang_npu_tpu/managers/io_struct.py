@@ -249,6 +249,25 @@ class UpdateWeightsFromTensorReqInput:
 
 
 @dataclasses.dataclass
+class InitWeightsUpdateGroupReqInput:
+    """Join a trainer's weight-publish group (reference
+    `init_weights_update_group`, NCCL there / ZMQ here)."""
+
+    master_address: str
+    master_port: int = 0
+    group_name: str = "default"
+
+
+@dataclasses.dataclass
+class UpdateWeightsFromDistributedReqInput:
+    """Pull the named tensors from the group and apply (reference
+    `update_weights_from_distributed`)."""
+
+    names: list
+    group_name: str = "default"
+
+
+@dataclasses.dataclass
 class LoadLoRAAdapterReqInput:
     """Dynamic adapter load (reference `/load_lora_adapter`,
     `http_server.py:625-643`)."""

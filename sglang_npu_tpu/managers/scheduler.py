@@ -46,7 +46,9 @@ from sglang_npu_tpu.managers.io_struct import (
     ReleaseMemoryOccupationReqInput,
     ResumeMemoryOccupationReqInput,
     TokenizedGenerateReqInput,
+    InitWeightsUpdateGroupReqInput,
     LoadLoRAAdapterReqInput,
+    UpdateWeightsFromDistributedReqInput,
     RebalanceExpertsReqInput,
     UnloadLoRAAdapterReqInput,
     UpdateWeightFromDiskReqInput,
@@ -522,6 +524,9 @@ class Scheduler:
                 ok, msg = self.runner.update_weights_from_disk(
                     item.model_path, item.load_format or "auto"
                 )
+                if ok:
+                    # cached prefix KV was computed with the old weights
+                    self.flush_cache()
             except Exception as e:
                 ok, msg = False, str(e)
             self.output_queue.put(
@@ -541,6 +546,32 @@ class Scheduler:
                 ok, msg = self.runner.update_weights_from_tensor(
                     item.named_tensors
                 )
+                if ok:
+                    # cached prefix KV was computed with the old weights
+                    self.flush_cache()
+            except Exception as e:
+                ok, msg = False, str(e)
+            self.output_queue.put(
+                UpdateWeightFromDiskReqOutput(success=ok, message=msg)
+            )
+        elif isinstance(item, InitWeightsUpdateGroupReqInput):
+            try:
+                ok, msg = self.runner.init_weights_update_group(
+                    item.master_address, item.master_port, item.group_name
+                )
+            except Exception as e:
+                ok, msg = False, str(e)
+            self.output_queue.put(
+                UpdateWeightFromDiskReqOutput(success=ok, message=msg)
+            )
+        elif isinstance(item, UpdateWeightsFromDistributedReqInput):
+            try:
+                ok, msg = self.runner.update_weights_from_distributed(
+                    item.names, item.group_name
+                )
+                if ok:
+                    # cached prefix KV was computed with the old weights
+                    self.flush_cache()
             except Exception as e:
                 ok, msg = False, str(e)
             self.output_queue.put(
@@ -551,6 +582,9 @@ class Scheduler:
                 ok, msg = self.runner.load_lora_adapter(
                     item.lora_name, item.lora_path
                 )
+                if ok:
+                    # cached prefix KV was computed with the old weights
+                    self.flush_cache()
             except Exception as e:
                 ok, msg = False, str(e)
             self.output_queue.put(
@@ -559,6 +593,9 @@ class Scheduler:
         elif isinstance(item, UnloadLoRAAdapterReqInput):
             try:
                 ok, msg = self.runner.unload_lora_adapter(item.lora_name)
+                if ok:
+                    # cached prefix KV was computed with the old weights
+                    self.flush_cache()
             except Exception as e:
                 ok, msg = False, str(e)
             self.output_queue.put(

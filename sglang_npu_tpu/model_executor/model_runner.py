@@ -1964,6 +1964,43 @@ class ModelRunner:
         self.server_args.model_path = model_path
         return True, "weights updated"
 
+    def init_weights_update_group(
+        self, master_address: str, master_port: int = 0,
+        group_name: str = "default",
+    ):
+        """Connect to a trainer's weight-publish socket (reference
+        `init_weights_update_group`, `model_runner.py:831` — there a NCCL
+        group; here the ZMQ control plane, see weight_sync.py)."""
+        import zmq
+
+        addr = master_address
+        if "://" not in addr:
+            addr = f"tcp://{addr}:{master_port}"
+        ctx = zmq.Context.instance()
+        sock = ctx.socket(zmq.PULL)
+        sock.connect(addr)
+        if not hasattr(self, "_wsync_socks"):
+            self._wsync_socks = {}
+        self._wsync_socks[group_name] = sock
+        return True, f"weight update group {group_name!r} -> {addr}"
+
+    def update_weights_from_distributed(
+        self, names, group_name: str = "default"
+    ):
+        """Receive the named tensors from the trainer group and apply them
+        in place (reference `update_weights_from_distributed`,
+        `model_runner.py:869-914`)."""
+        from sglang_npu_tpu.weight_sync import recv_named
+
+        sock = getattr(self, "_wsync_socks", {}).get(group_name)
+        if sock is None:
+            return False, (
+                f"weight update group {group_name!r} not initialized "
+                "(call init_weights_update_group first)"
+            )
+        tensors = recv_named(sock, list(names))
+        return self.update_weights_from_tensor(tensors)
+
     def update_weights_from_tensor(self, named_tensors):
         """In-memory weight sync (reference
         `update_weights_from_tensor`, RL rollout weight push): HF-named

@@ -148,6 +148,9 @@ class Router:
         self.quarantined: set = set()
         self.session: Optional[aiohttp.ClientSession] = None
         self._health_task = None
+        # optional ServiceDiscovery (k8s pod watch / file watch) attached
+        # before build_app (reference sgl-router service_discovery.rs)
+        self.discovery = None
 
     def _all_workers(self):
         return self.workers + self.pd_prefill + self.pd_decode
@@ -455,10 +458,14 @@ class Router:
             )
             if self.health_interval > 0:
                 self._health_task = asyncio.create_task(self._health_loop())
+            if self.discovery is not None:
+                self.discovery.start()
 
         async def on_cleanup(app):
             if self._health_task:
                 self._health_task.cancel()
+            if self.discovery is not None:
+                self.discovery.stop()
             if self.session:
                 await self.session.close()
 
@@ -490,6 +497,20 @@ def main(argv=None):
         "router; http/shm push directly prefill->decode via bootstrap "
         "rooms (shm = same-host /dev/shm fast path)",
     )
+    # service discovery (reference sgl-router service_discovery.rs)
+    p.add_argument("--service-discovery", action="store_true",
+                   help="discover workers from the Kubernetes pod API")
+    p.add_argument("--k8s-namespace", default="default")
+    p.add_argument("--k8s-selector", default="",
+                   help="labelSelector for regular workers, e.g. app=sglang")
+    p.add_argument("--k8s-prefill-selector", default="")
+    p.add_argument("--k8s-decode-selector", default="")
+    p.add_argument("--k8s-port", type=int, default=30000)
+    p.add_argument("--k8s-api-base", default=None,
+                   help="override the API endpoint (tests / out-of-cluster)")
+    p.add_argument("--discovery-watch-file", default=None,
+                   help="poll a JSON file of worker URLs instead of k8s")
+    p.add_argument("--discovery-interval", type=float, default=10.0)
     args = p.parse_args(argv)
     router = Router(
         args.worker_urls,
@@ -501,6 +522,27 @@ def main(argv=None):
         health_interval=args.health_interval,
         pd_transfer=args.pd_transfer,
     )
+    if args.service_discovery or args.discovery_watch_file:
+        from sglang_npu_tpu.router.service_discovery import (
+            FileSource,
+            KubernetesSource,
+            ServiceDiscovery,
+        )
+
+        if args.discovery_watch_file:
+            src = FileSource(args.discovery_watch_file)
+        else:
+            src = KubernetesSource(
+                namespace=args.k8s_namespace,
+                selector=args.k8s_selector,
+                prefill_selector=args.k8s_prefill_selector,
+                decode_selector=args.k8s_decode_selector,
+                port=args.k8s_port,
+                api_base=args.k8s_api_base,
+            )
+        router.discovery = ServiceDiscovery(
+            router, src, args.discovery_interval
+        )
     web.run_app(router.build_app(), host=args.host, port=args.port)
 
 

@@ -167,3 +167,67 @@ def test_mmlu_harness_and_engine_score(tmp_path):
         assert len(scores) == 3
     finally:
         e.shutdown()
+
+
+def test_update_weights_from_distributed(tmp_path):
+    """RL trainer push over the ZMQ group (reference
+    `update_weights_from_distributed`, `model_runner.py:831-914`): the
+    engine joins the publisher's group, pulls named tensors, and greedy
+    output flips to the new weights."""
+    d = tmp_path / "wsync_model"
+    d.mkdir()
+    hf_a = _save_tiny(d, seed=0)
+    hf_b = _save_tiny_state_only(seed=1)
+
+    from sglang_npu_tpu.weight_sync import WeightPublisher
+
+    e = Engine(
+        model_path=str(d), dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=2048, attention_backend="xla",
+        random_seed=0,
+    )
+    pub = WeightPublisher()
+    try:
+        prompt = list(np.random.default_rng(0).integers(3, VOCAB, size=8))
+        sp = {"max_new_tokens": 5, "temperature": 0.0, "ignore_eos": True}
+
+        def ref(m):
+            with torch.no_grad():
+                return m.generate(
+                    torch.tensor([prompt]), max_new_tokens=5, do_sample=False
+                )[0][len(prompt):].tolist()
+
+        assert e.generate(input_ids=prompt, sampling_params=sp)[
+            "output_ids"
+        ] == ref(hf_a.eval())
+
+        ok, msg = e.init_weights_update_group(pub.address)
+        assert ok, msg
+
+        named = [
+            (k, v.numpy()) for k, v in hf_b.state_dict().items()
+        ]
+        pub.send_named(named)
+        ok, msg = e.update_weights_from_distributed([n for n, _ in named])
+        assert ok, msg
+
+        assert e.generate(input_ids=prompt, sampling_params=sp)[
+            "output_ids"
+        ] == ref(hf_b.eval())
+
+        # unknown group is a clean error
+        ok, _ = e.update_weights_from_distributed(["x"], group_name="nope")
+        assert not ok
+    finally:
+        pub.close()
+        e.shutdown()
+
+
+def _save_tiny_state_only(seed):
+    cfg = transformers.LlamaConfig(
+        vocab_size=VOCAB, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=256, torch_dtype="float32", eos_token_id=2,
+    )
+    torch.manual_seed(seed)
+    return transformers.LlamaForCausalLM(cfg)
