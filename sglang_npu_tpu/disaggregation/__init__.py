@@ -33,6 +33,24 @@ import numpy as np
 SHM_DIR = os.environ.get("SGLANG_PD_SHM_DIR", "/dev/shm")
 
 
+class DeviceKV:
+    """Device-path KV handoff (reference design point: mooncake
+    `TransferEngine`, `disaggregation/mooncake/conn.py:1` — there RDMA
+    NIC-to-NIC; here the gathered rows STAY a jax device array and the
+    decode engine reshards them onto its own mesh with `device_put`, so
+    on hardware the bytes ride ICI/DCN and never touch the host).  Only
+    valid when prefill and decode engines share a process/slice
+    (`--pd-device-handoff`); cross-cluster pairs keep the host engines."""
+
+    def __init__(self, rows, n: int):
+        self.rows = rows  # jax.Array [L, 2, H, padded, D] (pool layout)
+        self.n = n
+
+    @property
+    def nbytes(self) -> int:
+        return self.rows.size * self.rows.dtype.itemsize
+
+
 # ----------------------------------------------------------------------
 # Payload codec (shared by every engine and both transfer directions)
 # ----------------------------------------------------------------------

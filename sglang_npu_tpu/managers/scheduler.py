@@ -1393,6 +1393,22 @@ class Scheduler:
         self._rid_to_req.pop(req.rid, None); self._release_hidden_slot(req)
         self._cache_finished(req)
 
+        if self.server_args.pd_device_handoff:
+            # device-path transfer: hand the gathered DEVICE array over
+            # (colocated prefill/decode share the slice; the decode
+            # engine reshards it HBM->HBM — no host fetch, no npz body)
+            from sglang_npu_tpu.disaggregation import DeviceKV
+
+            self.output_queue.put(
+                KvHandoffOut(
+                    rid=rid,
+                    fill_ids=fill_ids,
+                    first_token=first_token,
+                    kv_data=DeviceKV(handle[0], handle[1]),
+                )
+            )
+            return
+
         def fetch_and_emit():
             try:
                 kv_data = self.runner.gather_kv_fetch(handle)

@@ -1842,10 +1842,19 @@ class ModelRunner:
             vals,
         )
 
-    def scatter_kv(self, slots: np.ndarray, host_kv: np.ndarray) -> None:
-        """Host -> device restore of KV rows (layout from gather_kv)."""
-        self.scatter_kv_commit(
-            slots, self.scatter_kv_upload(host_kv, len(slots))
+    def scatter_kv(self, slots: np.ndarray, kv) -> None:
+        """Restore KV rows into the pool (layout from gather_kv).
+
+        Accepts a host array (HTTP/shm transfer) or a `DeviceKV` handoff
+        — the device path reshards the rows onto this runner's mesh
+        (ICI/DCN on hardware) without any host round trip."""
+        from sglang_npu_tpu.disaggregation import DeviceKV
+
+        if isinstance(kv, DeviceKV):
+            vals = jax.device_put(kv.rows, NamedSharding(self.mesh, P()))
+            self.scatter_kv_commit(slots, (vals, kv.n))
+            return
+        self.scatter_kv_commit(slots, self.scatter_kv_upload(kv, len(slots))
         )
 
     # ------------------------------------------------------------------

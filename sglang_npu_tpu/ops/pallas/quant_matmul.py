@@ -22,10 +22,11 @@ Round-4 redesign (probes 7-10, `scripts/bench_w4_probe*.py`):
     int8 paths quantize activations in-kernel (per-token scale is one
     tiny XLA reduce).  The round-3 XLA-side plane-split/stack prep
     (strided copies per call) is gone.
-  * The a8 kernel fuses the zero-point correction as two depth-(BK/g)
-    MXU dots per tile (saves its ~10us XLA [M, N] epilogue pass); the
-    bf16/int8x2 kernels keep the XLA epilogue — in-kernel fusion measured
-    SLOWER for them (probe10: the b-stream + extra dots cost more).
+  * The zero-point correction stays an XLA epilogue for ALL kernels:
+    in-kernel fusion measured slower for bf16/int8x2 (the b-stream +
+    extra dots cost more than the saved [M, N] pass) and the a8 variant's
+    narrow [BM, BK/g] operand blocks are illegal lane tilings on real
+    hardware for K/g not a multiple of the block (w_down K=14336).
   * int8 paths exploit dhi = 16*(x . (q_hi-8)) being EXACTLY divisible
     by 16: `dhi >> 4` replaces a f32 convert+multiply per plane, and the
     a16x2 combine (d1 << 7) + d2 is exact in i32 (|d1| < 2^18).  Probe9:
@@ -64,15 +65,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-
-def _zp_dots(acc, xh8_ref, xs_ref, s_ref, b_ref):
-    """acc += xh8 @ s - xs @ b  (depth BK/g — two tiny MXU dots)."""
-    return (
-        acc
-        + jnp.dot(xh8_ref[...], s_ref[...], preferred_element_type=jnp.float32)
-        - jnp.dot(xs_ref[...], b_ref[...], preferred_element_type=jnp.float32)
-    )
 
 
 def _w4_matmul_kernel(
@@ -127,9 +119,6 @@ def _w4a8_matmul_kernel(
     x_ref,  # [BM, BK] bf16 — natural activation block
     qw_ref,  # [BK//2, BN] uint8
     s_ref,  # [BK//g, BN] f32
-    b_ref,  # [BK//g, BN] f32
-    xh8_ref,  # [BM, BK//g] f32 — 8*hi-sums / sx (rides the sx epilogue)
-    xs_ref,  # [BM, BK//g] f32 — sums / sx
     sx_ref,  # [BM, 128] f32 — per-token activation scale (col 0)
     o_ref,  # [BM, BN] out dtype
     acc_ref,  # [BM, BN] f32 scratch
@@ -172,7 +161,7 @@ def _w4a8_matmul_kernel(
         )
         d = dlo + jax.lax.shift_right_arithmetic(dhi, 4)  # exact: 16 | dhi
         a += d.astype(jnp.float32) * s_ref[G, :][None, :]
-    acc_ref[...] += _zp_dots(a, xh8_ref, xs_ref, s_ref, b_ref)
+    acc_ref[...] += a
 
     @pl.when(k == nk - 1)
     def _():
@@ -284,6 +273,7 @@ def _sx_tile(x32, Mp: int):
 
 def _call_w4_kernel(kernel, x, qw, s, b, zp, extra, M, K, N, g, interpret,
                     scratch):
+    del b, zp  # all kernels use the XLA-side zero-point epilogue
     BK, BN, BM, Mp = _plan(M, K, N, g)
     if x.shape[0] != Mp:
         x = jnp.pad(x, ((0, Mp - x.shape[0]), (0, 0)))
@@ -297,20 +287,6 @@ def _call_w4_kernel(kernel, x, qw, s, b, zp, extra, M, K, N, g, interpret,
         ),
     ]
     args = [x, qw, s]
-    if b is not None:
-        in_specs.append(
-            pl.BlockSpec(
-                (BK // g, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
-            )
-        )
-        args.append(b)
-    for e in zp:  # xh8, xs: [Mp, K//g]
-        in_specs.append(
-            pl.BlockSpec(
-                (BM, BK // g), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
-            )
-        )
-        args.append(e)
     for e in extra:  # sx tile [Mp, 128]
         in_specs.append(
             pl.BlockSpec((BM, 128), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM)
@@ -384,13 +360,12 @@ def matmul_w4a8(
     if Mp != M:
         x32 = jnp.pad(x32, ((0, Mp - M), (0, 0)))
     sx, sxt = _sx_tile(x32, Mp)
-    xh8, xs = _group_sums(x32, g)
-    inv = 1.0 / sx
-    return _call_w4_kernel(
-        _w4a8_matmul_kernel, x32.astype(x.dtype), qw, s, b,
-        (xh8 * inv, xs * inv), (sxt,), M, K, N, g, interpret,
+    out = _call_w4_kernel(
+        _w4a8_matmul_kernel, x32.astype(x.dtype), qw, s, None,
+        (), (sxt,), M, K, N, g, interpret,
         lambda BM, BK: [],
     )
+    return out + _zp_correction(x32, s, b, g)[:M].astype(out.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "interpret"))

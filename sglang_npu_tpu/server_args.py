@@ -211,6 +211,11 @@ class ServerArgs:
     # decode windows dump their token streams.  Compare two runs with
     # `scripts/dump_compare.py`.
     debug_tensor_dump_output_folder: Optional[str] = None
+    # device-path PD transfer (reference mooncake TransferEngine design
+    # point): the prefill handoff keeps the gathered KV rows ON DEVICE
+    # and the decode engine reshards them HBM->HBM — only for colocated
+    # prefill/decode pairs sharing the process/slice
+    pd_device_handoff: bool = False
     max_loras_per_batch: int = 4
 
     # ------------------------------------------------------------------
