@@ -49,12 +49,24 @@ class Conversation:
         for m in messages:
             role = m.get("role", "user")
             content = m.get("content") or ""
-            if isinstance(content, list):  # multimodal: concat text parts
-                content = "".join(
-                    p.get("text", "")
-                    for p in content
-                    if p.get("type") == "text"
-                )
+            if isinstance(content, list):  # multimodal content blocks:
+                # text concatenates; image/video blocks leave a single
+                # placeholder token the HF processor expands (qwen-vl
+                # convention; reference conversation.py image_token)
+                pieces = []
+                for p in content:
+                    t = p.get("type")
+                    if t == "text":
+                        pieces.append(p.get("text", ""))
+                    elif t == "image_url":
+                        pieces.append(
+                            "<|vision_start|><|image_pad|><|vision_end|>"
+                        )
+                    elif t == "video_url":
+                        pieces.append(
+                            "<|vision_start|><|video_pad|><|vision_end|>"
+                        )
+                content = "".join(pieces)
             if role == "system":
                 system = content
                 continue

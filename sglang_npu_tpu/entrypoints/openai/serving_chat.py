@@ -99,6 +99,7 @@ class ChatServing:
         # content blocks -> engine image_data; data: URIs / base64 only —
         # no egress in this environment)
         images = []
+        videos = []
         for m in req.messages:
             content = m.get("content")
             if isinstance(content, list):
@@ -109,6 +110,14 @@ class ChatServing:
                             url = url.get("url")
                         if url:
                             images.append(url)
+                    elif p.get("type") == "video_url":
+                        # frames as data: URIs / base64 / a .npy path
+                        # (no codecs in this environment)
+                        v = p.get("video_url")
+                        if isinstance(v, dict):
+                            v = v.get("url") or v.get("frames")
+                        if v is not None:
+                            videos.append(v)
         sa = self.engine.server_args
         prompt, extra_stops = apply_chat_template(
             self.tm.tokenizer, req.messages,
@@ -142,6 +151,7 @@ class ChatServing:
             stream=req.stream,
             rid=rid,
             image_data=images or None,
+            video_data=videos or None,
         )
 
         if req.stream:

@@ -40,6 +40,9 @@ class GenerateReqInput:
     # parallel to text (batch). Accepted forms: PIL, path, bytes, base64,
     # data: URI (reference GenerateReqInput.image_data)
     image_data: Optional[Any] = None
+    # video frames: [T, H, W, 3] arrays / frame lists / .npy paths
+    # (reference GenerateReqInput.video_data; no codecs in this env)
+    video_data: Optional[Any] = None
     # multimodal audio: raw waveform (list/np array at the model's
     # sampling rate) or a path, single or batch-parallel list
     # (reference GenerateReqInput.audio_data)

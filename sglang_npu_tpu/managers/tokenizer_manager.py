@@ -169,8 +169,15 @@ class TokenizerManager:
         input_ids = pick("input_ids") if obj.input_ids is not None else None
         mm_inputs = None
         images = pick("image_data") if obj.image_data is not None else None
-        if images is not None:
-            if not isinstance(images, list):
+        videos = (
+            pick("video_data")
+            if getattr(obj, "video_data", None) is not None
+            else None
+        )
+        if videos is not None and not isinstance(videos, list):
+            videos = [videos]
+        if images is not None or videos is not None:
+            if images is not None and not isinstance(images, list):
                 images = [images]
             from sglang_npu_tpu.multimodal.processor import process_images
 
@@ -178,8 +185,9 @@ class TokenizerManager:
                 self.server_args.model_path,
                 text,
                 input_ids,
-                images,
+                images or [],
                 self._hf_config(),
+                videos=videos,
             )
             input_ids = mm_inputs["input_ids"]
         elif getattr(obj, "audio_data", None) is not None:

@@ -63,48 +63,204 @@ def load_image(item) -> "Any":
     raise TypeError(f"unsupported image type {type(item)}")
 
 
+def load_video(item) -> np.ndarray:
+    """Video as a frame stack [T, H, W, 3] uint8.  Accepts numpy arrays,
+    lists of image-like frames (PIL / bytes / base64 / data: URIs), or a
+    .npy path — no video codecs ship in this environment, so callers
+    decode containers upstream (reference processors use decord/av)."""
+    if isinstance(item, np.ndarray):
+        if item.ndim != 4:
+            raise ValueError(f"video array must be [T, H, W, C], got {item.shape}")
+        return item.astype(np.uint8)
+    if isinstance(item, str) and item.endswith(".npy"):
+        return load_video(np.load(item))
+    if isinstance(item, (list, tuple)):
+        frames = [np.asarray(load_image(f)) for f in item]
+        return np.stack(frames).astype(np.uint8)
+    if isinstance(item, dict) and "frames" in item:
+        return load_video(item["frames"])
+    raise TypeError(
+        f"unsupported video type {type(item)} (pass [T, H, W, 3] frames, "
+        "a list of images, or a .npy path)"
+    )
+
+
 def process_images(
     model_path: str,
     prompt_text: Optional[str],
     input_ids: Optional[List[int]],
     images: List[Any],
     hf_config: Dict[str, Any],
+    videos: Optional[List[Any]] = None,
 ) -> Dict[str, Any]:
     """Run the HF processor; returns a MultimodalInputs dict:
     {input_ids, key_ids, pixel_values, image_token_id} plus arch extras
-    (qwen2.5-vl: image_grid_thw, mrope_positions, mrope_delta)."""
+    (qwen2.5-vl: image_grid_thw, mrope_positions, mrope_delta).
+
+    Videos (qwen-vl class, reference `processors/qwen_vl.py` video path):
+    frames run the SAME ViT as images (their grid carries t>1); spans are
+    combined with image spans in prompt order, mrope gets the temporal
+    scaling (tokens_per_second x second_per_grid), and the video pad ids
+    are normalized to the image pad id after key hashing so the embed
+    splice and radix machinery stay single-id."""
     proc = get_hf_processor(model_path)
-    pil = [load_image(im) for im in images]
+    pil = [load_image(im) for im in images] if images else []
+    vids = [load_video(v) for v in (videos or [])]
     model_type = hf_config.get("model_type", "")
     if model_type in ("llava", "gemma3", "internvl"):
         return _process_fixed_grid(proc, prompt_text, input_ids, pil, hf_config)
+    vc = hf_config.get("vision_config", {})
+    fps = 2.0
+    spg_default = vc.get("temporal_patch_size", 2) / fps
+    vout = {}
     if prompt_text is None:
         # ids-given path: the caller already expanded vision tokens;
         # only pixel preprocessing is needed
-        out = proc.image_processor(images=pil, return_tensors="np")
+        out = (
+            proc.image_processor(images=pil, return_tensors="np")
+            if pil
+            else {}
+        )
+        if vids:
+            vp = getattr(proc, "video_processor", None)
+            if vp is not None:
+                vout = vp(videos=vids, return_tensors="np")
+            else:
+                vout = proc.image_processor(videos=vids, return_tensors="np")
         ids = list(input_ids)
     else:
-        out = proc(text=[prompt_text], images=pil, return_tensors="np")
+        out = proc(
+            text=[prompt_text],
+            images=pil or None,
+            videos=vids or None,
+            return_tensors="np",
+        )
+        vout = out
         ids = out["input_ids"][0].tolist()
-    pixel_values = np.asarray(out["pixel_values"], dtype=np.float32)
-    grid_thw = np.asarray(out["image_grid_thw"], dtype=np.int64)
 
     image_token_id = hf_config.get("image_token_id") or hf_config.get(
         "image_token_index"
     )
-    merge = hf_config.get("vision_config", {}).get("spatial_merge_size", 2)
+    video_token_id = hf_config.get("video_token_id")
+    merge = vc.get("spatial_merge_size", 2)
 
-    key_ids = hash_key_ids(ids, image_token_id, pixel_values, grid_thw, merge)
-    pos, delta = mrope_positions(ids, grid_thw, hf_config)
+    img_pix = (
+        np.asarray(out["pixel_values"], dtype=np.float32)
+        if "pixel_values" in out
+        else np.zeros((0, 1), np.float32)
+    )
+    img_grid = (
+        np.asarray(out["image_grid_thw"], dtype=np.int64)
+        if "image_grid_thw" in out
+        else np.zeros((0, 3), np.int64)
+    )
+    vid_pix = (
+        np.asarray(vout["pixel_values_videos"], dtype=np.float32)
+        if "pixel_values_videos" in vout
+        else np.zeros((0, 1), np.float32)
+    )
+    vid_grid = (
+        np.asarray(vout["video_grid_thw"], dtype=np.int64)
+        if "video_grid_thw" in vout
+        else np.zeros((0, 3), np.int64)
+    )
+    spg = vout.get("second_per_grid_ts")
+    spg = (
+        [float(x) for x in np.asarray(spg).reshape(-1)]
+        if spg is not None
+        else [spg_default] * len(vid_grid)
+    )
+
+    if not len(vid_grid):
+        key_ids = hash_key_ids(ids, image_token_id, img_pix, img_grid, merge)
+        pos, delta = mrope_positions(ids, img_grid, hf_config)
+        return {
+            "input_ids": ids,
+            "key_ids": key_ids,
+            "pixel_values": img_pix,
+            "image_grid_thw": img_grid,
+            "mrope_positions": pos,
+            "mrope_delta": int(delta),
+            "image_token_id": int(image_token_id),
+        }
+
+    # span-ordered combination of image + video items
+    spans = _vision_spans(ids, image_token_id, video_token_id)
+    grids, pixels, kinds, spgs = [], [], [], []
+    img_off = vid_off = 0
+    img_i = vid_i = 0
+    for st, ln, kind in spans:
+        if kind == "image":
+            g = img_grid[img_i]
+            n = int(g[0] * g[1] * g[2])
+            pixels.append(img_pix[img_off : img_off + n])
+            img_off += n
+            img_i += 1
+            spgs.append(0.0)
+        else:
+            g = vid_grid[vid_i]
+            n = int(g[0] * g[1] * g[2])
+            pixels.append(vid_pix[vid_off : vid_off + n])
+            vid_off += n
+            spgs.append(spg[vid_i])
+            vid_i += 1
+        grids.append(np.asarray(g))
+        kinds.append(kind)
+    grid_thw = np.stack(grids) if grids else np.zeros((0, 3), np.int64)
+    pixel_values = (
+        np.concatenate(pixels) if pixels else np.zeros((0, 1), np.float32)
+    )
+
+    pos, delta = mrope_positions(
+        ids, grid_thw, hf_config, kinds=kinds, second_per_grid=spgs
+    )
+    # hash keys per span (video spans hash their own frames)
+    key = list(ids)
+    for (st, ln, _k), g, px_i in zip(
+        spans, grids, np.cumsum([0] + [int(g[0] * g[1] * g[2]) for g in grids])
+    ):
+        n = int(g[0] * g[1] * g[2])
+        digest = hashlib.sha256(
+            pixel_values[px_i : px_i + n].tobytes()
+        ).digest()
+        rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+        pseudo = rng.integers(1 << 30, 1 << 31, size=ln, dtype=np.int64)
+        key[st : st + ln] = [int(x) for x in pseudo]
+    # normalize video pad ids -> image pad id (those positions are fully
+    # replaced by spliced tower embeddings; rope/keys already computed)
+    ids = [
+        int(image_token_id) if t == video_token_id else int(t) for t in ids
+    ]
     return {
         "input_ids": ids,
-        "key_ids": key_ids,
+        "key_ids": key,
         "pixel_values": pixel_values,
         "image_grid_thw": grid_thw,
         "mrope_positions": pos,
         "mrope_delta": int(delta),
         "image_token_id": int(image_token_id),
     }
+
+
+def _vision_spans(ids, image_token_id, video_token_id):
+    """Contiguous runs of image OR video pad tokens, in prompt order."""
+    spans = []
+    i, n = 0, len(ids)
+    while i < n:
+        t = ids[i]
+        if t == image_token_id or (
+            video_token_id is not None and t == video_token_id
+        ):
+            j = i
+            while j < n and ids[j] == t:
+                j += 1
+            spans.append(
+                (i, j - i, "image" if t == image_token_id else "video")
+            )
+            i = j
+        else:
+            i += 1
+    return spans
 
 
 def _process_fixed_grid(
@@ -219,22 +375,35 @@ def _image_spans(ids: List[int], image_token_id: int) -> List[Tuple[int, int]]:
 
 
 def mrope_positions(
-    ids: List[int], grid_thw: np.ndarray, hf_config: Dict[str, Any]
+    ids: List[int],
+    grid_thw: np.ndarray,
+    hf_config: Dict[str, Any],
+    kinds: Optional[List[str]] = None,
+    second_per_grid: Optional[List[float]] = None,
 ) -> Tuple[np.ndarray, int]:
     """3D rope positions for one sequence (numpy re-implementation of the
-    HF `Qwen2_5_VLModel.get_rope_index` single-sequence behavior, images
-    only).  Returns (positions [3, T] int32, delta)."""
+    HF `Qwen2_5_VLModel.get_rope_index` single-sequence behavior).
+    Video spans get the temporal scaling t_idx = floor(t * spg * tps)
+    (qwen2.5-vl; qwen2-vl has tokens_per_second unset -> plain t).
+    Returns (positions [3, T] int32, delta)."""
     image_token_id = hf_config.get("image_token_id") or hf_config.get(
         "image_token_index"
     )
+    video_token_id = hf_config.get("video_token_id")
     vc = hf_config.get("vision_config", {})
     merge = vc.get("spatial_merge_size", 2)
+    tps = vc.get("tokens_per_second")
     T = len(ids)
-    spans = _image_spans(ids, image_token_id)
+    if kinds is None:
+        spans3 = [
+            (st, ln, "image") for st, ln in _image_spans(ids, image_token_id)
+        ]
+    else:
+        spans3 = _vision_spans(ids, image_token_id, video_token_id)
     pos = np.zeros((3, T), dtype=np.int32)
     cursor = 0  # index into ids
     next_pos = 0
-    for n_img, (st, ln) in enumerate(spans):
+    for n_img, (st, ln, kind) in enumerate(spans3):
         text_len = st - cursor
         if text_len:
             r = np.arange(next_pos, next_pos + text_len, dtype=np.int32)
@@ -243,13 +412,21 @@ def mrope_positions(
         t, h, w = (int(v) for v in grid_thw[n_img])
         gh, gw = h // merge, w // merge
         assert ln == t * gh * gw, (ln, t, gh, gw)
-        t_idx = np.repeat(np.arange(t, dtype=np.int32), gh * gw)
+        t_range = np.arange(t, dtype=np.float64)
+        if kind == "video" and tps:
+            spg = (
+                second_per_grid[n_img]
+                if second_per_grid is not None
+                else 1.0
+            )
+            t_range = np.floor(t_range * float(spg) * float(tps))
+        t_idx = np.repeat(t_range.astype(np.int32), gh * gw)
         h_idx = np.tile(np.repeat(np.arange(gh, dtype=np.int32), gw), t)
         w_idx = np.tile(np.arange(gw, dtype=np.int32), t * gh)
         pos[0, st : st + ln] = t_idx + next_pos
         pos[1, st : st + ln] = h_idx + next_pos
         pos[2, st : st + ln] = w_idx + next_pos
-        next_pos += max(t, gh, gw)
+        next_pos += int(max(int(t_idx.max()) + 1, gh, gw))
         cursor = st + ln
     if cursor < T:
         r = np.arange(next_pos, next_pos + (T - cursor), dtype=np.int32)

@@ -49,6 +49,7 @@ def vl_setup(tmp_path_factory):
         text_config=text,
         vision_config=vision,
         image_token_id=595,
+        video_token_id=596,
         vision_start_token_id=593,
         vision_end_token_id=594,
         eos_token_id=2,
@@ -254,3 +255,130 @@ def test_vl_embed_cache_skips_vit(vl_setup):
         assert calls["n"] == 2, calls
     finally:
         runner.model.compute_vision_embeds = orig
+
+
+def make_video_pixels(cfg, t=2, w=28, h=28, seed=11):
+    """A tiny video (t temporal patches) preprocessed HF-style."""
+    vc = cfg.vision_config
+    rng = np.random.default_rng(seed)
+    gh, gw = h // vc.patch_size, w // vc.patch_size
+    n = t * gh * gw
+    pix = rng.standard_normal(
+        (n, vc.in_channels * vc.temporal_patch_size * vc.patch_size**2)
+    ).astype(np.float32)
+    return pix, np.array([[t, gh, gw]], dtype=np.int64)
+
+
+def build_video_ids(cfg, grid, n_text=5, seed=12):
+    rng = np.random.default_rng(seed)
+    merge = cfg.vision_config.spatial_merge_size
+    n_tok = int(grid[0, 0] * (grid[0, 1] // merge) * (grid[0, 2] // merge))
+    pre = rng.integers(3, 290, size=n_text).tolist()
+    ids = (
+        pre
+        + [cfg.vision_start_token_id]
+        + [cfg.video_token_id] * n_tok
+        + [cfg.vision_end_token_id]
+        + rng.integers(3, 290, size=4).tolist()
+    )
+    return ids
+
+
+def _merged_cfg(cfg):
+    hf_dict = cfg.to_dict()
+    merged = dict(hf_dict)
+    for k, v in hf_dict["text_config"].items():
+        if merged.get(k) is None:
+            merged[k] = v
+    return merged
+
+
+def test_video_mrope_matches_hf(vl_setup):
+    """Video temporal rope scaling (t_idx = floor(t * spg * tps)) must
+    match HF get_rope_index (reference qwen_vl.py video path)."""
+    hf, _, cfg = vl_setup
+    pix, grid = make_video_pixels(cfg, t=3)
+    ids = build_video_ids(cfg, grid)
+    from sglang_npu_tpu.multimodal.processor import mrope_positions
+
+    # integer seconds-per-grid: transformers 4.57 casts second_per_grid_t
+    # to the (long) range dtype, truncating fractional values — an
+    # upstream quirk; our float math matches it on integer values
+    spg = [2.0]
+    pos, delta = mrope_positions(
+        ids, grid, _merged_cfg(cfg), kinds=["video"], second_per_grid=spg
+    )
+    ref_pos, ref_delta = hf.model.get_rope_index(
+        torch.tensor([ids]), None, torch.tensor(grid),
+        torch.tensor(spg, dtype=torch.float32), None,
+    )
+    assert np.array_equal(pos, ref_pos[:, 0].numpy()), (pos, ref_pos)
+    assert delta == int(ref_delta[0, 0])
+
+
+def test_video_greedy_parity(vl_setup):
+    """A video request through the engine (frames -> shared ViT with t>1
+    grid, temporal mrope) matches HF greedy exactly."""
+    hf, e, cfg = vl_setup
+    pix, grid = make_video_pixels(cfg, t=2, seed=16)
+    ids = build_video_ids(cfg, grid, seed=17)
+    from sglang_npu_tpu.multimodal.processor import mrope_positions
+    import hashlib
+
+    spg = [1.0]  # integer: see the HF long-cast quirk note above
+    merged = _merged_cfg(cfg)
+    pos, delta = mrope_positions(
+        ids, grid, merged, kinds=["video"], second_per_grid=spg
+    )
+    # hash keys over the video span + normalize pad id (as process_images
+    # does for the text-in path)
+    key = list(ids)
+    st = ids.index(cfg.video_token_id)
+    ln = sum(1 for t in ids if t == cfg.video_token_id)
+    digest = hashlib.sha256(pix.tobytes()).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+    key[st : st + ln] = [
+        int(x) for x in rng.integers(1 << 30, 1 << 31, size=ln)
+    ]
+    norm_ids = [
+        cfg.image_token_id if t == cfg.video_token_id else t for t in ids
+    ]
+    mm = {
+        "input_ids": norm_ids,
+        "key_ids": key,
+        "pixel_values": pix,
+        "image_grid_thw": grid,
+        "mrope_positions": pos,
+        "mrope_delta": delta,
+        "image_token_id": cfg.image_token_id,
+    }
+    from sglang_npu_tpu.managers.io_struct import TokenizedGenerateReqInput
+    from sglang_npu_tpu.sampling.sampling_params import SamplingParams
+
+    t = TokenizedGenerateReqInput(
+        rid="video-1",
+        input_text=None,
+        input_ids=norm_ids,
+        sampling_params=SamplingParams.from_dict(
+            {"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True}
+        ),
+        mm_inputs=mm,
+    )
+    state = e.tokenizer_manager.submit(t)
+    while True:
+        chunk, finished = state.mailbox.get(timeout=300)
+        if finished:
+            got = chunk["output_ids"]
+            break
+    with torch.no_grad():
+        out = hf.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values_videos=torch.tensor(pix),
+            video_grid_thw=torch.tensor(grid),
+            second_per_grid_ts=torch.tensor(spg, dtype=torch.float32),
+            attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+            max_new_tokens=8, do_sample=False, eos_token_id=None,
+            pad_token_id=0,
+        )
+    ref = out[0][len(ids):].tolist()
+    assert got == ref, (got, ref)
