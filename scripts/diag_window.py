@@ -64,6 +64,23 @@ def main():
 
     runner.decode_dispatch = dispatch
     runner.decode_fetch = fetch
+    orig_fas = runner.forward_and_sample
+
+    def fas(mwb):
+        t0 = time.perf_counter()
+        out = orig_fas(mwb)
+        events.append(
+            (
+                f"extend[{mwb.forward_mode}]",
+                t0,
+                time.perf_counter(),
+                len(mwb.seq_lens),
+                False,
+            )
+        )
+        return out
+
+    runner.forward_and_sample = fas
 
     try:
         rng = np.random.default_rng(0)

@@ -178,6 +178,14 @@ class Req:
         self.eagle_started = False  # first prefill chunk done
         self.eagle_ready = False  # draft KV/hidden valid for spec rounds
 
+        # mllama-class cross-attention (models/mllama.py): vision-KV slot
+        # + mask geometry; mm_cross_prepared flips once the tower ran
+        self.mm_slot_cross: Optional[int] = None
+        self.mm_first_pos: int = 0
+        self.mm_vis_len: int = 0
+        self.mm_vis_total: int = 0
+        self.mm_cross_prepared = False
+
     # ------------------------------------------------------------------
     def set_mm_inputs(self, mm: Dict[str, Any]) -> None:
         self.mm_inputs = mm
@@ -384,6 +392,12 @@ class ModelWorkerBatch:
     mrope_delta: Optional[np.ndarray] = None
     # DP-attention: per-request page-allocation rank [B]
     dp_ranks: Optional[np.ndarray] = None
+    # mllama-class cross-attention: per-request vision-KV slot / first
+    # image position / allowed+total vision token counts ([B] int32)
+    mm_slots: Optional[np.ndarray] = None
+    mm_first_pos: Optional[np.ndarray] = None
+    mm_vis_len: Optional[np.ndarray] = None
+    mm_vis_total: Optional[np.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -771,8 +785,34 @@ class ScheduleBatch:
             )
             for i, req in enumerate(self.reqs):
                 swa_pt[i, : len(req.swa_pages)] = req.swa_pages
+        mm_cross = {}
+        if any(getattr(r, "mm_slot_cross", None) is not None for r in self.reqs):
+            mm_cross = dict(
+                mm_slots=np.array(
+                    [getattr(r, "mm_slot_cross", None) or 0 for r in self.reqs],
+                    dtype=np.int32,
+                ),
+                mm_first_pos=np.array(
+                    [
+                        r.mm_first_pos
+                        if getattr(r, "mm_slot_cross", None)
+                        else (1 << 30)
+                        for r in self.reqs
+                    ],
+                    dtype=np.int32,
+                ),
+                mm_vis_len=np.array(
+                    [getattr(r, "mm_vis_len", 0) or 0 for r in self.reqs],
+                    dtype=np.int32,
+                ),
+                mm_vis_total=np.array(
+                    [getattr(r, "mm_vis_total", 0) or 0 for r in self.reqs],
+                    dtype=np.int32,
+                ),
+            )
         return ModelWorkerBatch(
             forward_mode=self.forward_mode,
+            **mm_cross,
             input_ids=input_ids,
             positions=positions,
             seq_lens=seq_lens,

@@ -110,6 +110,12 @@ class Scheduler:
         self.eagle = eagle_runner
         if eagle_runner is not None:
             self._hidden_slot_free = list(range(eagle_runner.max_slots))
+        # mllama-class cross-attention vision-KV slots (slot 0 = the
+        # reserved all-zeros "no image" slot)
+        if getattr(model_runner.model, "mm_cross_attention", False):
+            self._mm_slot_free = list(
+                range(1, model_runner.model.mm_slots_max)
+            )
         self.spec_steps = max(server_args.speculative_num_steps, 1)
         self.input_queue = input_queue
         self.output_queue = output_queue
@@ -649,6 +655,24 @@ class Scheduler:
         )
         if t.mm_inputs is not None:
             req.set_mm_inputs(t.mm_inputs)
+            if (
+                getattr(self.runner.model, "mm_cross_attention", False)
+                and t.mm_inputs.get("aspect_ratio_ids") is not None
+            ):
+                if not self._mm_slot_free:
+                    req.finished_reason = FINISH_ABORT(
+                        "out of cross-attention vision slots "
+                        "(mm_slots_max concurrent image requests)"
+                    )
+                else:
+                    req.mm_slot_cross = self._mm_slot_free.pop()
+                    model = self.runner.model
+                    am = np.asarray(t.mm_inputs["aspect_ratio_mask"])
+                    pp = model.patches_per_tile
+                    req.mm_vis_len = int(am.sum()) * pp
+                    req.mm_vis_total = int(am.size) * pp
+                    tp = req.mm_token_positions
+                    req.mm_first_pos = int(tp[0]) if len(tp) else 0
         req.lora_id = (
             self.runner.lora_manager.lora_id(t.lora_path)
             if getattr(self.runner, "lora_manager", None) is not None
@@ -1082,6 +1106,9 @@ class Scheduler:
         if self.eagle is not None and req.hidden_slot is not None:
             self._hidden_slot_free.append(req.hidden_slot)
             req.hidden_slot = None
+        if getattr(req, "mm_slot_cross", None) is not None:
+            self._mm_slot_free.append(req.mm_slot_cross)
+            req.mm_slot_cross = None
 
     def _decode_window(self) -> int:
         """Decode steps fused per dispatch; collapse to 1 when per-token

@@ -56,12 +56,13 @@ class ForwardBatch:
     # gemma3-mm: image-group id per sequence position (-1 = text); query/
     # key pairs in the same group attend bidirectionally
     mm_groups: Optional[jax.Array] = None  # [B, P*page_size] int32
-    # mllama-class cross-attention (models/mllama.py): per-request vision
-    # states, the image index of each state column (-1 = padded tile),
-    # and the governing image per query token (-1 = no preceding image)
-    cross_states: Optional[jax.Array] = None  # [B, C, Dv->D projected]
-    cross_img: Optional[jax.Array] = None  # [B, C] int32
-    cross_gov: Optional[jax.Array] = None  # extend [B, E]; decode [B] int32
+    # mllama-class cross-attention (models/mllama.py): per-request slot in
+    # the cached vision K/V buffers (0 = the all-zeros no-image slot),
+    # first-image position, and allowed/total vision token counts
+    mm_slots: Optional[jax.Array] = None  # [B] int32
+    mm_first_pos: Optional[jax.Array] = None  # [B] int32
+    mm_vis_len: Optional[jax.Array] = None  # [B] int32
+    mm_vis_total: Optional[jax.Array] = None  # [B] int32
 
 
 @jax.tree_util.register_dataclass
@@ -93,6 +94,15 @@ def pad_to(arr: np.ndarray, size: int, fill=0, axis: int = 0) -> np.ndarray:
     widths = [(0, 0)] * arr.ndim
     widths[axis] = (0, pad)
     return np.pad(arr, widths, constant_values=fill)
+
+
+def _mm_arr(mwb, field, bs_bucket, fill):
+    v = getattr(mwb, field, None)
+    if v is None:
+        return None
+    import numpy as _np
+
+    return jnp.asarray(pad_to(_np.asarray(v, _np.int32), bs_bucket, fill=fill))
 
 
 def build_extend_forward_batch(
@@ -140,6 +150,10 @@ def build_extend_forward_batch(
             else None
         ),
         mrope_positions=jnp.asarray(mrope) if mrope is not None else None,
+        mm_slots=_mm_arr(mwb, "mm_slots", bs_bucket, 0),
+        mm_first_pos=_mm_arr(mwb, "mm_first_pos", bs_bucket, 1 << 30),
+        mm_vis_len=_mm_arr(mwb, "mm_vis_len", bs_bucket, 0),
+        mm_vis_total=_mm_arr(mwb, "mm_vis_total", bs_bucket, 0),
     )
 
 
@@ -169,6 +183,10 @@ def build_decode_forward_batch(
             if mwb.mrope_delta is not None
             else None
         ),
+        mm_slots=_mm_arr(mwb, "mm_slots", bs_bucket, 0),
+        mm_first_pos=_mm_arr(mwb, "mm_first_pos", bs_bucket, 1 << 30),
+        mm_vis_len=_mm_arr(mwb, "mm_vis_len", bs_bucket, 0),
+        mm_vis_total=_mm_arr(mwb, "mm_vis_total", bs_bucket, 0),
     )
 
 

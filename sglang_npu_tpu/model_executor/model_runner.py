@@ -349,6 +349,24 @@ class ModelRunner:
                 self.model.attn_backend = DPAttentionBackend(self.mesh)
         self.max_total_tokens = self.num_pages * self.page_size
         self.kv_pool = self._alloc_kv_pool()
+        if getattr(self.model, "mm_cross_attention", False):
+            # mllama-class: wrap the paged pool with per-request cached
+            # vision K/V slot buffers (models/mllama.py MllamaKVPool)
+            from sglang_npu_tpu.models.mllama import MllamaKVPool
+
+            c = self.model_config
+            Lc = len(self.model.cross_layers)
+            S = self.model.s_vis_max
+            shape = (
+                Lc, self.model.mm_slots_max, S,
+                c.num_key_value_heads, c.head_dim,
+            )
+            dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+            self.kv_pool = MllamaKVPool(
+                paged=self.kv_pool,
+                ck=jnp.zeros(shape, dt),
+                cv=jnp.zeros(shape, dt),
+            )
         pool_bytes = sum(
             x.nbytes for x in jax.tree_util.tree_leaves(self.kv_pool)
         )
@@ -947,6 +965,7 @@ class ModelRunner:
             mrope_delta=None,
             moe_acc=None,
             track_moe=False,
+            mm_cross=None,  # (mm_slots, mm_first_pos, mm_vis_len, mm_vis_total)
         ):
             if has_penalties:
                 vocab = params["embed"].shape[0]
@@ -974,6 +993,7 @@ class ModelRunner:
                     page_tables, (pos // ps)[:, None], axis=1
                 )[:, 0]
                 slot = jnp.where(active, page * ps + pos % ps, 0)
+                mm = mm_cross or (None, None, None, None)
                 fb = ForwardBatch(
                     input_ids=toks[:, None],
                     positions=pos[:, None],
@@ -985,6 +1005,10 @@ class ModelRunner:
                     lora_ids=lora_ids,
                     swa_page_tables=swa_page_tables,
                     mrope_delta=mrope_delta,
+                    mm_slots=mm[0],
+                    mm_first_pos=mm[1],
+                    mm_vis_len=mm[2],
+                    mm_vis_total=mm[3],
                 )
                 if track_moe:
                     # EPLB load recorder: per-expert routed-token counts
@@ -1294,7 +1318,25 @@ class ModelRunner:
                 mwb, bs_bucket, extend_bucket, pages_bucket, self.page_size
             )
             if mwb.mm_reqs is not None:
-                fb = self._attach_mm_embeds(mwb, fb, bs_bucket, extend_bucket)
+                if getattr(self.model, "mm_cross_attention", False):
+                    # mllama-class: run the tower once per request; the
+                    # cross K/V land in the pool's slot buffers (no embed
+                    # splice — the <|image|> token embeds normally)
+                    for req in mwb.mm_reqs:
+                        if (
+                            req is not None
+                            and req.mm_slot_cross is not None
+                            and not req.mm_cross_prepared
+                        ):
+                            self.kv_pool = self.model.prepare_cross(
+                                self.params, self.kv_pool,
+                                req.mm_inputs, req.mm_slot_cross,
+                            )
+                            req.mm_cross_prepared = True
+                else:
+                    fb = self._attach_mm_embeds(
+                        mwb, fb, bs_bucket, extend_bucket
+                    )
             with_eagle = (
                 self.eagle is not None
                 and mwb.hidden_slots is not None
@@ -1464,6 +1506,25 @@ class ModelRunner:
             swa_page_tables=(
                 jnp.asarray(pad_to(mwb.swa_page_tables, bs_bucket))
                 if mwb.swa_page_tables is not None
+                else None
+            ),
+            mm_cross=(
+                tuple(
+                    jnp.asarray(
+                        pad_to(
+                            np.asarray(getattr(mwb, f), np.int32),
+                            bs_bucket,
+                            fill=fill,
+                        )
+                    )
+                    for f, fill in (
+                        ("mm_slots", 0),
+                        ("mm_first_pos", 1 << 30),
+                        ("mm_vis_len", 0),
+                        ("mm_vis_total", 0),
+                    )
+                )
+                if getattr(mwb, "mm_slots", None) is not None
                 else None
             ),
             mrope_delta=(

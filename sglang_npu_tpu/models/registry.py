@@ -29,6 +29,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen2AudioForConditionalGeneration": (
         "sglang_npu_tpu.models.qwen2_audio", "Qwen2AudioForCausalLM",
     ),
+    "MllamaForConditionalGeneration": (
+        "sglang_npu_tpu.models.mllama", "MllamaForCausalLM",
+    ),
     "LlavaForConditionalGeneration": (
         "sglang_npu_tpu.models.llava", "LlavaDispatch",
     ),

@@ -109,6 +109,8 @@ def process_images(
     model_type = hf_config.get("model_type", "")
     if model_type in ("llava", "gemma3", "internvl"):
         return _process_fixed_grid(proc, prompt_text, input_ids, pil, hf_config)
+    if model_type == "mllama":
+        return _process_mllama(proc, prompt_text, input_ids, pil, hf_config)
     vc = hf_config.get("vision_config", {})
     fps = 2.0
     spg_default = vc.get("temporal_patch_size", 2) / fps
@@ -261,6 +263,41 @@ def _vision_spans(ids, image_token_id, video_token_id):
         else:
             i += 1
     return spans
+
+
+def _process_mllama(proc, prompt_text, input_ids, pil, hf_config):
+    """Mllama (Llama-3.2-Vision): the <|image|> token is NOT expanded —
+    the image enters through cross-attention, not the embedding splice
+    (reference `processors/mllama.py`).  The processor yields tiled pixel
+    values + aspect-ratio ids/masks; the radix key replaces each image
+    token with a content-hash pseudo-id."""
+    if prompt_text is None:
+        ids = [int(t) for t in input_ids]
+        out = proc.image_processor(images=[pil], return_tensors="np")
+    else:
+        out = proc(text=[prompt_text], images=[pil], return_tensors="np")
+        ids = [int(t) for t in out["input_ids"][0]]
+    pixel_values = np.asarray(out["pixel_values"], dtype=np.float32)
+    aspect_ids = np.asarray(out["aspect_ratio_ids"], dtype=np.int64)
+    aspect_mask = np.asarray(out["aspect_ratio_mask"], dtype=np.int64)
+    image_token_id = hf_config.get("image_token_index") or hf_config.get(
+        "image_token_id"
+    )
+    key = list(ids)
+    pos = [i for i, t in enumerate(ids) if t == image_token_id]
+    for n_img, i in enumerate(pos):
+        src = pixel_values[0, min(n_img, pixel_values.shape[1] - 1)]
+        digest = hashlib.sha256(src.tobytes()).digest()
+        rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+        key[i] = int(rng.integers(1 << 30, 1 << 31))
+    return {
+        "input_ids": ids,
+        "key_ids": key,
+        "pixel_values": pixel_values,
+        "aspect_ratio_ids": aspect_ids,
+        "aspect_ratio_mask": aspect_mask,
+        "image_token_id": int(image_token_id),
+    }
 
 
 def _process_fixed_grid(
