@@ -379,7 +379,7 @@ class Engine:
         self._sched_in.put(FlushCacheReqInput())
         ok = True
         for _ in range(self._num_control_responders):  # one per replica
-            out = self.tokenizer_manager.control_mailbox.get(timeout=30)
+            out = self.tokenizer_manager.control_mailbox.get(timeout=600)
             ok = ok and out.success
         return ok
 
@@ -391,7 +391,7 @@ class Engine:
         self._sched_in.put(PauseGenerationReqInput())
         ok = True
         for _ in range(self._num_control_responders):
-            out = self.tokenizer_manager.control_mailbox.get(timeout=30)
+            out = self.tokenizer_manager.control_mailbox.get(timeout=600)
             ok = ok and out.success
         return ok
 
@@ -403,14 +403,14 @@ class Engine:
         self._sched_in.put(ContinueGenerationReqInput())
         ok = True
         for _ in range(self._num_control_responders):
-            out = self.tokenizer_manager.control_mailbox.get(timeout=30)
+            out = self.tokenizer_manager.control_mailbox.get(timeout=600)
             ok = ok and out.success
         return ok
 
     def get_internal_state(self) -> Dict[str, Any]:
         self._sched_in.put(GetInternalStateReq())
         states = [
-            self.tokenizer_manager.control_mailbox.get(timeout=30).internal_state
+            self.tokenizer_manager.control_mailbox.get(timeout=600).internal_state
             for _ in range(self._num_control_responders)
         ]
         if len(states) == 1:
@@ -491,7 +491,7 @@ class Engine:
                 capacity_of_str_len=capacity_of_str_len, session_id=session_id
             )
         )
-        out = self.tokenizer_manager.control_mailbox.get(timeout=30)
+        out = self.tokenizer_manager.control_mailbox.get(timeout=600)
         return out.session_id
 
     def close_session(self, session_id: str):
