@@ -443,7 +443,15 @@ class Engine:
             sampling_params=SamplingParams.from_dict(sampling_params),
         )
         state = self.tokenizer_manager.submit(t)
-        chunk, _ = state.mailbox.get(timeout=600)
+        # the host-path handoff is emitted from a background fetch thread,
+        # so its message can land after the finish emission — drain until
+        # it arrives
+        for _ in range(8):
+            chunk, _ = state.mailbox.get(timeout=600)
+            if "kv_handoff" in chunk:
+                break
+        else:
+            raise RuntimeError(f"no KV handoff emitted: {chunk}")
         handoff = chunk["kv_handoff"]
         if getattr(handoff, "error", None):
             raise RuntimeError(f"PD handoff failed: {handoff.error}")
