@@ -83,8 +83,10 @@ CONFIGS = {
         max_total_tokens=98304, num_requests=256, decode_steps=32,
     ),
     "llama8b_fp8": dict(
-        model=LLAMA_8B, quantization="fp8", kv_cache_dtype="int8",
-        max_total_tokens=40960, num_requests=128, decode_steps=32,
+        # fp8's best measured point stays batch 64 (its XLA dequant dot
+        # does not batch-amortize like the W4 kernels; 128 measured SLOWER)
+        model=LLAMA_8B, quantization="fp8", kv_cache_dtype="auto",
+        max_total_tokens=24576, num_requests=64, decode_steps=32,
     ),
     "llama8b_w4a16_int8kv": dict(
         model=LLAMA_8B, quantization="w4a16", kv_cache_dtype="int8",
@@ -205,6 +207,16 @@ def run_config(name, spec, args):
             total_out = sum(len(o["output_ids"]) for o in outs)
             tput = max(tput, total_out / dt)
 
+        # prefill-only pass: splits the full run into prefill vs decode so
+        # utilization reports the DECODE phase (weights re-stream per step
+        # there; folding prefill in understates it misleadingly)
+        engine.flush_cache()
+        t0 = time.time()
+        engine.generate(
+            input_ids=prompts, sampling_params={**sp, "max_new_tokens": 1}
+        )
+        t_prefill = time.time() - t0
+
         # latency proxies: single-request TTFT (prefill latency) and ITL
         engine.flush_cache()
         t0 = time.time()
@@ -232,6 +244,12 @@ def run_config(name, spec, args):
         avg_ctx = args.prompt_len + args.max_new / 2
         bytes_per_step = weight_bytes + num_requests * avg_ctx * kv_tok_bytes
         hbm_util = bytes_per_step * steps_per_s / PEAK_HBM_BW
+        total_time = num_requests * args.max_new / max(tput, 1e-9)
+        decode_time = max(total_time - t_prefill, 1e-9)
+        decode_steps_per_s = args.max_new / decode_time
+        decode_hbm_util = (
+            bytes_per_step * decode_steps_per_s / PEAK_HBM_BW
+        )
         mfu = flops_tok * tput / PEAK_BF16_FLOPS
         backend = getattr(runner, "attention_backend_name", "?")
         return {
@@ -240,6 +258,8 @@ def run_config(name, spec, args):
             "itl_ms": round(itl_ms, 2),
             "mfu_pct": round(100 * mfu, 2),
             "hbm_util_pct": round(100 * hbm_util, 1),
+            "decode_hbm_util_pct": round(100 * decode_hbm_util, 1),
+            "prefill_s": round(t_prefill, 2),
             "weight_gb": round(weight_bytes / 1e9, 2),
             "attention_backend": backend,
             "batch": num_requests,

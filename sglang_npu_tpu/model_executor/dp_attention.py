@@ -71,18 +71,45 @@ def pool_dp_spec(kv_pool):
 class DPAttentionBackend:
     """Drop-in `model.attn_backend`: per-data-shard KV write + paged
     attention over the rank-local page slab (manual ``data``, auto
-    ``model``)."""
+    ``model``).  ``use_pallas`` routes decode (E=1) through the fused
+    Pallas kernel on each shard's local page slab (round-4: DP-attention
+    is no longer an XLA-only island)."""
 
-    def __init__(self, mesh):
+    def __init__(self, mesh, use_pallas: bool = False):
         self.mesh = mesh
+        self.use_pallas = use_pallas
 
     def __call__(
         self, q, k, v, kv_pool, layer_idx, fb, page_size, scale, config
     ):
         pspec = pool_dp_spec(kv_pool)
         sliding = config.sliding_window or -1
+        decode_pallas = (
+            self.use_pallas
+            and q.shape[1] == 1
+            and not isinstance(kv_pool, QuantKVPool)
+            and (kv_pool.shape[-1] % 128 == 0
+                 if not hasattr(kv_pool, "data") else
+                 kv_pool.data.shape[-1] % 128 == 0)
+        )
 
         def local(q, k, v, pool, out_slots, pt, seq_lens, positions):
+            if decode_pallas:
+                import os
+
+                from sglang_npu_tpu.ops.pallas.decode_kernel import (
+                    paged_decode_attention_fused,
+                )
+
+                out1, pool = paged_decode_attention_fused(
+                    q[:, 0], k[:, 0], v[:, 0], pool, layer_idx,
+                    pt, seq_lens, page_size, scale,
+                    sliding_window=sliding,
+                    interpret=bool(
+                        os.environ.get("SGLANG_TPU_PALLAS_INTERPRET")
+                    ),
+                )
+                return out1[:, None], pool
             pool = write_kv(pool, layer_idx, k, v, out_slots)
             out = paged_attention_xla(
                 q, pool, layer_idx, pt, seq_lens, positions,

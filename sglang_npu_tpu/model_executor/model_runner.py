@@ -177,10 +177,9 @@ class ModelRunner:
                 raise ValueError(
                     "--enable-dp-attention needs a power-of-two dp_size > 1"
                 )
-            if server_args.attention_backend not in (None, "xla"):
+            if server_args.attention_backend not in (None, "xla", "pallas"):
                 raise ValueError(
-                    "DP-attention currently requires the XLA attention "
-                    "backend"
+                    "DP-attention supports the xla and pallas backends"
                 )
             if server_args.speculative_draft_model_path:
                 raise ValueError(
@@ -190,7 +189,8 @@ class ModelRunner:
                 raise ValueError(
                     "DP-attention + hierarchical cache is not supported"
                 )
-            server_args.attention_backend = "xla"
+            if server_args.attention_backend is None:
+                server_args.attention_backend = "xla"
             self.dp_attn = dp
         self._init_attention_backend()
 
@@ -346,7 +346,16 @@ class ModelRunner:
                     DPAttentionBackend,
                 )
 
-                self.model.attn_backend = DPAttentionBackend(self.mesh)
+                self.model.attn_backend = DPAttentionBackend(
+                    self.mesh,
+                    # tp>1 would need a nested model-manual shard_map
+                    # around the kernel inside the data-manual region
+                    use_pallas=(
+                        self.server_args.attention_backend == "pallas"
+                        and self.kv_dtype in (jnp.bfloat16, jnp.float32)
+                        and tp_degree(self.mesh) == 1
+                    ),
+                )
         self.max_total_tokens = self.num_pages * self.page_size
         self.kv_pool = self._alloc_kv_pool()
         if getattr(self.model, "mm_cross_attention", False):
@@ -433,10 +442,14 @@ class ModelRunner:
             self.kv_head_dim = self.model_config.head_dim
             on_tpu = jax.default_backend() not in ("cpu",)
             use_pallas = (
-                name in (None, "pallas")
-                and on_tpu
+                (name == "pallas" or (name is None and on_tpu))
                 and self.model_config.kv_lora_rank % 128 == 0
-                and not self.server_args.enable_dp_attention
+                # under DP-attention the kernel runs inside the
+                # data-manual shard_map; tp>1 would need nested
+                # model-manual wrapping
+                and not (
+                    self.server_args.enable_dp_attention and tp > 1
+                )
             )
             self.model.use_pallas_mla = use_pallas
             if use_pallas:

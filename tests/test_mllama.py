@@ -199,3 +199,44 @@ def test_mllama_text_only_matches_hf(setup):
         )
     ref = out[0][len(ids):].tolist()
     assert got == ref, (got, ref)
+
+
+def test_mllama_mixed_batch(setup):
+    """Image and text-only requests batched TOGETHER: the text rows ride
+    slot 0 (zero cross K/V -> identity) while the image row cross-attends;
+    both must match their HF references."""
+    hf, e, cfg = setup
+    pix, aids, amask = make_image_inputs(cfg, tiles=1, seed=8)
+    rng = np.random.default_rng(9)
+    img_ids = [IMG_TOK] + rng.integers(3, 290, size=6).tolist()
+    txt_ids = rng.integers(3, 290, size=8).tolist()
+
+    import threading
+
+    results = {}
+
+    def run(name, ids, mm):
+        results[name] = engine_generate(e, ids, mm, 6)
+
+    threads = [
+        threading.Thread(
+            target=run, args=("img", img_ids, mk_mm(img_ids, pix, aids, amask))
+        ),
+        threading.Thread(target=run, args=("txt", txt_ids, None)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    ref_img = hf_greedy(hf, img_ids, pix, aids, amask, 6, tiles=1)
+    with torch.no_grad():
+        out = hf.generate(
+            input_ids=torch.tensor([txt_ids]),
+            attention_mask=torch.ones(1, len(txt_ids), dtype=torch.long),
+            max_new_tokens=6, do_sample=False, eos_token_id=None,
+            pad_token_id=0,
+        )
+    ref_txt = out[0][len(txt_ids):].tolist()
+    assert results["img"] == ref_img, (results["img"], ref_img)
+    assert results["txt"] == ref_txt, (results["txt"], ref_txt)
