@@ -166,6 +166,17 @@ def matmul(x: jax.Array, w, eq: str) -> jax.Array:
         return einsum_w4(x, w, eq, act=_ACT_QUANT[0] or "a16")
     if isinstance(w, QuantizedWeight) and _ACT_QUANT[0] == "a8":
         return _einsum_w8a8(x, w, eq)
+    if (
+        isinstance(w, (QuantizedWeight, QuantizedWeightFP8))
+        and _W4_BACKEND[0] == "pallas"
+        and w.q.ndim == 2
+    ):
+        # weight-only int8/fp8: the Pallas dequant kernel converts in
+        # VMEM (the XLA dequant einsum materializes the bf16 weight in
+        # HBM every step — 3x the traffic)
+        from sglang_npu_tpu.ops.pallas.quant_matmul import einsum_w8
+
+        return einsum_w8(x, w, eq)
     if isinstance(w, QuantizedWeightW4) and _ACT_QUANT[0] == "a8":
         # XLA fallback for w4a8 (CPU tests / D-mismatch models): per-token
         # int8 activation quant against the dequantized weight — same

@@ -82,15 +82,25 @@ class DPAttentionBackend:
     def __call__(
         self, q, k, v, kv_pool, layer_idx, fb, page_size, scale, config
     ):
+        import jax.numpy as jnp
+
         pspec = pool_dp_spec(kv_pool)
         sliding = config.sliding_window or -1
+        pool_data = kv_pool.data if hasattr(kv_pool, "data") else kv_pool
+        D = q.shape[-1]
+        Dp = pool_data.shape[-1]
+        if Dp != D:
+            # D<128 models run on a lane-padded pool when the pallas
+            # backend sized it (see paged_attention.py): pad q/k/v once,
+            # slice the output
+            pad = [(0, 0)] * (q.ndim - 1) + [(0, Dp - D)]
+            q = jnp.pad(q, pad)
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
         decode_pallas = (
             self.use_pallas
             and q.shape[1] == 1
             and not isinstance(kv_pool, QuantKVPool)
-            and (kv_pool.shape[-1] % 128 == 0
-                 if not hasattr(kv_pool, "data") else
-                 kv_pool.data.shape[-1] % 128 == 0)
         )
 
         def local(q, k, v, pool, out_slots, pt, seq_lens, positions):
@@ -117,7 +127,7 @@ class DPAttentionBackend:
             )
             return out, pool
 
-        return jax.shard_map(
+        out, kv_pool = jax.shard_map(
             local,
             mesh=self.mesh,
             in_specs=(
@@ -131,6 +141,7 @@ class DPAttentionBackend:
             q, k, v, kv_pool,
             fb.out_slots, fb.page_tables, fb.seq_lens, fb.positions,
         )
+        return out[..., :D], kv_pool
 
 
 def dp_mla_attention(
@@ -159,6 +170,8 @@ def dp_mla_attention(
 
     def local(q_abs, q_pe, c_kv, k_pe, pool, out_slots, pt, seq_lens, pos):
         if decode_pallas:
+            import os
+
             from sglang_npu_tpu.ops.pallas.mla_decode_kernel import (
                 mla_paged_decode_fused,
             )
@@ -166,6 +179,9 @@ def dp_mla_attention(
             ctx1, pool = mla_paged_decode_fused(
                 q_abs[:, 0], q_pe[:, 0], c_kv[:, 0], k_pe[:, 0],
                 pool, layer_idx, pt, seq_lens, page_size, scale,
+                interpret=bool(
+                    os.environ.get("SGLANG_TPU_PALLAS_INTERPRET")
+                ),
             )
             return ctx1[:, None], pool
         pool = write_latent(pool, layer_idx, c_kv, k_pe, out_slots)

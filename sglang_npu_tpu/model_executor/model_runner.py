@@ -264,6 +264,8 @@ class ModelRunner:
         # Load-time projection fusion (qkv / gate+up) at tp=1: fewer,
         # wider matmul dispatches per layer.  Skipped with LoRA (adapters
         # target the unfused keys) and under PP/spec-draft sharing.
+        from sglang_npu_tpu.models.llama import LlamaForCausalLM as _Llama
+
         if (
             tp_degree(self.mesh) == 1
             and self.pp == 1
@@ -271,14 +273,33 @@ class ModelRunner:
             and not server_args.enable_lora
             and getattr(self.model, "merge_groups", None)
             and isinstance(self.params.get("layers"), dict)
+            # subclasses with custom trunks read the unmerged keys
+            and type(self.model).backbone_forward is _Llama.backbone_forward
         ):
             from sglang_npu_tpu.layers.quantization import (
                 merge_stacked_weights,
             )
 
+            # each fused group is only safe when the method that consumes
+            # it is the base implementation (e.g. gemma-1 overrides _mlp
+            # with GeGLU -> keep gate/up unfused there)
+            groups = []
+            for mk, srcs in self.model.merge_groups:
+                dep = (
+                    _Llama._qkv_proj
+                    if mk == "w_qkv"
+                    else _Llama._mlp
+                )
+                have = (
+                    type(self.model)._qkv_proj
+                    if mk == "w_qkv"
+                    else type(self.model)._mlp
+                )
+                if have is dep:
+                    groups.append((mk, srcs))
             self.params = dict(self.params)
             self.params["layers"], self._merged_slices = merge_stacked_weights(
-                self.params["layers"], self.model.merge_groups
+                self.params["layers"], groups
             )
 
         # Multi-LoRA adapters stacked into the param tree (slot 0 = none).

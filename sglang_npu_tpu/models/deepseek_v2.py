@@ -473,6 +473,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     mla_paged_decode_fused,
                 )
 
+                import os
+
                 ctx1, kv_pool = mla_paged_decode_fused(
                     q_abs[:, 0],
                     q_pe[:, 0],
@@ -484,6 +486,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     fb.seq_lens,
                     page_size,
                     self.scale,
+                    interpret=bool(
+                        os.environ.get("SGLANG_TPU_PALLAS_INTERPRET")
+                    ),
                 )
                 ctx = ctx1[:, None]  # [B, 1, H, R]
             else:

@@ -424,3 +424,88 @@ def einsum_w4(x: jax.Array, w, eq: str, act: str = "a16") -> jax.Array:
         x2, w.q, w.s, w.b, group_size=w.group_size, interpret=interpret
     )
     return out.reshape(*lead, out.shape[-1])
+
+
+# ----------------------------------------------------------------------
+# Weight-only W8 (int8 / fp8-e4m3) dequant matmul: unlike the grouped W4
+# kernels, the per-OUTPUT-CHANNEL scale applies to the dot OUTPUT — one
+# [BM, BN] multiply at the k-loop end — so per-weight-element VPU work is
+# a single convert (the XLA dequant einsum instead materializes the bf16
+# weight in HBM each step: 3x the traffic).  Reference counterpart:
+# `sgl-kernel/csrc/gemm/` int8/fp8 GEMMs.
+# ----------------------------------------------------------------------
+def _w8_matmul_kernel(
+    x_ref,  # [BM, BK] bf16
+    qw_ref,  # [BK, BN] int8 | f8_e4m3
+    s_ref,  # [1, BN] f32 per-output-channel scale
+    o_ref,  # [BM, BN] out dtype
+    acc_ref,  # [BM, BN] f32 scratch
+    *,
+    out_dtype,
+):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = qw_ref[...].astype(jnp.bfloat16)
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * s_ref[0, :][None, :]).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def matmul_w8(
+    x: jax.Array,  # [M, K]
+    qw: jax.Array,  # [K, N] int8 | f8_e4m3
+    s: jax.Array,  # [1, N] f32 (per-output-channel)
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    N = qw.shape[1]
+    BK = _pick_block(K, 128, 2048)
+    BN = _pick_block(N, 128, 1024)
+    BM = 512 if M > 256 else max(-(-M // 16) * 16, 16)
+    Mp = -(-M // BM) * BM
+    xb = x.astype(jnp.bfloat16)
+    if Mp != M:
+        xb = jnp.pad(xb, ((0, Mp - M), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_w8_matmul_kernel, out_dtype=x.dtype),
+        grid=(Mp // BM, N // BN, K // BK),
+        in_specs=[
+            pl.BlockSpec((BM, BK), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, BN), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (BM, BN), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xb, qw, s.reshape(1, N).astype(jnp.float32))
+    return out[:M]
+
+
+def einsum_w8(x: jax.Array, w, eq: str) -> jax.Array:
+    """Route a weight-only int8/fp8 einsum (contraction of x's last dim)
+    through the Pallas W8 kernel."""
+    import os
+
+    interpret = bool(os.environ.get("SGLANG_TPU_PALLAS_INTERPRET"))
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    out = matmul_w8(x2, w.q, w.s, interpret=interpret)
+    return out.reshape(*lead, out.shape[-1])

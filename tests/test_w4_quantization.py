@@ -438,3 +438,31 @@ def test_pallas_w4a16x2_precision():
     err_x2 = np.abs(x2 - ref).max()
     assert err_x2 <= err_bf * 1.5 + 1e-4, (err_x2, err_bf)
     assert err_x2 < 0.02 * np.abs(ref).max() + 0.02
+
+
+def test_matmul_w8_int8_and_fp8():
+    """Weight-only W8 Pallas kernel (per-output-channel scale on the dot
+    output) vs the explicit dequant reference — int8 and fp8-e4m3."""
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_npu_tpu.ops.pallas.quant_matmul import matmul_w8
+
+    rng = np.random.default_rng(0)
+    M, K, N = 24, 256, 384
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    for dtype, qmax in ((jnp.int8, 127.0), (jnp.float8_e4m3fn, 448.0)):
+        s = np.abs(w).max(axis=0, keepdims=True) / qmax
+        q = w / s
+        if dtype == jnp.int8:
+            q = np.clip(np.round(q), -127, 127)
+        qj = jnp.asarray(q).astype(dtype)
+        got = np.asarray(
+            matmul_w8(x, qj, jnp.asarray(s), interpret=True)
+        )
+        ref = np.asarray(x) @ (
+            np.asarray(qj.astype(jnp.float32)) * s
+        )
+        tol = 0.02 * np.abs(ref).max()
+        assert np.abs(got - ref).max() <= tol, np.abs(got - ref).max()
