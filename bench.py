@@ -88,6 +88,12 @@ CONFIGS = {
         model=LLAMA_8B, quantization="fp8", kv_cache_dtype="auto",
         max_total_tokens=24576, num_requests=64, decode_steps=32,
     ),
+    "llama8b_int8_int8kv": dict(
+        # weight-only INT8: the reference's Ascend headline class; the
+        # Pallas W8 kernel streams at ~724 GB/s (bench_w8_probe.py)
+        model=LLAMA_8B, quantization="int8", kv_cache_dtype="int8",
+        max_total_tokens=81920, num_requests=256, decode_steps=32,
+    ),
     "llama8b_w4a16_int8kv": dict(
         model=LLAMA_8B, quantization="w4a16", kv_cache_dtype="int8",
         max_total_tokens=81920, num_requests=256, decode_steps=32,
@@ -283,8 +289,8 @@ def main():
         "--configs",
         type=str,
         default=(
-            "llama1b_bf16,llama8b_fp8,llama8b_w4a16_int8kv,"
-            "llama8b_w4a8_int8kv"
+            "llama1b_bf16,llama8b_fp8,llama8b_int8_int8kv,"
+            "llama8b_w4a16_int8kv,llama8b_w4a8_int8kv"
         ),
     )
     p.add_argument("--one-config", type=str, default=None)

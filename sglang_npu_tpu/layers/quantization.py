@@ -167,13 +167,16 @@ def matmul(x: jax.Array, w, eq: str) -> jax.Array:
     if isinstance(w, QuantizedWeight) and _ACT_QUANT[0] == "a8":
         return _einsum_w8a8(x, w, eq)
     if (
-        isinstance(w, (QuantizedWeight, QuantizedWeightFP8))
+        isinstance(w, QuantizedWeight)
         and _W4_BACKEND[0] == "pallas"
         and w.q.ndim == 2
+        and w.q.dtype == jnp.int8
     ):
-        # weight-only int8/fp8: the Pallas dequant kernel converts in
-        # VMEM (the XLA dequant einsum materializes the bf16 weight in
-        # HBM every step — 3x the traffic)
+        # weight-only int8: the Pallas dequant kernel converts in VMEM
+        # (724 GB/s at the decode shape, scripts/bench_w8_probe.py; the
+        # XLA dequant einsum materializes the bf16 weight in HBM).  fp8
+        # stays on XLA — Mosaic's f8->bf16 convert measured 77 GB/s
+        # (software-emulated on this stack).
         from sglang_npu_tpu.ops.pallas.quant_matmul import einsum_w8
 
         return einsum_w8(x, w, eq)
