@@ -693,11 +693,19 @@ class Scheduler:
             return
         max_len = self.runner.model_config.context_length
         if len(req.origin_input_ids) >= max_len:
-            req.finished_reason = FINISH_ABORT(
-                f"input length {len(req.origin_input_ids)} exceeds context {max_len}"
-            )
-            self._emit_finished_stub(req)
-            return
+            if self.server_args.allow_auto_truncate:
+                # reference --allow-auto-truncate: keep the prompt head,
+                # leave room for at least a few generated tokens
+                keep = max(max_len - 16, 1)
+                req.origin_input_ids = req.origin_input_ids[:keep]
+                req.fill_ids = list(req.origin_input_ids)
+            else:
+                req.finished_reason = FINISH_ABORT(
+                    f"input length {len(req.origin_input_ids)} exceeds "
+                    f"context {max_len}"
+                )
+                self._emit_finished_stub(req)
+                return
         # Clamp generation length to context.
         room = max_len - len(req.origin_input_ids) - 1
         req.sampling_params.max_new_tokens = min(

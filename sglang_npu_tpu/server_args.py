@@ -234,7 +234,95 @@ class ServerArgs:
     disaggregation_mode: str = "null"  # null | prefill | decode
     disaggregation_bootstrap_port: int = 8998
 
+    # ------------------------------------------------------------------
+    # Reference drop-in compatibility (reference `server_args.py` names):
+    # real aliases map onto this engine's knobs in __post_init__; the
+    # GPU-/CUDA-stack-only flags below are ACCEPTED so launch commands
+    # port unchanged, and warn loudly when set (no TPU effect).
+    # ------------------------------------------------------------------
+    num_continuous_decode_steps: Optional[int] = None  # -> decode_steps
+    enable_mixed_chunk: Optional[bool] = None  # -> not disable_mixed_chunk
+    enable_double_sparsity: bool = False  # -> attention_backend
+    ds_heavy_token_num: Optional[int] = None  # -> ds_token_num
+    allow_auto_truncate: bool = False  # truncate over-context prompts
+    dist_timeout: Optional[float] = None
+    download_dir: Optional[str] = None
+    log_level_http: Optional[str] = None
+    # inert on TPU (warned when set):
+    enable_torch_compile: bool = False
+    torch_compile_max_bs: int = 32
+    disable_cuda_graph: bool = False
+    disable_cuda_graph_padding: bool = False
+    cuda_graph_max_bs: Optional[int] = None
+    cuda_graph_bs: Optional[List[int]] = None
+    enable_cudagraph_gc: bool = False
+    disable_custom_all_reduce: bool = False
+    enable_mscclpp: bool = False
+    enable_nccl_nvls: bool = False
+    enable_symm_mem: bool = False
+    enable_p2p_check: bool = False
+    nccl_port: Optional[int] = None
+    triton_attention_num_kv_splits: int = 8
+    triton_attention_reduce_in_fp32: bool = False
+    flashinfer_mla_disable_ragged: bool = False
+    enable_flashinfer_allreduce_fusion: bool = False
+    enable_flashinfer_cutlass_moe: bool = False
+    enable_flashinfer_trtllm_moe: bool = False
+    enable_triton_kernel_moe: bool = False
+    enable_deepep_moe: bool = False
+    deepep_mode: Optional[str] = None
+    deepep_config: Optional[str] = None
+    torchao_config: Optional[str] = None
+    cpu_offload_gb: int = 0
+    base_gpu_id: int = 0
+    gpu_id_step: int = 1
+    sm_group_num: int = 3
+    enable_pdmux: bool = False
+    enable_memory_saver: bool = False
+    delete_ckpt_after_loading: bool = False
+    weight_loader_disable_mmap: bool = False
+
+    _INERT_TPU_FLAGS = (
+        "enable_torch_compile", "disable_cuda_graph",
+        "disable_cuda_graph_padding", "cuda_graph_max_bs", "cuda_graph_bs",
+        "enable_cudagraph_gc", "disable_custom_all_reduce", "enable_mscclpp",
+        "enable_nccl_nvls", "enable_symm_mem", "enable_p2p_check",
+        "nccl_port", "triton_attention_reduce_in_fp32",
+        "flashinfer_mla_disable_ragged", "enable_flashinfer_allreduce_fusion",
+        "enable_flashinfer_cutlass_moe", "enable_flashinfer_trtllm_moe",
+        "enable_triton_kernel_moe", "enable_deepep_moe", "deepep_mode",
+        "deepep_config", "torchao_config", "enable_pdmux",
+        "enable_memory_saver", "delete_ckpt_after_loading",
+        "weight_loader_disable_mmap",
+    )
+
     def __post_init__(self):
+        # reference-name aliases
+        if self.num_continuous_decode_steps is not None:
+            self.decode_steps = self.num_continuous_decode_steps
+        if self.enable_mixed_chunk is not None:
+            self.disable_mixed_chunk = not self.enable_mixed_chunk
+        if self.enable_double_sparsity and self.attention_backend is None:
+            self.attention_backend = "double_sparse"
+        if self.ds_heavy_token_num is not None:
+            self.ds_token_num = self.ds_heavy_token_num
+        import logging as _logging
+
+        _log = _logging.getLogger(__name__)
+        inert_set = [
+            f
+            for f in self._INERT_TPU_FLAGS
+            if getattr(self, f) not in (False, None, 0)
+            and f not in ("torch_compile_max_bs", "sm_group_num",
+                          "gpu_id_step", "base_gpu_id", "cpu_offload_gb")
+        ]
+        if inert_set:
+            _log.warning(
+                "flags accepted for reference drop-in compatibility but "
+                "inert on TPU: %s (graphs/compile = jit bucket ladder; "
+                "allreduce = XLA ICI collectives; see PARITY.md)",
+                ", ".join(inert_set),
+            )
         if self.served_model_name is None:
             self.served_model_name = self.model_path
         if self.tokenizer_path is None:

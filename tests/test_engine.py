@@ -163,3 +163,40 @@ def test_many_concurrent_requests(engine, tiny_model_dir):
             )[0][len(p):].tolist()
         # both stop at eos (token 2) or at length 5
         assert o["output_ids"] == ref
+
+
+def test_allow_auto_truncate(tmp_path_factory):
+    """--allow-auto-truncate (reference flag): over-context prompts are
+    clipped instead of aborted."""
+    import transformers, torch
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, torch_dtype="float32", eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    d = tmp_path_factory.mktemp("trunc_model")
+    transformers.LlamaForCausalLM(cfg).save_pretrained(
+        d, safe_serialization=True
+    )
+    from sglang_npu_tpu.entrypoints.engine import Engine
+
+    e = Engine(
+        model_path=str(d), dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=1024, attention_backend="xla",
+        random_seed=0, allow_auto_truncate=True,
+    )
+    try:
+        import numpy as np
+
+        long_prompt = np.random.default_rng(0).integers(
+            3, 128, size=200
+        ).tolist()  # > context 64
+        out = e.generate(
+            input_ids=long_prompt,
+            sampling_params={"max_new_tokens": 4, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        assert len(out["output_ids"]) == 4  # served, not aborted
+    finally:
+        e.shutdown()
