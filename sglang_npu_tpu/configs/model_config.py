@@ -68,6 +68,29 @@ class ModelConfig:
         dtype: str = "auto",
         context_length: Optional[int] = None,
     ) -> "ModelConfig":
+        for nested in ("language_config", "llm_config"):
+            # deepseek-vl2 nests the trunk as "language_config"; kimi-vl /
+            # some internvl exports as "llm_config" (reference
+            # `srt/configs/deepseekvl2.py`, `kimi_vl.py` normalization)
+            if isinstance(cfg.get(nested), dict) and not isinstance(
+                cfg.get("text_config"), dict
+            ):
+                cfg = dict(cfg)
+                cfg["text_config"] = cfg.pop(nested)
+        if (
+            cfg.get("model_type") in ("chatglm", "glm") or "multi_query_group_num" in cfg
+        ) and "seq_length" in cfg:
+            # ChatGLM-family field names (reference `srt/configs/chatglm.py`)
+            cfg = dict(cfg)
+            cfg.setdefault("num_hidden_layers", cfg.get("num_layers"))
+            cfg.setdefault("intermediate_size", cfg.get("ffn_hidden_size"))
+            cfg.setdefault("max_position_embeddings", cfg.get("seq_length"))
+            cfg.setdefault("vocab_size", cfg.get("padded_vocab_size"))
+            if cfg.get("multi_query_attention"):
+                cfg.setdefault(
+                    "num_key_value_heads", cfg.get("multi_query_group_num")
+                )
+            cfg.setdefault("rms_norm_eps", cfg.get("layernorm_epsilon", 1e-5))
         if isinstance(cfg.get("text_config"), dict):
             # composite VLM configs (qwen2.5-vl, gemma3-mm): flatten the
             # text sub-config; top-level keys (vision_config, image token

@@ -153,3 +153,53 @@ def test_prefix_cache_reuse_same_logits(tiny_llama_dir):
     r3 = mkreq("c", p2)
     _, l3 = run_extend(runner2, alloc3, cache3, [r3])
     np.testing.assert_allclose(l2[0], l3[0], rtol=2e-3, atol=2e-3)
+
+
+def test_exotic_config_normalization():
+    """Exotic arch config field names normalize into ModelConfig
+    (reference `srt/configs/` chatglm/deepseekvl2/kimi_vl)."""
+    from sglang_npu_tpu.configs.model_config import ModelConfig
+
+    chatglm = ModelConfig.from_hf_dict({
+        "model_type": "chatglm",
+        "architectures": ["ChatGLMModel"],
+        "hidden_size": 4096, "num_layers": 28, "num_attention_heads": 32,
+        "multi_query_attention": True, "multi_query_group_num": 2,
+        "ffn_hidden_size": 13696, "seq_length": 8192,
+        "padded_vocab_size": 65024, "layernorm_epsilon": 1e-5,
+        "kv_channels": 128, "torch_dtype": "bfloat16",
+    })
+    assert chatglm.num_hidden_layers == 28
+    assert chatglm.num_key_value_heads == 2
+    assert chatglm.intermediate_size == 13696
+    assert chatglm.vocab_size == 65024
+    assert chatglm.max_position_embeddings == 8192
+
+    vl2 = ModelConfig.from_hf_dict({
+        "model_type": "deepseek_vl_v2",
+        "architectures": ["DeepseekVLV2ForCausalLM"],
+        "language_config": {
+            "architectures": ["DeepseekV2ForCausalLM"],
+            "hidden_size": 1280, "num_hidden_layers": 12,
+            "num_attention_heads": 10, "num_key_value_heads": 10,
+            "intermediate_size": 6848, "vocab_size": 102400,
+            "max_position_embeddings": 4096, "torch_dtype": "bfloat16",
+            "kv_lora_rank": 512, "qk_nope_head_dim": 128,
+            "qk_rope_head_dim": 64, "v_head_dim": 128,
+        },
+    })
+    assert vl2.hidden_size == 1280
+    assert vl2.kv_lora_rank == 512
+
+    kimi = ModelConfig.from_hf_dict({
+        "model_type": "kimi_vl",
+        "architectures": ["KimiVLForConditionalGeneration"],
+        "llm_config": {
+            "hidden_size": 2048, "num_hidden_layers": 27,
+            "num_attention_heads": 16, "num_key_value_heads": 16,
+            "intermediate_size": 11264, "vocab_size": 163840,
+            "max_position_embeddings": 131072, "torch_dtype": "bfloat16",
+        },
+    })
+    assert kimi.hidden_size == 2048
+    assert kimi.num_hidden_layers == 27
