@@ -107,7 +107,12 @@ def decode_payload(raw: bytes, headers) -> _Handoff:
 def encode_shm_payload(handoff) -> Tuple[bytes, Dict[str, str]]:
     """Write the KV slab to /dev/shm; body carries only metadata."""
     kv = np.ascontiguousarray(handoff.kv_data)
-    path = os.path.join(SHM_DIR, f"sglang_pd_{handoff.rid}.bin")
+    # pid-qualified: parallel engines (xdist test workers, multi-server
+    # hosts) may reuse rid strings — the receiver gets the path via the
+    # X-Kv-Shm header, so the name only needs to be collision-free
+    path = os.path.join(
+        SHM_DIR, f"sglang_pd_{os.getpid()}_{handoff.rid}.bin"
+    )
     kv.view(np.uint8).reshape(-1).tofile(path)
     buf = io.BytesIO()
     np.savez(
