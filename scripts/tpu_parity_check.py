@@ -47,29 +47,49 @@ def main():
     p.add_argument("--vocab", type=int, default=512)
     p.add_argument("--max-new", type=int, default=24)
     p.add_argument("--prompts", type=int, default=4)
+    p.add_argument(
+        "--random-init", action="store_true",
+        help="legacy: random-init MHA model (near-tie margins; may need "
+        "the degenerate-run waiver).  Default is the locally TRAINED "
+        "tiny checkpoint (quant_accuracy_probe.train_tiny) whose ~7-nat "
+        "margins make exact full-horizon agreement the expected outcome.",
+    )
     args = p.parse_args()
 
     import torch
     import transformers
 
-    cfg = transformers.LlamaConfig(
-        vocab_size=args.vocab, hidden_size=args.hidden,
-        intermediate_size=args.hidden * 2, num_hidden_layers=args.layers,
-        num_attention_heads=args.heads, num_key_value_heads=args.kv_heads,
-        head_dim=args.head_dim, max_position_embeddings=512,
-        torch_dtype="float32", eos_token_id=2, tie_word_embeddings=False,
-    )
-    torch.manual_seed(0)
-    hf = transformers.LlamaForCausalLM(cfg)
-    hf.eval()
-    d = tempfile.mkdtemp(prefix="tpu_parity_")
-    hf.save_pretrained(d, safe_serialization=True)
+    if args.random_init:
+        cfg = transformers.LlamaConfig(
+            vocab_size=args.vocab, hidden_size=args.hidden,
+            intermediate_size=args.hidden * 2, num_hidden_layers=args.layers,
+            num_attention_heads=args.heads, num_key_value_heads=args.kv_heads,
+            head_dim=args.head_dim, max_position_embeddings=512,
+            torch_dtype="float32", eos_token_id=2, tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        hf = transformers.LlamaForCausalLM(cfg)
+        hf.eval()
+        d = tempfile.mkdtemp(prefix="tpu_parity_")
+        hf.save_pretrained(d, safe_serialization=True)
+        rng = np.random.default_rng(0)
+        prompts = [
+            rng.integers(3, args.vocab, size=int(k)).tolist()
+            for k in np.linspace(7, 73, args.prompts)
+        ]
+    else:
+        from quant_accuracy_probe import BOS, SEP, VOCAB, train_tiny
 
-    rng = np.random.default_rng(0)
-    prompts = [
-        rng.integers(3, args.vocab, size=int(k)).tolist()
-        for k in np.linspace(7, 73, args.prompts)
-    ]
+        d = train_tiny()
+        hf = transformers.LlamaForCausalLM.from_pretrained(d).float().eval()
+        # held-out copy prompts: trained continuations are peaked (~7-nat
+        # top1-top2 gaps), so a bf16/f32 rounding flip cannot move argmax
+        rng = np.random.default_rng(99)
+        prompts = []
+        for i in range(args.prompts):
+            k = int(rng.integers(8, 25))
+            pay = rng.integers(8, VOCAB, size=k).tolist()
+            prompts.append([BOS] + pay + [SEP])
     refs = []
     with torch.no_grad():
         for pr in prompts:

@@ -410,7 +410,10 @@ def apply_quantization(params: dict, method: Optional[str], **kw) -> dict:
         return quantize_params_fp8(params)
     if method in ("w4a16", "int4", "w4a8"):
         return quantize_params_w4(params, kw.get("group_size", 128))
-    if method in ("awq", "gptq", "awq_marlin", "gptq_marlin"):
+    if method in (
+        "awq", "gptq", "awq_marlin", "gptq_marlin",
+        "compressed-tensors", "compressed_tensors",
+    ):
         # checkpoint already carries quantized tensors; ingestion happened
         # in the loader
         return params

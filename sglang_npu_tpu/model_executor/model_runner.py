@@ -249,12 +249,34 @@ class ModelRunner:
             # DMA-floor speed, >= one-bf16-pass precision.  Module flag:
             # set explicitly either way so engines created earlier in the
             # process can't leak their mode.
-            if server_args.quantization in ("w4a8", "w8a8_int8"):
+            qclass = server_args.quantization
+            if qclass in ("compressed-tensors", "compressed_tensors"):
+                # derive the serving class from the checkpoint's scheme
+                # (reference compressed_tensors.py scheme dispatch)
+                from sglang_npu_tpu.model_loader.quant_ingest import (
+                    detect_quant_config,
+                )
+
+                ct = detect_quant_config(self._model_path) or {}
+                if (
+                    ct.get("ct_act_dynamic")
+                    and ct.get("ct_act_bits") == 8
+                    and ct.get("ct_act_type") == "int"
+                    and ct.get("ct_type") == "int"
+                ):
+                    qclass = "w4a8" if ct.get("bits") == 4 else "w8a8_int8"
+                elif ct.get("bits") == 4:
+                    qclass = "w4a16"
+                else:
+                    qclass = (
+                        "fp8" if ct.get("ct_type") == "float" else "int8"
+                    )
+            if qclass in ("w4a8", "w8a8_int8"):
                 set_act_quant("a8")
             elif (
                 jax.default_backend() not in ("cpu",)
                 and server_args.w4_mxu_precision == "int8x2"
-                and server_args.quantization
+                and qclass
                 in ("w4a16", "int4", "awq", "gptq", "awq_marlin", "gptq_marlin")
             ):
                 set_act_quant("a16x2")

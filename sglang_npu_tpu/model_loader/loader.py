@@ -64,6 +64,12 @@ def allocate_host_params(model) -> Dict[str, Any]:
 
 _QUANT_SUFFIXES = ("qweight", "qzeros", "scales", "g_idx")
 
+# compressed-tensors sidecar suffixes (llm-compressor serialization)
+_CT_SUFFIXES = (
+    "weight_scale", "weight_zero_point", "weight_packed", "weight_shape",
+    "weight_g_idx", "input_scale", "input_zero_point",
+)
+
 
 def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
     """Read all *.safetensors under model_path into stacked host arrays.
@@ -96,6 +102,22 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
     if qcfg is not None and qcfg["method"] == "fp8":
         fp8_block = qcfg.get("weight_block_size") or [128, 128]
         qcfg = None
+    # llm-compressor "compressed-tensors" checkpoints (reference
+    # `layers/quantization/compressed_tensors/`): int8/fp8 `weight` +
+    # `weight_scale` per linear (8-bit), or `weight_packed` int32 nibble
+    # tensors (pack-quantized 4-bit).
+    ct = None
+    if qcfg is not None and qcfg["method"] == "compressed-tensors":
+        ct = qcfg
+        qcfg = None
+        if ct["bits"] == 4 and (
+            ct["checkpoint_format"] != "pack-quantized" or not ct["sym"]
+        ):
+            logger.warning(
+                "compressed-tensors 4-bit format=%s sym=%s not ingestible; "
+                "expect missing weights",
+                ct["checkpoint_format"], ct["sym"],
+            )
     if qcfg is not None and qcfg["bits"] != 4:
         logger.warning(
             "quantized checkpoint with bits=%d; only 4-bit ingestion is "
@@ -116,6 +138,7 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
     qcollect: Dict[tuple, Dict[str, np.ndarray]] = {}
     bnb_collect: Dict[str, Dict] = {}
     fp8_collect: Dict[tuple, Dict[str, np.ndarray]] = {}
+    ct_collect: Dict[tuple, Dict[str, np.ndarray]] = {}
 
     def _get_tensor_any(fpath, np_file, name):
         """np-framework read with a torch fallback for dtypes numpy's
@@ -192,6 +215,14 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                     if tail in _QUANT_SUFFIXES:
                         qsuffix = tail
                         lookup = name[: -(len(tail) + 1)] + ".weight"
+                ct_suffix = None
+                if ct is not None:
+                    tail = lookup.rsplit(".", 1)[-1]
+                    if tail in _CT_SUFFIXES:
+                        ct_suffix = tail
+                        lookup = (
+                            lookup[: -(len(tail) + 1)] + ".weight"
+                        )
                 fscale = False
                 if fp8_block is not None and lookup.endswith(
                     ".weight_scale_inv"
@@ -252,6 +283,29 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                     ] = tensor
                     loaded.add(name)
                     continue
+                if ct is not None and (
+                    ct_suffix is not None
+                    or str(tensor.dtype) in ("int8", "float8_e4m3fn")
+                ):
+                    loaded.add(name)
+                    if ct_suffix in ("weight_shape", "weight_g_idx"):
+                        continue  # redundant with the mapped dense shape
+                    if ct_suffix in ("input_scale", "input_zero_point"):
+                        # static activation scales: this engine quantizes
+                        # activations dynamically per token (same numerics
+                        # class, no calibration dependence)
+                        continue
+                    key = ct_suffix or "weight"
+                    entry = ct_collect.setdefault(
+                        (dest, layer_idx, expert_idx), {}
+                    )
+                    if ct["bits"] == 4 and key == "weight_scale":
+                        # W4 assembly expects scales in [K/g, N]
+                        tensor = tensor.astype(np.float32).T
+                        key = "scales"
+                    entry[key] = tensor
+                    entry["_t"] = transform
+                    continue
                 if bnb and tensor.dtype == np.uint8 and name.endswith(".weight"):
                     # bnb-packed linear: dequantize once sidecars arrive
                     entry = bnb_collect.setdefault(name, {})
@@ -275,6 +329,12 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                             convert_quant_tensors)
     if fp8_collect:
         _assemble_fp8_stacks(host, model, fp8_collect, fp8_block)
+    if ct_collect:
+        if ct["bits"] == 4:
+            _assemble_w4_stacks(host, model, ct_collect, ct, pack_w4_np,
+                                convert_quant_tensors)
+        else:
+            _assemble_ct_w8_stacks(host, model, ct_collect, ct)
     logger.info("loaded %d tensors from %d files", len(loaded), len(files))
     return host
 
@@ -323,6 +383,99 @@ def _assemble_fp8_stacks(host, model, collect, block_size):
         logger.info(
             "ingested blockwise-FP8 stack for %s: K=%d N=%d blocks=(%d,%d)",
             dest, K, N, bk_in, bn_out,
+        )
+
+
+def _assemble_ct_w8_stacks(host, model, collect, ct):
+    """Replace dense host stacks with 8-bit compressed-tensors stacks
+    (int-quantized / float-quantized: `weight` int8|f8 [N, K] +
+    `weight_scale` per-channel [N, 1] or per-tensor scalar).  Emits
+    `{"__w8__": ..., "q": [..., K, N], "s": [..., 1, N]}` consumed by
+    device_put_params as QuantizedWeight / QuantizedWeightFP8 — the same
+    classes `--quantization int8|fp8` produce, so the serving path
+    (Pallas W8 kernel / int8-MXU a8 dot) is shared.  Unsupported schemes
+    (zero points, group-strategy int8) dequantize to dense on host."""
+    shapes = model.param_shapes()
+    by_dest: Dict[str, Dict] = {}
+    for (dest, layer_idx, expert_idx), entry in collect.items():
+        by_dest.setdefault(dest, {})[(layer_idx, expert_idx)] = entry
+    is_float = ct["ct_type"] == "float"
+    for dest, entries in by_dest.items():
+        (L_shape, _dt) = _get_path(shapes, dest)
+        K, N = L_shape[-2], L_shape[-1]
+        sample = next(iter(entries.values()))
+        dense_fallback = "weight_zero_point" in sample or (
+            not is_float and ct["ct_strategy"] == "group"
+        )
+        if is_float:
+            import ml_dtypes
+
+            qdt = ml_dtypes.float8_e4m3fn
+        else:
+            qdt = np.int8
+        q_stack = np.zeros(L_shape[:-2] + (K, N), dtype=qdt)
+        s_stack = np.ones(L_shape[:-2] + (1, N), dtype=np.float32)
+        for (layer_idx, expert_idx), entry in entries.items():
+            w = entry.get("weight")
+            s = entry.get("weight_scale")
+            if w is None or s is None:
+                logger.warning("incomplete compressed-tensors set for %s",
+                               dest)
+                continue
+            t = entry.get("_t")
+            if t == "transpose" or (t is None and w.shape == (N, K)):
+                w = w.T
+            assert w.shape == (K, N), (dest, w.shape, (K, N))
+            idx = ()
+            if layer_idx is not None:
+                idx = idx + (layer_idx,)
+            if expert_idx is not None:
+                idx = idx + (expert_idx,)
+            s32 = np.asarray(s, dtype=np.float32)
+            if dense_fallback:
+                z = entry.get("weight_zero_point")
+                wd = w.astype(np.float32)
+                if not is_float and ct["ct_strategy"] == "group":
+                    g = K // s32.T.shape[0] if s32.ndim == 2 else K
+                    sb = np.repeat(s32.T, g, axis=0)[:K]
+                    wd = wd * sb
+                else:
+                    sv = s32.reshape(-1)
+                    sb = (
+                        np.full((N,), sv[0], np.float32)
+                        if sv.size == 1 else sv
+                    )
+                    if z is not None:
+                        wd = wd - np.asarray(z, np.float32).reshape(-1)[None, :]
+                    wd = wd * sb[None, :]
+                tgt = _get_path(host, dest)
+                if isinstance(tgt, dict):
+                    raise RuntimeError(
+                        f"mixed quantized/dense entries for {dest}"
+                    )
+                for i in idx:
+                    tgt = tgt[i]
+                np.copyto(tgt, wd.astype(tgt.dtype))
+                continue
+            sv = s32.reshape(-1)
+            if sv.size == 1:
+                sv = np.full((N,), sv[0], np.float32)
+            q_stack[idx] = w
+            s_stack[idx] = sv.reshape(1, N)
+        if dense_fallback:
+            logger.info(
+                "compressed-tensors %s: dequantized to dense (zero-point "
+                "or group-int8 scheme)", dest,
+            )
+            continue
+        _set_path(
+            host, dest,
+            {"__w8__": "fp8" if is_float else "int8",
+             "q": q_stack, "s": s_stack},
+        )
+        logger.info(
+            "ingested compressed-tensors W8(%s) stack for %s: K=%d N=%d",
+            "fp8" if is_float else "int8", dest, K, N,
         )
 
 
@@ -451,6 +604,32 @@ def device_put_params(host_params, model, mesh) -> Dict[str, Any]:
             if isinstance(v, dict) and v.get("__w4__"):
                 spec = spec_node.get(k, P()) if isinstance(spec_node, dict) else P()
                 out[k] = put_w4(v, spec)
+            elif isinstance(v, dict) and v.get("__w8__"):
+                from sglang_npu_tpu.layers.quantization import (
+                    QuantizedWeight,
+                    QuantizedWeightFP8,
+                )
+
+                spec = spec_node.get(k, P()) if isinstance(spec_node, dict) else P()
+                cls = (
+                    QuantizedWeightFP8
+                    if v["__w8__"] == "fp8"
+                    else QuantizedWeight
+                )
+                out[k] = cls(
+                    q=jax.device_put(
+                        v["q"],
+                        NamedSharding(
+                            mesh, _validate_spec(v["q"].shape, spec, mesh)
+                        ),
+                    ),
+                    s=jax.device_put(
+                        v["s"],
+                        NamedSharding(
+                            mesh, _validate_spec(v["s"].shape, spec, mesh)
+                        ),
+                    ),
+                )
             elif isinstance(v, dict) and v.get("__fp8b__"):
                 from sglang_npu_tpu.layers.quantization import (
                     QuantizedWeightFP8Block,

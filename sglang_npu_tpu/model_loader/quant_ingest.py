@@ -110,6 +110,35 @@ def gptq_to_w4(
     return q4, s, z * s, perm
 
 
+def ct_unpack_int32(packed: np.ndarray) -> np.ndarray:
+    """compressed-tensors `pack_to_int32`: signed int4 values packed 8 per
+    int32 along the LAST axis, LSB-first.  [N, K/8] int32 -> [N, K] int8
+    signed values in [-8, 7]."""
+    p = packed.astype(np.uint32)
+    out = np.empty(p.shape + (8,), dtype=np.int8)
+    for i in range(8):
+        nib = ((p >> (4 * i)) & 0xF).astype(np.int8)
+        out[..., i] = np.where(nib >= 8, nib - 16, nib)
+    return out.reshape(*p.shape[:-1], p.shape[-1] * 8)
+
+
+def ct_to_w4(
+    weight_packed: np.ndarray,
+    scales: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """compressed-tensors pack-quantized (symmetric int4, group strategy):
+    HF-layout `weight_packed` [N, K/8] + scales already transposed to our
+    [K/g, N] orientation by the loader ->
+    (q4 [K, N] uint8 in [0,15], s [K/g, N], b=8*s, perm=None).
+
+    w = q_signed * s with q_signed in [-8, 7]; our W4 convention stores
+    q4 = q_signed + 8 with b = z*s at z = 8."""
+    q_s = ct_unpack_int32(weight_packed).T  # [K, N] signed
+    q4 = (q_s.astype(np.int16) + 8).astype(np.uint8)
+    s = scales.astype(np.float32)
+    return q4, s, 8.0 * s, None
+
+
 def pack_w4_np(q4: np.ndarray, group_size: int) -> np.ndarray:
     """numpy twin of `layers.quantization.pack_w4` (host-side packing —
     never route checkpoint bytes through the device)."""
@@ -141,6 +170,36 @@ def detect_quant_config(model_path: str) -> Optional[Dict]:
     if qcfg is None:
         return None
     method = (qcfg.get("quant_method") or "gptq").lower()
+    if method in ("compressed-tensors", "compressed_tensors"):
+        # llm-compressor checkpoints (reference
+        # `layers/quantization/compressed_tensors/compressed_tensors.py`):
+        # config_groups describe the weight/activation schemes; tensors are
+        # `weight`(+`weight_scale`) for 8-bit or `weight_packed`(+scale,
+        # shape) for pack-quantized 4-bit.
+        wargs, aargs = None, None
+        for grp in (qcfg.get("config_groups") or {}).values():
+            if isinstance(grp, dict) and grp.get("weights"):
+                wargs = grp["weights"]
+                aargs = grp.get("input_activations")
+                break
+        wargs = wargs or {}
+        return {
+            "method": "compressed-tensors",
+            "bits": int(wargs.get("num_bits", 8)),
+            "group_size": int(wargs.get("group_size") or 128),
+            "desc_act": False,
+            "checkpoint_format": qcfg.get("format", ""),
+            "sym": bool(wargs.get("symmetric", True)),
+            "weight_block_size": None,
+            "ct_type": (wargs.get("type") or "int").lower(),
+            "ct_strategy": (wargs.get("strategy") or "channel").lower(),
+            "ct_act_dynamic": bool(aargs and aargs.get("dynamic")),
+            "ct_act_bits": int(aargs.get("num_bits", 8)) if aargs else None,
+            "ct_act_type": (
+                (aargs.get("type") or "int").lower() if aargs else None
+            ),
+            "ignore": qcfg.get("ignore") or [],
+        }
     return {
         "method": method,
         "bits": int(qcfg.get("bits", qcfg.get("w_bit", 4))),
@@ -172,4 +231,6 @@ def convert_quant_tensors(
             tensors.get("g_idx"),
             v2=v2 or method == "gptq_v2",
         )
+    if method == "compressed-tensors":
+        return ct_to_w4(tensors["weight_packed"], tensors["scales"])
     raise ValueError(f"unsupported quant method {method}")

@@ -356,7 +356,7 @@ class ServerArgs:
         if self.quantization not in (
             None, "", "none", "int8", "w8a16_int8", "fp8", "fp8_e4m3",
             "w4a16", "int4", "awq", "gptq", "awq_marlin", "gptq_marlin",
-            "w4a8", "w8a8_int8",
+            "w4a8", "w8a8_int8", "compressed-tensors", "compressed_tensors",
         ):
             raise ValueError(f"Unsupported quantization {self.quantization}")
         if self.disaggregation_mode not in ("null", "prefill", "decode"):
