@@ -90,9 +90,11 @@ CONFIGS = {
     ),
     "llama8b_int8_int8kv": dict(
         # weight-only INT8: the reference's Ascend headline class; the
-        # Pallas W8 kernel streams at ~724 GB/s (bench_w8_probe.py)
+        # Pallas W8 kernel streams at ~724 GB/s (bench_w8_probe.py).
+        # Batch 128: int8 weights are 9.1GB (embed/head stay bf16) — the
+        # batch-256/80k-token KV budget of the W4 configs OOMs a 16GB v5e.
         model=LLAMA_8B, quantization="int8", kv_cache_dtype="int8",
-        max_total_tokens=81920, num_requests=256, decode_steps=32,
+        max_total_tokens=40960, num_requests=128, decode_steps=32,
     ),
     "llama8b_w4a16_int8kv": dict(
         model=LLAMA_8B, quantization="w4a16", kv_cache_dtype="int8",

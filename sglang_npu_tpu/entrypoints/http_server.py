@@ -14,6 +14,7 @@ import asyncio
 import dataclasses
 import json
 import logging
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -485,6 +486,25 @@ class HttpServer:
         import jax
 
         num_steps = body.get("num_steps")
+        activities = body.get("activities") or []
+        if "MEM" in activities:
+            # memory profiling (reference `scheduler_profiler_mixin.py:143`
+            # records CUDA allocation history; the TPU analogue snapshots
+            # live-HBM pprof profiles at start and stop)
+            os.makedirs(out_dir, exist_ok=True)
+            self._mem_profile_dir = out_dir
+            try:
+                with open(
+                    os.path.join(out_dir, "memory-start.pprof"), "wb"
+                ) as f:
+                    f.write(jax.profiler.device_memory_profile())
+            except Exception as e:
+                return _json_error(f"memory profile failed: {e}", 500)
+            if activities == ["MEM"]:
+                return web.json_response(
+                    {"success": True, "output_dir": out_dir,
+                     "activities": activities}
+                )
         if body.get("by_stage"):
             # by-stage capture (reference --profile-by-stage): the
             # scheduler writes SEPARATE traces for the next N prefill
@@ -512,12 +532,42 @@ class HttpServer:
     async def stop_profile(self, request: web.Request) -> web.Response:
         import jax
 
+        mem_dir = getattr(self, "_mem_profile_dir", None)
+        mem_files = None
+        if mem_dir is not None:
+            # end-of-capture snapshot + per-device allocation stats (the
+            # reference dumps the CUDA memory snapshot here,
+            # `scheduler_profiler_mixin.py:193-202`)
+            self._mem_profile_dir = None
+            try:
+                with open(
+                    os.path.join(mem_dir, "memory-stop.pprof"), "wb"
+                ) as f:
+                    f.write(jax.profiler.device_memory_profile())
+                stats = {}
+                for d in jax.local_devices():
+                    try:
+                        stats[str(d)] = d.memory_stats()
+                    except Exception:
+                        pass
+                with open(
+                    os.path.join(mem_dir, "memory_stats.json"), "w"
+                ) as f:
+                    json.dump(stats, f, indent=1, default=str)
+                mem_files = ["memory-start.pprof", "memory-stop.pprof",
+                             "memory_stats.json"]
+            except Exception as e:
+                return _json_error(f"memory profile stop failed: {e}", 500)
         try:
             jax.profiler.stop_trace()
         except Exception as e:
-            return _json_error(f"profiler stop failed: {e}", 500)
+            if mem_files is None:
+                return _json_error(f"profiler stop failed: {e}", 500)
         return web.json_response(
-            {"success": True, "output_dir": getattr(self, "_profile_dir", None)}
+            {"success": True,
+             "output_dir": getattr(self, "_profile_dir", None),
+             **({"memory_profile": mem_files, "memory_dir": mem_dir}
+                if mem_files else {})}
         )
 
     async def open_session(self, request: web.Request) -> web.Response:

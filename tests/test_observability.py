@@ -109,6 +109,46 @@ def test_profiler_num_steps_stops(model_dir, tmp_path):
         e.shutdown()
 
 
+async def test_memory_profile_activity(model_dir, loop, tmp_path):
+    """/start_profile activities=["MEM"] -> pprof HBM snapshots at start
+    and stop + per-device allocation stats (reference
+    `scheduler_profiler_mixin.py:143-202` memory profiling)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from sglang_npu_tpu.entrypoints.http_server import HttpServer
+
+    e = Engine(
+        model_path=model_dir, dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=2048, attention_backend="xla",
+        random_seed=0,
+    )
+    client = TestClient(TestServer(HttpServer(e).build_app()))
+    await client.start_server()
+    out = str(tmp_path / "memprof")
+    try:
+        resp = await client.post(
+            "/start_profile",
+            json={"activities": ["MEM"], "output_dir": out},
+        )
+        assert resp.status == 200, await resp.text()
+        e.generate(
+            input_ids=[[5, 9, 11]],
+            sampling_params={"max_new_tokens": 4, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        resp = await client.post("/stop_profile", json={})
+        body = await resp.json()
+        assert resp.status == 200, body
+        assert body.get("memory_profile"), body
+        assert os.path.getsize(os.path.join(out, "memory-start.pprof")) > 0
+        assert os.path.getsize(os.path.join(out, "memory-stop.pprof")) > 0
+        stats = json.load(open(os.path.join(out, "memory_stats.json")))
+        assert isinstance(stats, dict)
+    finally:
+        await client.close()
+        e.shutdown()
+
+
 async def test_prometheus_latency_metrics(model_dir, loop):
     pytest.importorskip("prometheus_client")
     from aiohttp.test_utils import TestClient, TestServer
