@@ -242,6 +242,11 @@ class Llama4ForCausalLM(LlamaForCausalLM):
         B, E_ = fb.input_ids.shape
         dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         x = params["embed"][fb.input_ids].astype(dt)
+        if fb.input_embeds is not None:
+            # multimodal: image-token rows replaced by vision embeddings
+            x = jnp.where(
+                fb.embed_mask[..., None], fb.input_embeds.astype(x.dtype), x
+            )
         eps = c.rms_norm_eps
         H, Hkv, hd = c.num_attention_heads, c.num_key_value_heads, c.head_dim
 

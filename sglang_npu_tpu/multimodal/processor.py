@@ -107,7 +107,7 @@ def process_images(
     pil = [load_image(im) for im in images] if images else []
     vids = [load_video(v) for v in (videos or [])]
     model_type = hf_config.get("model_type", "")
-    if model_type in ("llava", "gemma3", "internvl"):
+    if model_type in ("llava", "gemma3", "internvl", "llama4"):
         return _process_fixed_grid(proc, prompt_text, input_ids, pil, hf_config)
     if model_type == "mllama":
         return _process_mllama(proc, prompt_text, input_ids, pil, hf_config)
@@ -322,6 +322,12 @@ def _process_fixed_grid(
         pt = pt[0] if isinstance(pt, (list, tuple)) else pt
         ds = hf_config.get("downsample_ratio", 0.5)
         per_image = int(img // pt * ds) ** 2
+    elif model_type == "llama4":
+        # one resized chunk per image; pixel-shuffle packs r^2 patches
+        r = vc.get("pixel_shuffle_ratio", 0.5)
+        per_image = int(
+            vc.get("image_size", 448) // vc.get("patch_size", 14) * r
+        ) ** 2
     else:
         per_image = (
             vc.get("image_size", 336) // vc.get("patch_size", 14)
