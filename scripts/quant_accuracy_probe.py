@@ -53,21 +53,31 @@ def make_copy_batch(rng, batch, seq):
     return out
 
 
-def train_tiny(force=False):
+def train_tiny(force=False, cfg=None, ckpt_dir=None, model_cls=None):
+    """Train a tiny causal LM to convergence on the synthetic copy
+    grammar (deterministic, cached).  Defaults to the llama probe model;
+    pass (cfg, ckpt_dir, model_cls) to train other families — e.g. the
+    DeepSeek-V2 MLA model the on-chip parity check uses so its margins
+    are trained-like too (near-tie degenerate runs on random init flip
+    argmax between torch-CPU and the chip)."""
     import numpy as np
     import torch
     import transformers
 
-    cfg = transformers.LlamaConfig(
-        vocab_size=VOCAB, hidden_size=256, intermediate_size=768,
-        num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=4,
-        head_dim=128, max_position_embeddings=512, torch_dtype="float32",
-        eos_token_id=EOS, tie_word_embeddings=False,
-    )
+    if cfg is None:
+        cfg = transformers.LlamaConfig(
+            vocab_size=VOCAB, hidden_size=256, intermediate_size=768,
+            num_hidden_layers=4, num_attention_heads=8,
+            num_key_value_heads=4, head_dim=128,
+            max_position_embeddings=512, torch_dtype="float32",
+            eos_token_id=EOS, tie_word_embeddings=False,
+        )
+    CKPT_DIR = ckpt_dir or globals()["CKPT_DIR"]
+    model_cls = model_cls or transformers.LlamaForCausalLM
     if not force and os.path.exists(os.path.join(CKPT_DIR, "config.json")):
         return CKPT_DIR
     torch.manual_seed(0)
-    model = transformers.LlamaForCausalLM(cfg)
+    model = model_cls(cfg)
     model.train()
     opt = torch.optim.AdamW(model.parameters(), lr=3e-4)
     rng = np.random.default_rng(0)

@@ -174,11 +174,28 @@ def main():
         tie_word_embeddings=False, torch_dtype="float32", eos_token_id=2,
         rope_scaling=None, attention_bias=False,
     )
-    torch.manual_seed(1)
-    hf_mla = transformers.DeepseekV2ForCausalLM(mla_cfg)
-    hf_mla.eval()
-    d_mla = tempfile.mkdtemp(prefix="tpu_parity_mla_")
-    hf_mla.save_pretrained(d_mla, safe_serialization=True)
+    if args.random_init:
+        torch.manual_seed(1)
+        hf_mla = transformers.DeepseekV2ForCausalLM(mla_cfg)
+        hf_mla.eval()
+        d_mla = tempfile.mkdtemp(prefix="tpu_parity_mla_")
+        hf_mla.save_pretrained(d_mla, safe_serialization=True)
+    else:
+        # trained margins for the MLA model too — random init decays into
+        # degenerate repeated-token runs whose ~0-margin argmaxes flip
+        # between torch-CPU and the chip (round-3 waiver, round-4 MLA flip)
+        from quant_accuracy_probe import train_tiny
+
+        d_mla = train_tiny(
+            cfg=mla_cfg,
+            ckpt_dir=os.path.expanduser(
+                "~/.cache/sglang_tpu_mla_trained_v1"
+            ),
+            model_cls=transformers.DeepseekV2ForCausalLM,
+        )
+        hf_mla = transformers.DeepseekV2ForCausalLM.from_pretrained(
+            d_mla
+        ).float().eval()
     mla_refs = []
     with torch.no_grad():
         for pr in prompts:
