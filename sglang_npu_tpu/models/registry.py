@@ -19,6 +19,7 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "MixtralForCausalLM": ("sglang_npu_tpu.models.qwen_moe", "QwenMoeForCausalLM"),
     "Gemma2ForCausalLM": ("sglang_npu_tpu.models.gemma2", "Gemma2ForCausalLM"),
     "Gemma3ForCausalLM": ("sglang_npu_tpu.models.gemma3", "Gemma3ForCausalLM"),
+    "Gemma3nForCausalLM": ("sglang_npu_tpu.models.gemma3n", "Gemma3nForCausalLM"),
     "Gemma3TextModel": ("sglang_npu_tpu.models.gemma3", "Gemma3ForCausalLM"),
     "Qwen2_5_VLForConditionalGeneration": (
         "sglang_npu_tpu.models.qwen2_5_vl", "Qwen2_5_VLForCausalLM",
