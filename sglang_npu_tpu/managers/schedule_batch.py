@@ -193,7 +193,13 @@ class Req:
         # identical images share prefix KV (reference mm hashing)
         self.cache_key_ids = list(mm["key_ids"])
         ids = np.asarray(self.origin_input_ids)
-        self.mm_token_positions = np.where(ids == mm["image_token_id"])[0]
+        # extra_token_ids: additional placeholder ids whose positions are
+        # also tower-filled (phi4mm serves image AND audio tokens in one
+        # prompt; the model returns rows in prompt-position order)
+        tids = [mm["image_token_id"]] + [
+            int(t) for t in mm.get("extra_token_ids", ())
+        ]
+        self.mm_token_positions = np.where(np.isin(ids, tids))[0]
         # per-prompt-position image index (-1 text): contiguous placeholder
         # runs are numbered in order (gemma3 same-image bidirectional mask)
         grp = np.full(len(ids), -1, dtype=np.int32)

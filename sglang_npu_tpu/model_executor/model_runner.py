@@ -1306,7 +1306,12 @@ class ModelRunner:
         import dataclasses as _dc
 
         D = self.model_config.hidden_size
-        embeds = jnp.zeros((bs_bucket, extend_bucket, D), jnp.bfloat16)
+        embeds = jnp.zeros(
+            (bs_bucket, extend_bucket, D),
+            jnp.bfloat16
+            if self.model_config.dtype == "bfloat16"
+            else jnp.float32,
+        )
         mask = np.zeros((bs_bucket, extend_bucket), dtype=bool)
         touched = False
         for i, req in enumerate(mwb.mm_reqs):

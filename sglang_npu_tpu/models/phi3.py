@@ -80,6 +80,11 @@ class Phi3ForCausalLM(LlamaForCausalLM):
         x = params["embed"][fb.input_ids].astype(
             jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         )
+        if fb.input_embeds is not None:
+            # multimodal (phi4mm): placeholder rows replaced by tower rows
+            x = jnp.where(
+                fb.embed_mask[..., None], fb.input_embeds.astype(x.dtype), x
+            )
         eps = c.rms_norm_eps
         rope_cs = self._rope_cos_sin(fb)
         qs, ks = self.q_size, self.kv_size

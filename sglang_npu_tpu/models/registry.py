@@ -48,6 +48,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Llama4ForConditionalGeneration": (
         "sglang_npu_tpu.models.llama4_mm", "Llama4VLForConditionalGeneration",
     ),
+    "Phi4MultimodalForCausalLM": (
+        "sglang_npu_tpu.models.phi4mm", "Phi4MMForCausalLM",
+    ),
     "DeepseekV2ForCausalLM": ("sglang_npu_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("sglang_npu_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "Glm4ForCausalLM": ("sglang_npu_tpu.models.glm4", "Glm4ForCausalLM"),
