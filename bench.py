@@ -346,7 +346,10 @@ def main():
         except Exception as e:
             results[name] = {"error": str(e)[:200]}
         print(f"## {name}: {results[name]}", file=sys.stderr)
-        time.sleep(10)  # let the tunnel settle between engine processes
+        # let the tunnel actually RELEASE the previous engine's HBM: 10s
+        # proved too short once the 9.1GB int8 config ran mid-ladder (the
+        # next config then OOMed mid-run on a pool that fits a clean chip)
+        time.sleep(60)
 
     headline = None
     for pick in ("llama8b_w4a16_int8kv", "llama8b_fp8", "llama1b_bf16", "llama3b_bf16"):
