@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
+# Persistent CPU compile cache: tests build the same tiny-model programs
+# over and over (and xdist workers compile them concurrently on 4 cores
+# — slow enough to trip PD control-RPC timeouts without a cache).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu")
 
 import jax  # noqa: E402
 

@@ -2,7 +2,12 @@
 (reference `disaggregation/` prefill/decode event loops + KV transfer;
 `test_disaggregation.py` pattern with both servers on one node)."""
 
+import aiohttp
 import numpy as np
+
+# xdist workers oversubscribe 4 CPUs; aiohttp's default 300s total
+# client timeout then trips on long-poll + compile stalls
+CLIENT_TIMEOUT = aiohttp.ClientTimeout(total=900)
 import pytest
 
 torch = pytest.importorskip("torch")
@@ -90,8 +95,8 @@ async def test_pd_over_http(tmp_path_factory, loop):
     )
     pe = Engine(**common, disaggregation_mode="prefill")
     de = Engine(**common, disaggregation_mode="decode")
-    pc = TestClient(TestServer(HttpServer(pe).build_app()))
-    dc = TestClient(TestServer(HttpServer(de).build_app()))
+    pc = TestClient(TestServer(HttpServer(pe).build_app()), timeout=CLIENT_TIMEOUT)
+    dc = TestClient(TestServer(HttpServer(de).build_app()), timeout=CLIENT_TIMEOUT)
     await pc.start_server()
     await dc.start_server()
     try:
@@ -151,8 +156,8 @@ async def test_pd_room_direct_transfer(tmp_path_factory, loop, transfer):
     )
     pe = Engine(**common, disaggregation_mode="prefill")
     de = Engine(**common, disaggregation_mode="decode")
-    pc = TestClient(TestServer(HttpServer(pe).build_app()))
-    dc = TestClient(TestServer(HttpServer(de).build_app()))
+    pc = TestClient(TestServer(HttpServer(pe).build_app()), timeout=CLIENT_TIMEOUT)
+    dc = TestClient(TestServer(HttpServer(de).build_app()), timeout=CLIENT_TIMEOUT)
     await pc.start_server()
     await dc.start_server()
     try:

@@ -5,7 +5,12 @@ engine-backed servers (reference `sgl-router` py_test pattern)."""
 import asyncio
 import json
 
+import aiohttp
 import numpy as np
+
+# xdist workers oversubscribe 4 CPUs; aiohttp's default 300s total
+# client timeout then trips on long-poll + compile stalls
+CLIENT_TIMEOUT = aiohttp.ClientTimeout(total=900)
 import pytest
 
 torch = pytest.importorskip("torch")
@@ -164,7 +169,7 @@ async def test_router_proxies_and_balances(two_servers, loop):
 
     router = Router(urls, policy="round_robin", health_interval=0)
     rts = TestServer(router.build_app())
-    client = TestClient(rts)
+    client = TestClient(rts, timeout=CLIENT_TIMEOUT)
     await client.start_server()
     try:
         for i in range(4):
@@ -215,7 +220,7 @@ async def test_router_retries_dead_worker(two_servers, loop):
 
     router = Router([dead, live], policy="round_robin",
                     retries=2, health_interval=0)
-    client = TestClient(TestServer(router.build_app()))
+    client = TestClient(TestServer(router.build_app()), timeout=CLIENT_TIMEOUT)
     await client.start_server()
     try:
         # round_robin hits `dead` on at least one of two calls; both succeed
@@ -241,7 +246,7 @@ async def test_router_health_quarantine(two_servers, loop):
     dead = "http://127.0.0.1:1"
     router = Router([dead, live], policy="round_robin",
                     health_interval=0.1, health_failures=2)
-    client = TestClient(TestServer(router.build_app()))
+    client = TestClient(TestServer(router.build_app()), timeout=CLIENT_TIMEOUT)
     await client.start_server()
     try:
         for _ in range(50):
@@ -293,7 +298,7 @@ async def test_router_pd_orchestration(tmp_path_factory, loop, transfer):
         health_interval=0,
         pd_transfer=transfer,
     )
-    client = TestClient(TestServer(router.build_app()))
+    client = TestClient(TestServer(router.build_app()), timeout=CLIENT_TIMEOUT)
     await client.start_server()
     try:
         prompt = np.random.default_rng(0).integers(3, VOCAB, size=9).tolist()
