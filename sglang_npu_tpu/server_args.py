@@ -170,10 +170,10 @@ class ServerArgs:
     # running decodes advance between prefill chunks instead of stalling
     # for a whole multi-chunk prompt; flag for A/B
     disable_mixed_chunk: bool = False
-    # model implementation (reference --model-impl): auto = native TPU zoo
-    # with HF-torch fallback for unlisted archs; transformers = force the
-    # fallback; tpu = native only (error on unlisted archs)
-    model_impl: str = "auto"
+    # NOTE: model_impl (reference --model-impl) is declared once in the
+    # model section above: auto = native TPU zoo with HF-torch fallback
+    # for unlisted archs; transformers = force the fallback; tpu = native
+    # only (error on unlisted archs)
     max_new_tokens_default: int = 128
     # named chat template / template JSON file (reference --chat-template,
     # conversation.py registry); None = HF jinja, then model-path match
@@ -200,11 +200,11 @@ class ServerArgs:
     # ------------------------------------------------------------------
     # LoRA
     # ------------------------------------------------------------------
+    # enable the LoRA machinery — with zero initial adapters when
+    # lora_paths is empty, so /load_lora_adapter can add them at runtime
+    # (reference --enable-lora)
     enable_lora: bool = False
     lora_paths: Optional[List[str]] = None
-    # enable the LoRA machinery with zero initial adapters so
-    # /load_lora_adapter can add them at runtime (reference --enable-lora)
-    enable_lora: bool = False
     # tensor dump/compare debugging (reference --debug-tensor-dump-* +
     # `debug_utils/dumper.py`): every extend forward dumps per-layer
     # residual hiddens + logits + sampled tokens as npz under this folder;
