@@ -87,6 +87,7 @@ CONFIGS = {
         # does not batch-amortize like the W4 kernels; 128 measured SLOWER)
         model=LLAMA_8B, quantization="fp8", kv_cache_dtype="auto",
         max_total_tokens=24576, num_requests=64, decode_steps=32,
+        page_size=32,
     ),
     "llama8b_int8_int8kv": dict(
         # weight-only INT8: the reference's Ascend headline class; the
@@ -95,16 +96,23 @@ CONFIGS = {
         # batch-256/80k-token KV budget of the W4 configs OOMs a 16GB v5e.
         model=LLAMA_8B, quantization="int8", kv_cache_dtype="int8",
         max_total_tokens=40960, num_requests=128, decode_steps=32,
+        page_size=32,
     ),
+    # page_size 32 for the deep-batch configs: the decode kernel's
+    # per-page DMA issue cost dominates at batch 256 — ps=16 measured
+    # 2.38 ms/layer vs 0.61 at ps=32 (scripts/r5_probe_decode.py attn2;
+    # ps>=64 loses it again to the whole-page RMW insert cost)
     "llama8b_w4a16_int8kv": dict(
         model=LLAMA_8B, quantization="w4a16", kv_cache_dtype="int8",
         max_total_tokens=81920, num_requests=256, decode_steps=32,
+        page_size=32,
     ),
     "llama8b_w4a8_int8kv": dict(  # int8-MXU activations: the small-batch
         # ITL king (a8 kernel at M<=64); deep batches route decode through
         # the batch-amortized bf16 kernel like w4a16
         model=LLAMA_8B, quantization="w4a8", kv_cache_dtype="int8",
         max_total_tokens=81920, num_requests=256, decode_steps=32,
+        page_size=32,
     ),
     "llama8b_w4a16_bf16kv": dict(  # perf isolation: W4 matmul only
         model=LLAMA_8B, quantization="w4a16", kv_cache_dtype="auto",
@@ -159,7 +167,7 @@ def run_config(name, spec, args):
             dtype="bfloat16",
             quantization=spec["quantization"],
             kv_cache_dtype=spec["kv_cache_dtype"],
-            page_size=args.page_size,
+            page_size=spec.get("page_size", args.page_size),
             max_total_tokens=max(
                 spec["max_total_tokens"],
                 num_requests * (args.prompt_len + args.max_new + 64),

@@ -229,6 +229,68 @@ def main():
         bench_attn(256, 192, "int8", 64)
         bench_attn(256, 192, "bf16", 64)
         bench_attn(256, 192, "int8", 128)
+    if what == "scanmm":
+        bench_scan_mm(256, zp=False)
+        bench_scan_mm(256, zp=True)
+
+
+def bench_scan_mm(M, L=32, zp=False, iters=20):
+    """The engine-shaped matmul structure: weights stacked [L, ...] and
+    consumed via lax.scan (like llama.backbone_forward), all 4 fused
+    production matmuls per layer.  Isolates the scan-slice / per-call
+    overhead the bare-kernel probe (bench_mm) does not see.  zp=True adds
+    the einsum_w4 zero-point epilogue like the production path."""
+    from sglang_npu_tpu.layers.quantization import QuantizedWeightW4
+    from sglang_npu_tpu.ops.pallas.quant_matmul import einsum_w4, matmul_w4
+
+    key = jax.random.PRNGKey(3)
+    stacked = {}
+    for name, K, N in SHAPES:
+        w = _mk_w4(key, K, N)
+        stacked[name] = QuantizedWeightW4(
+            q=jnp.broadcast_to(w.q, (L, *w.q.shape)),
+            s=jnp.broadcast_to(w.s, (L, *w.s.shape)),
+            b=jnp.broadcast_to(w.b, (L, *w.b.shape)),
+        )
+    x0 = jax.random.normal(key, (M, 14336), jnp.bfloat16)
+
+    @jax.jit
+    def run(x0):
+        def layer(x, lw):
+            acc = jnp.float32(0.0)
+            for name, K, N in SHAPES:
+                w = QuantizedWeightW4(
+                    q=lw[name].q, s=lw[name].s, b=lw[name].b
+                )
+                if zp:
+                    o = einsum_w4(x[:, :K], w, "mk,kn->mn")
+                else:
+                    o = matmul_w4(x[:, :K], w.q, w.s, w.b)
+                acc = acc + o[0, 0].astype(jnp.float32)
+            x = x + (acc * 1e-30).astype(x.dtype)
+            return x, None
+
+        def body(i, x):
+            out, _ = jax.lax.scan(layer, x, stacked)
+            return out
+
+        return jax.lax.fori_loop(0, iters, body, x0)
+
+    fixed = fixed_overhead()
+    t0 = time.time()
+    np.asarray(jax.device_get(run(x0)))
+    log(f"  [compile+warm {time.time()-t0:.0f}s]")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        np.asarray(jax.device_get(run(x0)))
+        best = min(best, time.time() - t0)
+    t = max(best - fixed, 1e-9) / iters
+    packed = sum(K * N // 2 + (K // 128) * N * 8 for _, K, N in SHAPES) * L
+    log(
+        f"scanmm M={M} L={L} zp={zp}: {t*1e3:.1f} ms/step "
+        f"({t*1e3/L:.3f} ms/layer, {packed/t/1e9:.0f} GB/s)"
+    )
 
 
 if __name__ == "__main__":

@@ -338,6 +338,7 @@ class Engine:
         session_params: Optional[Dict] = None,
         lora_path: Optional[Union[str, List[Optional[str]]]] = None,
         image_data=None,
+        custom_logit_processor: Optional[str] = None,
     ):
         """Reference `Engine.generate` (`engine.py:138`): returns a dict for
         single prompts, a list of dicts for batches, or an iterator when
@@ -354,6 +355,7 @@ class Engine:
             session_params=session_params,
             lora_path=lora_path,
             image_data=image_data,
+            custom_logit_processor=custom_logit_processor,
         )
         if stream:
             return self.tokenizer_manager.stream_sync(obj)

@@ -446,6 +446,11 @@ class SamplingBatchNumpy:
     logit_bias_ids: Optional[np.ndarray] = None  # [B, K] int32
     logit_bias_vals: Optional[np.ndarray] = None  # [B, K] f32
     has_logit_bias: bool = False
+    # custom logit processors (sampling/custom_logit_processor.py): the
+    # static per-batch processor-key tuple + per-row slot + packed params
+    custom_proc_keys: Optional[tuple] = None
+    custom_slot: Optional[np.ndarray] = None  # [B] int32, -1 = none
+    custom_params: Optional[dict] = None  # key -> [B] / [B, K] np arrays
 
     @classmethod
     def from_reqs(cls, reqs: List[Req]) -> "SamplingBatchNumpy":
@@ -532,6 +537,14 @@ class SamplingBatchNumpy:
                     vals[i, j] = b
             out.logit_bias_ids = ids
             out.logit_bias_vals = vals
+
+        from sglang_npu_tpu.sampling.custom_logit_processor import (
+            batch_processors,
+        )
+
+        custom = batch_processors(reqs)
+        if custom is not None:
+            out.custom_proc_keys, out.custom_slot, out.custom_params = custom
         return out
 
 

@@ -653,6 +653,23 @@ class Scheduler:
         req.session_id = (
             t.session_params.get("id") if t.session_params else None
         )
+        req.custom_logit_processor = None
+        if t.custom_logit_processor:
+            from sglang_npu_tpu.sampling.custom_logit_processor import (
+                intern_processor,
+            )
+
+            try:
+                # interned key (name / blob:<sha>): the jit compile key and
+                # the runner's resolve() handle.  Interning here (not only
+                # in the tokenizer) covers multi-process DP transports.
+                req.custom_logit_processor = intern_processor(
+                    t.custom_logit_processor
+                )
+            except Exception as e:
+                req.finished_reason = FINISH_ABORT(
+                    f"invalid custom_logit_processor: {e}"
+                )
         if t.mm_inputs is not None:
             req.set_mm_inputs(t.mm_inputs)
             if (

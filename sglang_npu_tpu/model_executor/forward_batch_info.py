@@ -85,6 +85,11 @@ class SamplingDevice:
     # OpenAI logit_bias (sparse): ids padded with an out-of-vocab sentinel
     logit_bias_ids: Optional[jax.Array] = None  # [B, K] int32
     logit_bias_vals: Optional[jax.Array] = None  # [B, K] f32
+    # custom logit processors: per-row processor slot (-1 = none) and the
+    # batched params dict (sampling/custom_logit_processor.py); the static
+    # processor-key tuple travels as a jit static arg, not here
+    custom_slot: Optional[jax.Array] = None  # [B] int32
+    custom_params: Optional[dict] = None  # key -> [B] / [B, K] arrays
 
 
 def pad_to(arr: np.ndarray, size: int, fill=0, axis: int = 0) -> np.ndarray:
@@ -228,4 +233,12 @@ def build_sampling_device(mwb: ModelWorkerBatch, bs_bucket: int) -> SamplingDevi
         out.logit_bias_vals = jnp.asarray(
             pad_to(s.logit_bias_vals, bs_bucket)
         )
+    if s.custom_proc_keys:
+        out.custom_slot = jnp.asarray(
+            pad_to(s.custom_slot, bs_bucket, fill=-1)
+        )
+        out.custom_params = {
+            k: jnp.asarray(pad_to(v, bs_bucket))
+            for k, v in (s.custom_params or {}).items()
+        }
     return out

@@ -43,6 +43,9 @@ from sglang_npu_tpu.model_executor.forward_batch_info import (
 from sglang_npu_tpu.model_loader.loader import load_model_weights
 from sglang_npu_tpu.models.registry import resolve_model_class
 from sglang_npu_tpu.layers import sampler as sampler_ops
+from sglang_npu_tpu.sampling.custom_logit_processor import (
+    apply_custom_processors,
+)
 from sglang_npu_tpu.parallel.dist import fetch_np, zeros_global
 from sglang_npu_tpu.parallel.mesh import build_mesh, tp_degree
 from sglang_npu_tpu.server_args import ServerArgs
@@ -773,7 +776,7 @@ class ModelRunner:
             params, kv_pool, fb: ForwardBatch, sampling, rng, sample_mode,
             return_logprob=False, top_logprobs_k=0, has_penalties=False,
             return_input_logprob=False, has_min_new=False,
-            has_logit_bias=False,
+            has_logit_bias=False, custom_procs=(),
             d_params=None, eagle_state=None, hidden_slots=None,
             eagle_first=None, with_eagle=False,
         ):
@@ -820,6 +823,11 @@ class ModelRunner:
                     )
                 if has_logit_bias:
                     logits = sampler_ops.apply_logit_bias(logits, sampling)
+                if custom_procs:
+                    logits = apply_custom_processors(
+                        logits, sampling.custom_slot,
+                        sampling.custom_params, custom_procs,
+                    )
                 if sampling.vocab_mask is not None:
                     logits = sampler_ops.apply_packed_vocab_mask(
                         logits, sampling.vocab_mask
@@ -893,6 +901,11 @@ class ModelRunner:
                 logits = sampler_ops.apply_penalties(logits, sampling, co, ca)
             if has_logit_bias:
                 logits = sampler_ops.apply_logit_bias(logits, sampling)
+            if custom_procs:
+                logits = apply_custom_processors(
+                    logits, sampling.custom_slot,
+                    sampling.custom_params, custom_procs,
+                )
             if sampling.vocab_mask is not None:
                 logits = sampler_ops.apply_packed_vocab_mask(
                     logits, sampling.vocab_mask
@@ -917,7 +930,7 @@ class ModelRunner:
 
         return jax.jit(
             step,
-            donate_argnums=(1, 12),  # kv_pool, eagle_state
+            donate_argnums=(1, 13),  # kv_pool, eagle_state
             static_argnames=(
                 "sample_mode",
                 "return_logprob",
@@ -926,6 +939,7 @@ class ModelRunner:
                 "return_input_logprob",
                 "has_min_new",
                 "has_logit_bias",
+                "custom_procs",
                 "with_eagle",
             ),
         )
@@ -1014,6 +1028,7 @@ class ModelRunner:
             has_penalties=False,
             has_min_new=False,
             has_logit_bias=False,
+            custom_procs=(),
             lora_ids=None,
             fsm=None,
             has_fsm=False,
@@ -1080,6 +1095,11 @@ class ModelRunner:
                     logits = sampler_ops.apply_penalties(logits, sampling, co, ca)
                 if has_logit_bias:
                     logits = sampler_ops.apply_logit_bias(logits, sampling)
+                if custom_procs:
+                    logits = apply_custom_processors(
+                        logits, sampling.custom_slot,
+                        sampling.custom_params, custom_procs,
+                    )
                 if sampling.vocab_mask is not None:
                     logits = sampler_ops.apply_packed_vocab_mask(
                         logits, sampling.vocab_mask
@@ -1158,6 +1178,7 @@ class ModelRunner:
                 "has_penalties",
                 "has_min_new",
                 "has_logit_bias",
+                "custom_procs",
                 "has_fsm",
                 "track_moe",
             ),
@@ -1413,6 +1434,7 @@ class ModelRunner:
                     sample_mode=self._sample_mode(mwb),
                     has_penalties=mwb.sampling_info.has_penalties,
                     has_min_new=mwb.sampling_info.has_min_new,
+                    custom_procs=mwb.sampling_info.custom_proc_keys or (),
                     d_params=self.eagle.params,
                     eagle_state=(self.eagle.kv_pool, self.eagle.hidden_buf),
                     hidden_slots=jnp.asarray(
@@ -1467,6 +1489,7 @@ class ModelRunner:
                 return_input_logprob=mwb.return_input_logprob and rl,
                 has_min_new=mwb.sampling_info.has_min_new,
                 has_logit_bias=mwb.sampling_info.has_logit_bias,
+                custom_procs=mwb.sampling_info.custom_proc_keys or (),
             )
         else:
             # decode: fused multi-step window, dispatch + fetch split so
@@ -1557,6 +1580,7 @@ class ModelRunner:
             has_penalties=mwb.sampling_info.has_penalties,
             has_min_new=mwb.sampling_info.has_min_new,
             has_logit_bias=mwb.sampling_info.has_logit_bias,
+            custom_procs=mwb.sampling_info.custom_proc_keys or (),
             lora_ids=(
                 jnp.asarray(pad_to(mwb.lora_ids, bs_bucket))
                 if mwb.lora_ids is not None

@@ -185,6 +185,10 @@ class ServerArgs:
     # srt/warmup.py; --skip-server-warmup)
     skip_server_warmup: bool = False
     grammar_backend: str = "none"  # none | fsm (built-in) | xgrammar
+    # allow requests to ship custom logit processors (reference
+    # --enable-custom-logit-processor; sampling/custom_logit_processor.py:
+    # registered-by-name or dill blobs, applied inside the jitted chain)
+    enable_custom_logit_processor: bool = False
     reasoning_parser: Optional[str] = None
     tool_call_parser: Optional[str] = None
 
