@@ -141,6 +141,14 @@ class ModelConfig:
             cfg.setdefault("rms_norm_eps", cfg.get("layer_norm_epsilon", 1e-5))
             if cfg.get("multi_query"):
                 cfg.setdefault("num_key_value_heads", 1)
+        if "num_hidden_layers" not in cfg and "num_layers" in cfg:
+            # exaone-v1 / chatglm spell it num_layers
+            cfg = dict(cfg)
+            cfg["num_hidden_layers"] = cfg["num_layers"]
+        if "rms_norm_eps" not in cfg and "layer_norm_epsilon" in cfg:
+            # qwen-v1 / exaone-v1 RMSNorm eps name
+            cfg = dict(cfg)
+            cfg["rms_norm_eps"] = cfg["layer_norm_epsilon"]
         heads = cfg["num_attention_heads"]
         kv_heads = cfg.get("num_key_value_heads", heads)
         head_dim = cfg.get("head_dim") or cfg["hidden_size"] // heads

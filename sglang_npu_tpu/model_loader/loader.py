@@ -159,7 +159,18 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
             return t.numpy()
 
     def _store(dest, layer_idx, expert_idx, transform, tensor):
-        if transform == "transpose":
+        if isinstance(dest, (list, tuple)):
+            # fused checkpoint tensor feeding several stacked destinations
+            # (baichuan W_pack, qwen-v1 c_attn, internlm2 wqkv, chatglm
+            # query_key_value): each entry is (sub_dest, slicer) where the
+            # slicer is a callable mapping the full tensor to that
+            # destination's share
+            for d, tf in dest:
+                _store(d, layer_idx, expert_idx, tf, tensor)
+            return
+        if callable(transform):
+            tensor = transform(tensor)
+        elif transform == "transpose":
             tensor = tensor.T
         elif transform == "squeeze":
             tensor = tensor.reshape(-1)
@@ -263,7 +274,7 @@ def load_safetensors_weights(model, model_path: str) -> Dict[str, Any]:
                     logger.debug("skipping unmapped weight %s", name)
                     continue
                 expert_idx = None
-                if ".__expert__" in dest:
+                if isinstance(dest, str) and ".__expert__" in dest:
                     dest, e = dest.split(".__expert__")
                     expert_idx = int(e)
                 tensor = _get_tensor_any(fpath, f, name)
@@ -825,7 +836,7 @@ def load_gguf_weights(model, gguf_path: str) -> Dict[str, Any]:
             suffix = ".".join(parts[3:])
             if suffix in per_layer_map:
                 dest, transform = per_layer_map[suffix]
-        if dest is None or ".__expert__" in dest:
+        if dest is None or not isinstance(dest, str) or ".__expert__" in dest:
             logger.debug("gguf: unmapped HF tensor %s", name)
             continue
         if transform == "transpose":

@@ -51,6 +51,10 @@ class LlamaForCausalLM:
     # applies to input/post/final norms in backbone_forward — q/k head
     # norms stay plain rms_norm
     norm_fn = staticmethod(rms_norm)
+    # rope application hook: partial-rotary models (exaone-v1 class)
+    # override with models.phi.rope_partial over their rot_dims
+    def rope_apply(self, q, k, rope_cs):
+        return apply_rope_cs(q, k, *rope_cs)
     # load-time fused projections (reference QKVParallelLinear /
     # MergedColumnParallelLinear, `srt/layers/linear.py`): merged at tp=1
     # by ModelRunner.merge_projections — fewer, wider matmul dispatches
@@ -361,7 +365,7 @@ class LlamaForCausalLM:
             if "q_norm" in lp:
                 q = rms_norm(q, lp["q_norm"], eps)
                 k = rms_norm(k, lp["k_norm"], eps)
-            q, k = apply_rope_cs(q, k, *rope_cs)
+            q, k = self.rope_apply(q, k, rope_cs)
             if "q_norm_post" in lp:
                 # hunyuan-style per-head qk RMS norm AFTER rope
                 q = rms_norm(q, lp["q_norm_post"], eps)
@@ -494,7 +498,7 @@ class LlamaForCausalLM:
                     if "q_norm" in lp:
                         q = rms_norm(q, lp["q_norm"], eps)
                         k = rms_norm(k, lp["k_norm"], eps)
-                    q, k = apply_rope_cs(q, k, *rope_cs)
+                    q, k = self.rope_apply(q, k, rope_cs)
                     att, pool = self._attention(
                         q, k, v, pool, l, fb_mb, page_size
                     )

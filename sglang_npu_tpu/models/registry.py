@@ -89,6 +89,16 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "RobertaForSequenceClassification": ("sglang_npu_tpu.models.bert", "RobertaForSequenceClassification"),
     "XLMRobertaForSequenceClassification": ("sglang_npu_tpu.models.bert", "RobertaForSequenceClassification"),
     "GemmaForCausalLM": ("sglang_npu_tpu.models.gemma", "GemmaForCausalLM"),
+    # legacy text trunks (round-5 sweep; reference srt/models/<name>.py)
+    "XverseForCausalLM": ("sglang_npu_tpu.models.llama", "LlamaForCausalLM"),
+    "MiniCPMForCausalLM": ("sglang_npu_tpu.models.minicpm", "MiniCPMForCausalLM"),
+    "ExaoneForCausalLM": ("sglang_npu_tpu.models.exaone", "ExaoneForCausalLM"),
+    "BaichuanForCausalLM": ("sglang_npu_tpu.models.baichuan", "BaichuanForCausalLM"),
+    "BaiChuanForCausalLM": ("sglang_npu_tpu.models.baichuan", "BaichuanForCausalLM"),
+    "InternLM2ForCausalLM": ("sglang_npu_tpu.models.internlm2", "InternLM2ForCausalLM"),
+    "InternLM2ForRewardModel": ("sglang_npu_tpu.models.internlm2", "InternLM2ForRewardModel"),
+    "InternLMForCausalLM": ("sglang_npu_tpu.models.llama", "LlamaForCausalLM"),
+    "QWenLMHeadModel": ("sglang_npu_tpu.models.qwen_v1", "QWenLMHeadModel"),
 }
 
 

@@ -193,6 +193,7 @@ def paged_attention_xla(
     sinks=None,  # [H_q] learned sink logits (gpt-oss attention sinks)
     chunk_size: int = 0,  # llama4 chunked attention (aligned local blocks)
     mm_groups=None,  # [B, Lkv] int32 image-group per seq position (-1 text)
+    alibi_slopes=None,  # [H_q] ALiBi slopes (baichuan-13B class)
 ) -> jax.Array:
     """Masked attention of q against the pool KV selected by page_tables.
 
@@ -261,6 +262,11 @@ def paged_attention_xla(
         scores = logit_cap * jnp.tanh(scores / logit_cap)
 
     kv_pos = jnp.arange(Lkv, dtype=jnp.int32)[None, None, :]  # [1,1,Lkv]
+    if alibi_slopes is not None:
+        # ALiBi: score += slope_h * (kv_pos - q_pos)  (<= 0 on the past)
+        dist = (kv_pos - q_positions[:, :, None]).astype(jnp.float32)
+        sl = alibi_slopes.reshape(1, 1, Hkv, group, 1)
+        scores = scores + sl * dist[:, :, None, None, :]
     qp = q_positions[:, :, None]  # [B,E,1]
     mask = (kv_pos <= qp) & (kv_pos < seq_lens[:, None, None])
     if isinstance(sliding_window, (int, float)):

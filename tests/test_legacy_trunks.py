@@ -1,0 +1,392 @@
+"""Round-5 legacy text-arch sweep: xverse, exaone-v1, internlm2(+reward),
+qwen-v1, baichuan(rope+alibi), minicpm — HF-parity tests.
+
+These archs are trust-remote-code on HF (no transformers classes), so the
+oracle is either (a) a transformers Llama model whose weights are SAVED
+UNDER the target checkpoint naming (pure-renaming variants: the forward
+math is llama exactly — reference `srt/models/xverse.py:1`, `exaone.py:1`,
+`internlm2.py:1`, `qwen.py:1`, rope-mode `baichuan.py:1`), or (b) a
+hand-ported torch forward in this file (ALiBi baichuan, muP minicpm).
+"""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+st = pytest.importorskip("safetensors.torch")
+
+from sglang_npu_tpu.entrypoints.engine import Engine
+
+VOCAB = 128
+SP = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+
+pytestmark = pytest.mark.fast
+
+
+def tiny_llama(bias=False, kv_heads=2, tie=False):
+    cfg = transformers.LlamaConfig(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=kv_heads, max_position_embeddings=256,
+        rms_norm_eps=1e-5, rope_theta=10000.0, attention_bias=bias,
+        tie_word_embeddings=tie, torch_dtype="float32", eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    m = transformers.LlamaForCausalLM(cfg)
+    m.eval()
+    return cfg, m
+
+
+def save_ckpt(d, cfg_dict, tensors):
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg_dict, f)
+    st.save_file(
+        {k: v.contiguous() for k, v in tensors.items()},
+        str(d / "model.safetensors"),
+    )
+
+
+def engine_greedy(path, prompt, **kw):
+    e = Engine(
+        model_path=str(path), dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=2048, attention_backend="xla",
+        random_seed=0, **kw,
+    )
+    try:
+        out = e.generate(input_ids=[prompt], sampling_params=SP)
+        return out[0]["output_ids"][: SP["max_new_tokens"]]
+    finally:
+        e.shutdown()
+
+
+def hf_greedy(m, prompt):
+    with torch.no_grad():
+        ref = m.generate(
+            torch.tensor([prompt]), max_new_tokens=SP["max_new_tokens"],
+            do_sample=False,
+        )
+    return ref[0][len(prompt):].tolist()
+
+
+PROMPT = list(np.random.default_rng(7).integers(3, VOCAB, size=9))
+
+
+# ----------------------------------------------------------------------
+# pure-renaming variants: oracle = the original transformers Llama
+# ----------------------------------------------------------------------
+def test_xverse(tmp_path):
+    cfg, m = tiny_llama()
+    cd = cfg.to_dict()
+    cd["architectures"] = ["XverseForCausalLM"]
+    cd["model_type"] = "xverse"
+    save_ckpt(tmp_path, cd, dict(m.state_dict()))
+    assert engine_greedy(tmp_path, PROMPT) == hf_greedy(m, PROMPT)
+
+
+def test_exaone_v1(tmp_path):
+    cfg, m = tiny_llama()
+    sd = m.state_dict()
+    out = {
+        "transformer.wte.weight": sd["model.embed_tokens.weight"],
+        "transformer.ln_f.weight": sd["model.norm.weight"],
+        "lm_head.weight": sd["lm_head.weight"],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p, o = f"model.layers.{i}.", f"transformer.h.{i}."
+        out[o + "ln_1.weight"] = sd[p + "input_layernorm.weight"]
+        out[o + "ln_2.weight"] = sd[p + "post_attention_layernorm.weight"]
+        out[o + "attn.attention.q_proj.weight"] = sd[p + "self_attn.q_proj.weight"]
+        out[o + "attn.attention.k_proj.weight"] = sd[p + "self_attn.k_proj.weight"]
+        out[o + "attn.attention.v_proj.weight"] = sd[p + "self_attn.v_proj.weight"]
+        out[o + "attn.attention.out_proj.weight"] = sd[p + "self_attn.o_proj.weight"]
+        out[o + "mlp.c_fc_0.weight"] = sd[p + "mlp.gate_proj.weight"]
+        out[o + "mlp.c_fc_1.weight"] = sd[p + "mlp.up_proj.weight"]
+        out[o + "mlp.c_proj.weight"] = sd[p + "mlp.down_proj.weight"]
+    cd = {
+        "architectures": ["ExaoneForCausalLM"],
+        "model_type": "exaone",
+        "vocab_size": VOCAB,
+        "hidden_size": 64,
+        "intermediate_size": 96,
+        "num_layers": 3,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "max_position_embeddings": 256,
+        "layer_norm_epsilon": 1e-5,
+        "rope_theta": 10000.0,
+        "torch_dtype": "float32",
+        "eos_token_id": 2,
+    }
+    save_ckpt(tmp_path, cd, out)
+    assert engine_greedy(tmp_path, PROMPT) == hf_greedy(m, PROMPT)
+
+
+def test_internlm2(tmp_path):
+    cfg, m = tiny_llama()
+    sd = m.state_dict()
+    kv, g = 2, 2
+    d = 16
+    out = {
+        "model.tok_embeddings.weight": sd["model.embed_tokens.weight"],
+        "model.norm.weight": sd["model.norm.weight"],
+        "output.weight": sd["lm_head.weight"],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p, o = f"model.layers.{i}.", f"model.layers.{i}."
+        q = sd[p + "self_attn.q_proj.weight"].reshape(kv, g, d, 64)
+        k = sd[p + "self_attn.k_proj.weight"].reshape(kv, 1, d, 64)
+        v = sd[p + "self_attn.v_proj.weight"].reshape(kv, 1, d, 64)
+        wqkv = torch.cat([q, k, v], dim=1).reshape(-1, 64)
+        out[o + "attention.wqkv.weight"] = wqkv
+        out[o + "attention.wo.weight"] = sd[p + "self_attn.o_proj.weight"]
+        out[o + "attention_norm.weight"] = sd[p + "input_layernorm.weight"]
+        out[o + "ffn_norm.weight"] = sd[p + "post_attention_layernorm.weight"]
+        out[o + "feed_forward.w1.weight"] = sd[p + "mlp.gate_proj.weight"]
+        out[o + "feed_forward.w3.weight"] = sd[p + "mlp.up_proj.weight"]
+        out[o + "feed_forward.w2.weight"] = sd[p + "mlp.down_proj.weight"]
+    cd = cfg.to_dict()
+    cd["architectures"] = ["InternLM2ForCausalLM"]
+    cd["model_type"] = "internlm2"
+    save_ckpt(tmp_path, cd, out)
+    assert engine_greedy(tmp_path, PROMPT) == hf_greedy(m, PROMPT)
+
+
+def test_qwen_v1(tmp_path):
+    cfg, m = tiny_llama(bias=True, kv_heads=4)  # QWen-v1 is MHA + qkv bias
+    sd = m.state_dict()
+    out = {
+        "transformer.wte.weight": sd["model.embed_tokens.weight"],
+        "transformer.ln_f.weight": sd["model.norm.weight"],
+        "lm_head.weight": sd["lm_head.weight"],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p, o = f"model.layers.{i}.", f"transformer.h.{i}."
+        out[o + "ln_1.weight"] = sd[p + "input_layernorm.weight"]
+        out[o + "ln_2.weight"] = sd[p + "post_attention_layernorm.weight"]
+        out[o + "attn.c_attn.weight"] = torch.cat(
+            [
+                sd[p + "self_attn.q_proj.weight"],
+                sd[p + "self_attn.k_proj.weight"],
+                sd[p + "self_attn.v_proj.weight"],
+            ]
+        )
+        out[o + "attn.c_attn.bias"] = torch.cat(
+            [
+                sd[p + "self_attn.q_proj.bias"],
+                sd[p + "self_attn.k_proj.bias"],
+                sd[p + "self_attn.v_proj.bias"],
+            ]
+        )
+        out[o + "attn.c_proj.weight"] = sd[p + "self_attn.o_proj.weight"]
+        out[o + "mlp.w2.weight"] = sd[p + "mlp.gate_proj.weight"]
+        out[o + "mlp.w1.weight"] = sd[p + "mlp.up_proj.weight"]
+        out[o + "mlp.c_proj.weight"] = sd[p + "mlp.down_proj.weight"]
+    cd = {
+        "architectures": ["QWenLMHeadModel"],
+        "model_type": "qwen",
+        "vocab_size": VOCAB,
+        "hidden_size": 64,
+        "intermediate_size": 2 * 96,  # QWen reports the SUM of both halves
+        "num_hidden_layers": 3,
+        "num_attention_heads": 4,
+        "max_position_embeddings": 256,
+        "layer_norm_epsilon": 1e-5,
+        "rotary_emb_base": 10000.0,
+        "rope_theta": 10000.0,
+        "torch_dtype": "float32",
+        "eos_token_id": 2,
+    }
+    save_ckpt(tmp_path, cd, out)
+    assert engine_greedy(tmp_path, PROMPT) == hf_greedy(m, PROMPT)
+
+
+def _baichuan_ckpt(tmp_path, m, cfg, position_embedding):
+    sd = m.state_dict()
+    out = {
+        "model.embed_tokens.weight": sd["model.embed_tokens.weight"],
+        "model.norm.weight": sd["model.norm.weight"],
+        "lm_head.weight": sd["lm_head.weight"],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        out[p + "self_attn.W_pack.weight"] = torch.cat(
+            [
+                sd[p + "self_attn.q_proj.weight"],
+                sd[p + "self_attn.k_proj.weight"],
+                sd[p + "self_attn.v_proj.weight"],
+            ]
+        )
+        for suf in (
+            "self_attn.o_proj.weight", "input_layernorm.weight",
+            "post_attention_layernorm.weight", "mlp.gate_proj.weight",
+            "mlp.up_proj.weight", "mlp.down_proj.weight",
+        ):
+            out[p + suf] = sd[p + suf]
+    cd = cfg.to_dict()
+    cd["architectures"] = ["BaichuanForCausalLM"]
+    cd["model_type"] = "baichuan"
+    cd["position_embedding"] = position_embedding
+    save_ckpt(tmp_path, cd, out)
+
+
+def test_baichuan_rope(tmp_path):
+    cfg, m = tiny_llama(kv_heads=4)  # baichuan is MHA
+    _baichuan_ckpt(tmp_path, m, cfg, "ROPE")
+    assert engine_greedy(tmp_path, PROMPT) == hf_greedy(m, PROMPT)
+
+
+# ----------------------------------------------------------------------
+# hand-ported oracles
+# ----------------------------------------------------------------------
+def manual_llama_greedy(
+    cfg, sd, prompt, steps, *, alibi=False, scale_emb=1.0,
+    scale_depth=None, dim_model_base=None,
+):
+    """Minimal float32 torch forward of the llama block math with optional
+    ALiBi (no rope) and muP scalings — the parity oracle for archs without
+    a transformers class (behavioral spec: reference srt/models/
+    baichuan.py ALiBi path, minicpm.py scalings)."""
+    H = cfg.num_attention_heads
+    KV = cfg.num_key_value_heads
+    D = cfg.hidden_size // H
+    L = cfg.num_hidden_layers
+    eps = cfg.rms_norm_eps
+    rm = (
+        scale_depth / math.sqrt(L) if scale_depth is not None else 1.0
+    )
+
+    def rms(x, w):
+        v = x / torch.sqrt((x * x).mean(-1, keepdim=True) + eps)
+        return v * w
+
+    def rope(x, pos):
+        half = D // 2
+        inv = 1.0 / (
+            cfg.rope_theta ** (torch.arange(0, half, dtype=torch.float32) / half)
+        )
+        ang = pos[:, None].float() * inv[None]
+        cos = torch.cat([ang.cos(), ang.cos()], -1)
+        sin = torch.cat([ang.sin(), ang.sin()], -1)
+        x1, x2 = x[..., :half], x[..., half:]
+        rot = torch.cat([-x2, x1], -1)
+        return x * cos[:, None, :] + rot * sin[:, None, :]
+
+    if alibi:
+        from sglang_npu_tpu.models.baichuan import alibi_slopes
+
+        slopes = torch.tensor(alibi_slopes(H))
+
+    ids = list(prompt)
+    for _ in range(steps):
+        T = len(ids)
+        x = sd["model.embed_tokens.weight"][torch.tensor(ids)] * scale_emb
+        pos = torch.arange(T)
+        for i in range(L):
+            p = f"model.layers.{i}."
+            h = rms(x, sd[p + "input_layernorm.weight"])
+            q = (h @ sd[p + "self_attn.q_proj.weight"].T).view(T, H, D)
+            k = (h @ sd[p + "self_attn.k_proj.weight"].T).view(T, KV, D)
+            v = (h @ sd[p + "self_attn.v_proj.weight"].T).view(T, KV, D)
+            if not alibi:
+                q, k = rope(q, pos), rope(k, pos)
+            g = H // KV
+            k = k.repeat_interleave(g, dim=1)
+            v = v.repeat_interleave(g, dim=1)
+            s = torch.einsum("thd,shd->hts", q, k) / math.sqrt(D)
+            if alibi:
+                dist = (pos[None, :] - pos[:, None]).float()  # s - t
+                s = s + slopes[:, None, None] * dist[None]
+            mask = torch.tril(torch.ones(T, T, dtype=torch.bool))
+            s = s.masked_fill(~mask[None], float("-inf"))
+            a = torch.softmax(s, -1)
+            o = torch.einsum("hts,shd->thd", a, v).reshape(T, -1)
+            x = x + (o @ sd[p + "self_attn.o_proj.weight"].T) * rm
+            h = rms(x, sd[p + "post_attention_layernorm.weight"])
+            gate = h @ sd[p + "mlp.gate_proj.weight"].T
+            up = h @ sd[p + "mlp.up_proj.weight"].T
+            mlp = (torch.nn.functional.silu(gate) * up) @ sd[
+                p + "mlp.down_proj.weight"
+            ].T
+            x = x + mlp * rm
+        x = rms(x, sd["model.norm.weight"])
+        last = x[-1]
+        if dim_model_base is not None:
+            last = last / (cfg.hidden_size / dim_model_base)
+        head = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
+        logits = last @ head.T
+        ids.append(int(torch.argmax(logits)))
+    return ids[len(prompt):]
+
+
+def test_baichuan_alibi(tmp_path):
+    cfg, m = tiny_llama(kv_heads=4)
+    _baichuan_ckpt(tmp_path, m, cfg, "ALIBI")
+    got = engine_greedy(tmp_path, PROMPT)
+    ref = manual_llama_greedy(
+        cfg, dict(m.state_dict()), PROMPT, SP["max_new_tokens"], alibi=True
+    )
+    assert got == ref
+
+
+def test_minicpm(tmp_path):
+    cfg, m = tiny_llama()
+    cd = cfg.to_dict()
+    cd["architectures"] = ["MiniCPMForCausalLM"]
+    cd["model_type"] = "minicpm"
+    cd["scale_emb"] = 4.0
+    cd["scale_depth"] = 1.4
+    cd["dim_model_base"] = 32
+    save_ckpt(tmp_path, cd, dict(m.state_dict()))
+    got = engine_greedy(tmp_path, PROMPT)
+    ref = manual_llama_greedy(
+        cfg, dict(m.state_dict()), PROMPT, SP["max_new_tokens"],
+        scale_emb=4.0, scale_depth=1.4, dim_model_base=32,
+    )
+    assert got == ref
+
+
+def test_internlm2_reward(tmp_path):
+    cfg, m = tiny_llama()
+    sd = m.state_dict()
+    kv, g, d = 2, 2, 16
+    out = {
+        "model.tok_embeddings.weight": sd["model.embed_tokens.weight"],
+        "model.norm.weight": sd["model.norm.weight"],
+        "v_head.weight": torch.randn(1, 64) * 0.1,
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        q = sd[p + "self_attn.q_proj.weight"].reshape(kv, g, d, 64)
+        k = sd[p + "self_attn.k_proj.weight"].reshape(kv, 1, d, 64)
+        v = sd[p + "self_attn.v_proj.weight"].reshape(kv, 1, d, 64)
+        out[p + "attention.wqkv.weight"] = torch.cat([q, k, v], 1).reshape(-1, 64)
+        out[p + "attention.wo.weight"] = sd[p + "self_attn.o_proj.weight"]
+        out[p + "attention_norm.weight"] = sd[p + "input_layernorm.weight"]
+        out[p + "ffn_norm.weight"] = sd[p + "post_attention_layernorm.weight"]
+        out[p + "feed_forward.w1.weight"] = sd[p + "mlp.gate_proj.weight"]
+        out[p + "feed_forward.w3.weight"] = sd[p + "mlp.up_proj.weight"]
+        out[p + "feed_forward.w2.weight"] = sd[p + "mlp.down_proj.weight"]
+    cd = cfg.to_dict()
+    cd["architectures"] = ["InternLM2ForRewardModel"]
+    cd["model_type"] = "internlm2"
+    save_ckpt(tmp_path, cd, out)
+    e = Engine(
+        model_path=str(tmp_path), dtype="float32", skip_tokenizer_init=True,
+        page_size=4, max_total_tokens=2048, attention_backend="xla",
+        random_seed=0, is_embedding=True,
+    )
+    try:
+        got = np.asarray(e.encode(input_ids=[PROMPT])[0]["embedding"])
+    finally:
+        e.shutdown()
+    with torch.no_grad():
+        hs = m.model(torch.tensor([PROMPT])).last_hidden_state[0, -1]
+        ref = (hs @ out["v_head.weight"].T[:, 0]).item()
+    # trunk exactness is covered by test_internlm2 (greedy ids match HF
+    # exactly); this asserts the v_head wiring — the raw un-normalized
+    # scalar accumulates fp32 order noise across the trunk (~1e-3)
+    assert np.allclose(got.reshape(-1)[0], ref, rtol=5e-3, atol=5e-3), (got, ref)
