@@ -99,6 +99,11 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "InternLM2ForRewardModel": ("sglang_npu_tpu.models.internlm2", "InternLM2ForRewardModel"),
     "InternLMForCausalLM": ("sglang_npu_tpu.models.llama", "LlamaForCausalLM"),
     "QWenLMHeadModel": ("sglang_npu_tpu.models.qwen_v1", "QWenLMHeadModel"),
+    "ChatGLMModel": ("sglang_npu_tpu.models.chatglm", "ChatGLMForCausalLM"),
+    "ChatGLMForCausalLM": ("sglang_npu_tpu.models.chatglm", "ChatGLMForCausalLM"),
+    "ChatGLMForConditionalGeneration": (
+        "sglang_npu_tpu.models.chatglm", "ChatGLMForCausalLM",
+    ),
 }
 
 

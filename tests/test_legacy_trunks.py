@@ -390,3 +390,109 @@ def test_internlm2_reward(tmp_path):
     # exactly); this asserts the v_head wiring — the raw un-normalized
     # scalar accumulates fp32 order noise across the trunk (~1e-3)
     assert np.allclose(got.reshape(-1)[0], ref, rtol=5e-3, atol=5e-3), (got, ref)
+
+
+# ----------------------------------------------------------------------
+# ChatGLM2/3: fused qkv+bias, interleaved half rope, fused swiglu
+# ----------------------------------------------------------------------
+def chatglm_manual_greedy(sd, prompt, steps, *, H=4, KV=2, D=16, L=3,
+                          hidden=64, eps=1e-5, theta=10000.0):
+    """Hand-ported THUDM modeling_chatglm forward (behavioral spec:
+    reference srt/models/chatglm.py — GPT-J interleaved rope on the first
+    head_dim//2 dims, MQA, silu(x1)*x2 from the fused dense_h_to_4h)."""
+    rd = D // 2
+
+    def rms(x, w):
+        v = x / torch.sqrt((x * x).mean(-1, keepdim=True) + eps)
+        return v * w
+
+    def rope(x, pos):
+        half = rd // 2
+        inv = 1.0 / (theta ** (torch.arange(half, dtype=torch.float32) / half))
+        ang = pos[:, None].float() * inv[None]  # [T, half]
+        c, s = ang.cos()[:, None, :], ang.sin()[:, None, :]
+        xr, xp = x[..., :rd], x[..., rd:]
+        x1, x2 = xr[..., 0::2], xr[..., 1::2]
+        o1 = x1 * c - x2 * s
+        o2 = x2 * c + x1 * s
+        out = torch.stack([o1, o2], -1).reshape(xr.shape)
+        return torch.cat([out, xp], -1)
+
+    ids = list(prompt)
+    pre = "transformer.encoder.layers."
+    for _ in range(steps):
+        T = len(ids)
+        x = sd["transformer.embedding.word_embeddings.weight"][torch.tensor(ids)]
+        pos = torch.arange(T)
+        for i in range(L):
+            p = f"{pre}{i}."
+            h = rms(x, sd[p + "input_layernorm.weight"])
+            qkv = h @ sd[p + "self_attention.query_key_value.weight"].T + sd[
+                p + "self_attention.query_key_value.bias"
+            ]
+            q = qkv[:, : H * D].view(T, H, D)
+            k = qkv[:, H * D : H * D + KV * D].view(T, KV, D)
+            v = qkv[:, H * D + KV * D :].view(T, KV, D)
+            q, k = rope(q, pos), rope(k, pos)
+            g = H // KV
+            k = k.repeat_interleave(g, dim=1)
+            v = v.repeat_interleave(g, dim=1)
+            s = torch.einsum("thd,shd->hts", q, k) / math.sqrt(D)
+            mask = torch.tril(torch.ones(T, T, dtype=torch.bool))
+            s = s.masked_fill(~mask[None], float("-inf"))
+            o = torch.einsum("hts,shd->thd", torch.softmax(s, -1), v).reshape(T, -1)
+            x = x + o @ sd[p + "self_attention.dense.weight"].T
+            h = rms(x, sd[p + "post_attention_layernorm.weight"])
+            h4 = h @ sd[p + "mlp.dense_h_to_4h.weight"].T
+            F = h4.shape[-1] // 2
+            act = torch.nn.functional.silu(h4[:, :F]) * h4[:, F:]
+            x = x + act @ sd[p + "mlp.dense_4h_to_h.weight"].T
+        x = rms(x, sd["transformer.encoder.final_layernorm.weight"])
+        logits = x[-1] @ sd["transformer.output_layer.weight"].T
+        ids.append(int(torch.argmax(logits)))
+    return ids[len(prompt):]
+
+
+def test_chatglm(tmp_path):
+    torch.manual_seed(3)
+    H, KV, D, L, hidden, F = 4, 2, 16, 3, 64, 96
+    sd = {
+        "transformer.embedding.word_embeddings.weight": torch.randn(VOCAB, hidden) * 0.2,
+        "transformer.encoder.final_layernorm.weight": torch.rand(hidden) + 0.5,
+        "transformer.output_layer.weight": torch.randn(VOCAB, hidden) * 0.2,
+    }
+    for i in range(L):
+        p = f"transformer.encoder.layers.{i}."
+        sd[p + "input_layernorm.weight"] = torch.rand(hidden) + 0.5
+        sd[p + "post_attention_layernorm.weight"] = torch.rand(hidden) + 0.5
+        sd[p + "self_attention.query_key_value.weight"] = (
+            torch.randn((H + 2 * KV) * D, hidden) * 0.1
+        )
+        sd[p + "self_attention.query_key_value.bias"] = (
+            torch.randn((H + 2 * KV) * D) * 0.1
+        )
+        sd[p + "self_attention.dense.weight"] = torch.randn(hidden, H * D) * 0.1
+        sd[p + "mlp.dense_h_to_4h.weight"] = torch.randn(2 * F, hidden) * 0.1
+        sd[p + "mlp.dense_4h_to_h.weight"] = torch.randn(hidden, F) * 0.1
+    cd = {
+        "architectures": ["ChatGLMModel"],
+        "model_type": "chatglm",
+        "num_layers": L,
+        "padded_vocab_size": VOCAB,
+        "hidden_size": hidden,
+        "ffn_hidden_size": F,
+        "num_attention_heads": H,
+        "multi_query_attention": True,
+        "multi_query_group_num": KV,
+        "seq_length": 256,
+        "layernorm_epsilon": 1e-5,
+        "rmsnorm": True,
+        "add_qkv_bias": True,
+        "rope_ratio": 1.0,
+        "torch_dtype": "float32",
+        "eos_token_id": 2,
+    }
+    save_ckpt(tmp_path, cd, sd)
+    got = engine_greedy(tmp_path, PROMPT)
+    ref = chatglm_manual_greedy(sd, PROMPT, SP["max_new_tokens"])
+    assert got == ref
