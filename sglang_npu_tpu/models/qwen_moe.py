@@ -232,9 +232,11 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
             gate = qmm(flat, lp["s_gate"], "td,df->tf")
             up = qmm(flat, lp["s_up"], "td,df->tf")
             shared = qmm(jax.nn.silu(gate) * up, lp["s_down"], "tf,fd->td")
-            sg = jax.nn.sigmoid(
-                jnp.einsum("td,d->t", flat, lp["s_gate_w"])
-            )[:, None]
-            out = out + sg.astype(shared.dtype) * shared
+            if getattr(self, "shared_gate", True):
+                sg = jax.nn.sigmoid(
+                    jnp.einsum("td,d->t", flat, lp["s_gate_w"])
+                )[:, None]
+                shared = sg.astype(shared.dtype) * shared
+            out = out + shared
         out = out.reshape(B, E_, Dm)
         return (out, stats) if collect_stats else out

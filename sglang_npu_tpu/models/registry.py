@@ -104,6 +104,12 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "ChatGLMForConditionalGeneration": (
         "sglang_npu_tpu.models.chatglm", "ChatGLMForCausalLM",
     ),
+    "DeepseekForCausalLM": (
+        "sglang_npu_tpu.models.deepseek_v1", "DeepseekV1ForCausalLM",
+    ),
+    "XverseMoeForCausalLM": (
+        "sglang_npu_tpu.models.xverse_moe", "XverseMoeForCausalLM",
+    ),
 }
 
 

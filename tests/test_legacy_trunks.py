@@ -496,3 +496,184 @@ def test_chatglm(tmp_path):
     got = engine_greedy(tmp_path, PROMPT)
     ref = chatglm_manual_greedy(sd, PROMPT, SP["max_new_tokens"])
     assert got == ref
+
+
+# ----------------------------------------------------------------------
+# MoE trunks: deepseek-v1 (first-k dense + ungated shared experts) and
+# xverse-moe (all-MoE, ungated shared) — hand-ported oracles
+# ----------------------------------------------------------------------
+def _moe_block(h, sdp, E, top_k, norm_topk, n_shared_width, router_key,
+               shared_prefix):
+    """softmax-topk routed experts + ungated shared experts (torch)."""
+    logits = h @ sdp[router_key].T
+    probs = torch.softmax(logits.float(), -1)
+    w, ids = torch.topk(probs, top_k, dim=-1)
+    if norm_topk:
+        w = w / w.sum(-1, keepdim=True)
+    out = torch.zeros_like(h)
+    for t in range(h.shape[0]):
+        for j in range(top_k):
+            e = int(ids[t, j])
+            g = h[t] @ sdp[f"mlp.experts.{e}.gate_proj.weight"].T
+            u = h[t] @ sdp[f"mlp.experts.{e}.up_proj.weight"].T
+            out[t] += w[t, j] * (
+                (torch.nn.functional.silu(g) * u)
+                @ sdp[f"mlp.experts.{e}.down_proj.weight"].T
+            )
+    if n_shared_width:
+        g = h @ sdp[shared_prefix + "gate_proj.weight"].T
+        u = h @ sdp[shared_prefix + "up_proj.weight"].T
+        out = out + (torch.nn.functional.silu(g) * u) @ sdp[
+            shared_prefix + "down_proj.weight"
+        ].T
+    return out
+
+
+def _moe_manual_greedy(sd, prompt, steps, *, L, H, KV, D, hidden, eps,
+                       theta, is_moe, E, top_k, norm_topk, shared_w,
+                       router_key="mlp.gate.weight"):
+    def rms(x, w):
+        v = x / torch.sqrt((x * x).mean(-1, keepdim=True) + eps)
+        return v * w
+
+    def rope(x, pos):
+        half = D // 2
+        inv = 1.0 / (theta ** (torch.arange(half, dtype=torch.float32) / half))
+        ang = pos[:, None].float() * inv[None]
+        cos = torch.cat([ang.cos(), ang.cos()], -1)[:, None, :]
+        sin = torch.cat([ang.sin(), ang.sin()], -1)[:, None, :]
+        x1, x2 = x[..., : half], x[..., half:]
+        rot = torch.cat([-x2, x1], -1)
+        return x * cos + rot * sin
+
+    ids_ = list(prompt)
+    for _ in range(steps):
+        T = len(ids_)
+        x = sd["model.embed_tokens.weight"][torch.tensor(ids_)]
+        pos = torch.arange(T)
+        for i in range(L):
+            p = f"model.layers.{i}."
+            sdp = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+            h = rms(x, sdp["input_layernorm.weight"])
+            q = (h @ sdp["self_attn.q_proj.weight"].T).view(T, H, D)
+            k = (h @ sdp["self_attn.k_proj.weight"].T).view(T, KV, D)
+            v = (h @ sdp["self_attn.v_proj.weight"].T).view(T, KV, D)
+            q, k = rope(q, pos), rope(k, pos)
+            g = H // KV
+            k = k.repeat_interleave(g, 1)
+            v = v.repeat_interleave(g, 1)
+            s = torch.einsum("thd,shd->hts", q, k) / math.sqrt(D)
+            mask = torch.tril(torch.ones(T, T, dtype=torch.bool))
+            s = s.masked_fill(~mask[None], float("-inf"))
+            o = torch.einsum("hts,shd->thd", torch.softmax(s, -1), v).reshape(T, -1)
+            x = x + o @ sdp["self_attn.o_proj.weight"].T
+            h = rms(x, sdp["post_attention_layernorm.weight"])
+            if is_moe(i):
+                x = x + _moe_block(
+                    h, sdp, E, top_k, norm_topk, shared_w, router_key,
+                    "mlp.shared_experts.",
+                )
+            else:
+                gt = h @ sdp["mlp.gate_proj.weight"].T
+                up = h @ sdp["mlp.up_proj.weight"].T
+                x = x + (torch.nn.functional.silu(gt) * up) @ sdp[
+                    "mlp.down_proj.weight"
+                ].T
+        x = rms(x, sd["model.norm.weight"])
+        logits = x[-1] @ sd["lm_head.weight"].T
+        ids_.append(int(torch.argmax(logits)))
+    return ids_[len(prompt):]
+
+
+def _mk_moe_sd(L, H, KV, D, hidden, F_dense, E, Fm, shared_n, is_moe,
+               router_key="mlp.gate.weight"):
+    torch.manual_seed(11)
+    sd = {
+        "model.embed_tokens.weight": torch.randn(VOCAB, hidden) * 0.2,
+        "model.norm.weight": torch.rand(hidden) + 0.5,
+        "lm_head.weight": torch.randn(VOCAB, hidden) * 0.2,
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = torch.rand(hidden) + 0.5
+        sd[p + "post_attention_layernorm.weight"] = torch.rand(hidden) + 0.5
+        sd[p + "self_attn.q_proj.weight"] = torch.randn(H * D, hidden) * 0.1
+        sd[p + "self_attn.k_proj.weight"] = torch.randn(KV * D, hidden) * 0.1
+        sd[p + "self_attn.v_proj.weight"] = torch.randn(KV * D, hidden) * 0.1
+        sd[p + "self_attn.o_proj.weight"] = torch.randn(hidden, H * D) * 0.1
+        if is_moe(i):
+            sd[p + router_key] = torch.randn(E, hidden) * 0.5
+            for e in range(E):
+                sd[p + f"mlp.experts.{e}.gate_proj.weight"] = torch.randn(Fm, hidden) * 0.1
+                sd[p + f"mlp.experts.{e}.up_proj.weight"] = torch.randn(Fm, hidden) * 0.1
+                sd[p + f"mlp.experts.{e}.down_proj.weight"] = torch.randn(hidden, Fm) * 0.1
+            if shared_n:
+                Fs = Fm * shared_n
+                sd[p + "mlp.shared_experts.gate_proj.weight"] = torch.randn(Fs, hidden) * 0.1
+                sd[p + "mlp.shared_experts.up_proj.weight"] = torch.randn(Fs, hidden) * 0.1
+                sd[p + "mlp.shared_experts.down_proj.weight"] = torch.randn(hidden, Fs) * 0.1
+        else:
+            sd[p + "mlp.gate_proj.weight"] = torch.randn(F_dense, hidden) * 0.1
+            sd[p + "mlp.up_proj.weight"] = torch.randn(F_dense, hidden) * 0.1
+            sd[p + "mlp.down_proj.weight"] = torch.randn(hidden, F_dense) * 0.1
+    return sd
+
+
+def test_deepseek_v1_moe(tmp_path):
+    L, H, KV, D, hidden = 3, 4, 2, 16, 64
+    E, Fm, shared_n, F_dense = 4, 32, 2, 96
+    is_moe = lambda i: i >= 1
+    sd = _mk_moe_sd(L, H, KV, D, hidden, F_dense, E, Fm, shared_n, is_moe)
+    cd = {
+        "architectures": ["DeepseekForCausalLM"],
+        "model_type": "deepseek",
+        "vocab_size": VOCAB, "hidden_size": hidden,
+        "intermediate_size": F_dense, "num_hidden_layers": L,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "max_position_embeddings": 256, "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0, "torch_dtype": "float32",
+        "eos_token_id": 2,
+        "n_routed_experts": E, "num_experts_per_tok": 2,
+        "moe_intermediate_size": Fm, "n_shared_experts": shared_n,
+        "first_k_dense_replace": 1, "moe_layer_freq": 1,
+        "norm_topk_prob": False,
+    }
+    save_ckpt(tmp_path, cd, sd)
+    got = engine_greedy(tmp_path, PROMPT)
+    ref = _moe_manual_greedy(
+        sd, PROMPT, SP["max_new_tokens"], L=L, H=H, KV=KV, D=D,
+        hidden=hidden, eps=1e-5, theta=10000.0, is_moe=is_moe, E=E,
+        top_k=2, norm_topk=False, shared_w=Fm * shared_n,
+    )
+    assert got == ref
+
+
+def test_xverse_moe(tmp_path):
+    L, H, KV, D, hidden = 3, 4, 2, 16, 64
+    E, Fm, shared_n = 4, 32, 2
+    is_moe = lambda i: True
+    sd = _mk_moe_sd(
+        L, H, KV, D, hidden, 0, E, Fm, shared_n, is_moe,
+        router_key="mlp.router.weight",
+    )
+    cd = {
+        "architectures": ["XverseMoeForCausalLM"],
+        "model_type": "xverse",
+        "vocab_size": VOCAB, "hidden_size": hidden,
+        "intermediate_size": Fm, "num_hidden_layers": L,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "max_position_embeddings": 256, "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0, "torch_dtype": "float32",
+        "eos_token_id": 2,
+        "num_experts": E, "moe_top_k": 2, "num_shared_experts": shared_n,
+        "norm_topk_prob": False,
+    }
+    save_ckpt(tmp_path, cd, sd)
+    got = engine_greedy(tmp_path, PROMPT)
+    ref = _moe_manual_greedy(
+        sd, PROMPT, SP["max_new_tokens"], L=L, H=H, KV=KV, D=D,
+        hidden=hidden, eps=1e-5, theta=10000.0, is_moe=is_moe, E=E,
+        top_k=2, norm_topk=False, shared_w=Fm * shared_n,
+        router_key="mlp.router.weight",
+    )
+    assert got == ref
