@@ -153,13 +153,49 @@ def dequant(w, dtype):
     return w
 
 
-def matmul(x: jax.Array, w, eq: str) -> jax.Array:
+def matmul(x: jax.Array, w, eq: str, layer=None) -> jax.Array:
     """einsum that transparently dequantizes quantized weight operands; the
     convert+scale fuses into the dot's operand read (XLA path).  The
     ModelRunner may substitute the Pallas dequant-matmul for W4 decode
     GEMVs via `set_w4_backend`, and per-token int8 activation quant (W4A8 /
     W8A8-INT8, reference `layers/quantization/w8a8_int8.py`) via
-    `set_act_quant`."""
+    `set_act_quant`.
+
+    ``layer``: traced layer index for STACKED [L, ...] quant weights — the
+    trunk scan passes the whole stack so the Pallas kernels address the
+    layer via scalar-prefetched index maps instead of consuming per-layer
+    scan-xs slices (which materialize a full weight copy per layer per
+    step — measured 2.6x the matmul cost, scripts/r5_probe_decode.py
+    scanmm)."""
+    if layer is not None and isinstance(w, QuantizedWeightW4) and w.q.ndim == 3:
+        if _W4_BACKEND[0] == "pallas":
+            from sglang_npu_tpu.ops.pallas.quant_matmul import (
+                einsum_w4_stacked,
+            )
+
+            return einsum_w4_stacked(
+                x, w, layer, eq, act=_ACT_QUANT[0] or "a16"
+            )
+        w = QuantizedWeightW4(
+            q=w.q[layer], s=w.s[layer], b=w.b[layer],
+            perm=None if w.perm is None else w.perm[layer],
+        )
+    elif (
+        layer is not None
+        and isinstance(w, QuantizedWeight)
+        and w.q.ndim == 3
+    ):
+        if (
+            _W4_BACKEND[0] == "pallas"
+            and w.q.dtype == jnp.int8
+            and _ACT_QUANT[0] != "a8"
+        ):
+            from sglang_npu_tpu.ops.pallas.quant_matmul import (
+                einsum_w8_stacked,
+            )
+
+            return einsum_w8_stacked(x, w, layer, eq)
+        w = QuantizedWeight(q=w.q[layer], s=w.s[layer])
     if isinstance(w, QuantizedWeightW4) and _W4_BACKEND[0] == "pallas":
         from sglang_npu_tpu.ops.pallas.quant_matmul import einsum_w4
 

@@ -341,14 +341,39 @@ class LlamaForCausalLM:
             lora_scaling = params["lora_scaling"]
             lora_ids = fb.lora_ids
 
+        # Stacked Pallas-path quant weights (W4 / int8) stay OUT of the
+        # scan xs: consuming them as xs materializes a full per-layer
+        # weight copy at every pallas-call boundary (measured 2.6x the
+        # matmul cost at batch 256 — scripts/r5_probe_decode.py scanmm).
+        # The kernels instead receive the whole [L, ...] stack and address
+        # the layer via a scalar-prefetched index map, exactly like the KV
+        # pool (same "carry it, address with combined indices" rule).
+        from sglang_npu_tpu.layers.quantization import (
+            QuantizedWeight,
+            QuantizedWeightW4,
+        )
+
+        stacked_quant = {
+            k: v
+            for k, v in params["layers"].items()
+            if isinstance(v, (QuantizedWeight, QuantizedWeightW4))
+            and v.q.ndim == 3
+        }
+        xs_layers = {
+            k: v for k, v in params["layers"].items()
+            if k not in stacked_quant
+        }
+
         def _proj(h, lp, wkey, eq):
-            out = qmm(h, lp[wkey], eq)
+            lay = lp.get("__layer__") if wkey in stacked_quant else None
+            out = qmm(h, lp[wkey], eq, layer=lay)
             if use_lora and f"lora_{wkey}_a" in lp:
                 out = apply_lora(h, out, lp, wkey, lora_ids, lora_scaling)
             return out
 
         def layer_fn(carry, lp):
             x, kv_pool, l = carry
+            lp = {**lp, **stacked_quant, "__layer__": l}
             h = self.norm_fn(x, lp["input_norm"], eps)
             q, k, v = self._qkv_proj(h, lp, _proj)
             if "bq" in lp:
@@ -403,13 +428,13 @@ class LlamaForCausalLM:
             aux0 = jnp.zeros((len(aux_after),) + x.shape, x.dtype)
             ((x, new_kv, _), aux), _ = jax.lax.scan(
                 layer_fn_aux, ((x, kv_pool, jnp.int32(0)), aux0),
-                params["layers"],
+                xs_layers,
             )
             x = self.norm_fn(x, params["final_norm"], eps)
             return x, new_kv, aux
 
         (x, new_kv, _), ys = jax.lax.scan(
-            layer_fn, (x, kv_pool, jnp.int32(0)), params["layers"]
+            layer_fn, (x, kv_pool, jnp.int32(0)), xs_layers
         )
         x = self.norm_fn(x, params["final_norm"], eps)
         if collect_moe:

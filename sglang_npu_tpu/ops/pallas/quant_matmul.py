@@ -78,11 +78,16 @@ def _w4_matmul_kernel(
     *,
     group_size: int,
     out_dtype,
+    stacked: bool = False,
 ):
     """Exact A16 path: int8-domain masks + direct int8->bf16 converts +
     full-depth bf16 dots.  Per-weight-element VPU cost (mask, convert,
     scale-mul) is independent of M — this is the path that amortizes with
-    batch."""
+    batch.  ``stacked``: operands carry a leading layer-block dim of 1
+    (stacked-layer variant, see _call_w4_kernel_stacked)."""
+    if stacked:
+        qw_ref = qw_ref.at[0]
+        s_ref = s_ref.at[0]
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -125,11 +130,15 @@ def _w4a8_matmul_kernel(
     *,
     group_size: int,
     out_dtype,
+    stacked: bool = False,
 ):
     """W4A8: in-kernel per-token int8 activation quant; the int8 MXU
     consumes the RAW masked weight bytes (per-weight VPU work = two int8
     masks) and the hi plane's /16 is an exact arithmetic shift on the
     int32 partial dots."""
+    if stacked:
+        qw_ref = qw_ref.at[0]
+        s_ref = s_ref.at[0]
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -395,6 +404,157 @@ def matmul_w4a16x2(
     return out + _zp_correction(x32, s, b, g)[:M].astype(out.dtype)
 
 
+# ----------------------------------------------------------------------
+# Stacked-layer variants: the trunk scan carries weights as [L, ...]
+# stacks; consuming them as scan xs materializes a full per-layer copy at
+# every pallas-call boundary (measured r5: 56.5 ms/step vs 22 ms for the
+# same matmuls — scripts/r5_probe_decode.py scanmm).  These kernels take
+# the WHOLE stack plus a scalar-prefetched layer index and DMA only the
+# addressed layer's blocks — the same principle as the KV pool ("carry it,
+# address with combined indices", CLAUDE.md).
+# ----------------------------------------------------------------------
+def _drop_prefetch(kernel):
+    """PrefetchScalarGridSpec hands the scalar ref to the kernel as its
+    first argument; the index maps are its only consumer."""
+
+    def body(l_ref, *refs, **kw):
+        return kernel(*refs, **kw)
+
+    return body
+
+
+def _call_w4_kernel_stacked(
+    kernel, x, qw, s, extra, M, K, N, g, layer, interpret, scratch
+):
+    BK, BN, BM, Mp = _plan(M, K, N, g)
+    if x.shape[0] != Mp:
+        x = jnp.pad(x, ((0, Mp - x.shape[0]), (0, 0)))
+    in_specs = [
+        pl.BlockSpec(
+            (BM, BK), lambda m, n, k, l_ref: (m, k), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, BK // 2, BN),
+            lambda m, n, k, l_ref: (l_ref[0], k, n),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, BK // g, BN),
+            lambda m, n, k, l_ref: (l_ref[0], k, n),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [x, qw, s]
+    for e in extra:  # sx tile [Mp, 128]
+        in_specs.append(
+            pl.BlockSpec(
+                (BM, 128), lambda m, n, k, l_ref: (m, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(e)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // BM, N // BN, K // BK),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (BM, BN), lambda m, n, k, l_ref: (m, n), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)] + scratch(BM, BK),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _drop_prefetch(kernel), group_size=g, out_dtype=x.dtype,
+            stacked=True,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *args)
+    return out[:M]
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
+def matmul_w4_stacked(
+    x: jax.Array,  # [M, K]
+    qw: jax.Array,  # [L, K//2, N] uint8
+    s: jax.Array,  # [L, K//g, N] f32
+    b: jax.Array,  # [L, K//g, N] f32
+    layer: jax.Array,  # scalar int32
+    group_size: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    N = qw.shape[-1]
+    g = group_size
+    _, _, _, Mp = _plan(M, K, N, g)
+    x32 = x.astype(jnp.float32)
+    if Mp != M:
+        x32 = jnp.pad(x32, ((0, Mp - M), (0, 0)))
+    out = _call_w4_kernel_stacked(
+        _w4_matmul_kernel, x32.astype(jnp.bfloat16), qw, s, (),
+        M, K, N, g, layer, interpret,
+        lambda BM, BK: [
+            pltpu.VMEM((BM, BK // 2), jnp.bfloat16),
+            pltpu.VMEM((BM, BK // 2), jnp.bfloat16),
+        ],
+    )
+    return out + _zp_correction(x32, s[layer], b[layer], g)[:M].astype(
+        out.dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
+def matmul_w4a8_stacked(
+    x: jax.Array,
+    qw: jax.Array,  # [L, K//2, N] uint8
+    s: jax.Array,  # [L, K//g, N] f32
+    b: jax.Array,
+    layer: jax.Array,
+    group_size: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    N = qw.shape[-1]
+    g = group_size
+    _, _, _, Mp = _plan(M, K, N, g)
+    x32 = x.astype(jnp.float32)
+    if Mp != M:
+        x32 = jnp.pad(x32, ((0, Mp - M), (0, 0)))
+    sx, sxt = _sx_tile(x32, Mp)
+    out = _call_w4_kernel_stacked(
+        _w4a8_matmul_kernel, x32.astype(x.dtype), qw, s, (sxt,),
+        M, K, N, g, layer, interpret, lambda BM, BK: [],
+    )
+    return out + _zp_correction(x32, s[layer], b[layer], g)[:M].astype(
+        out.dtype
+    )
+
+
+def einsum_w4_stacked(x, w, layer, eq: str, act: str = "a16") -> jax.Array:
+    """Stacked-layer routing twin of `einsum_w4` (trunk scan path)."""
+    import os
+
+    interpret = bool(os.environ.get("SGLANG_TPU_PALLAS_INTERPRET"))
+    if w.perm is not None:
+        x = jnp.take(x, w.perm[layer], axis=-1)
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    fn = matmul_w4_stacked
+    if act == "a8" and x2.shape[0] <= 64:
+        fn = matmul_w4a8_stacked
+    out = fn(
+        x2, w.q, w.s, w.b, layer, group_size=w.group_size,
+        interpret=interpret,
+    )
+    return out.reshape(*lead, out.shape[-1])
+
+
 def einsum_w4(x: jax.Array, w, eq: str, act: str = "a16") -> jax.Array:
     """Route a model einsum (contraction of x's last dim with the weight's
     row dim) through the Pallas W4 kernels.  Falls back to gather-permuted
@@ -442,7 +602,11 @@ def _w8_matmul_kernel(
     acc_ref,  # [BM, BN] f32 scratch
     *,
     out_dtype,
+    stacked: bool = False,
 ):
+    if stacked:
+        qw_ref = qw_ref.at[0]
+        s_ref = s_ref.at[0]
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -496,6 +660,78 @@ def matmul_w8(
         interpret=interpret,
     )(xb, qw, s.reshape(1, N).astype(jnp.float32))
     return out[:M]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def matmul_w8_stacked(
+    x: jax.Array,  # [M, K]
+    qw: jax.Array,  # [L, K, N] int8
+    s: jax.Array,  # [L, 1, N] f32
+    layer: jax.Array,  # scalar int32
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    N = qw.shape[-1]
+    BK = _pick_block(K, 128, 2048)
+    BN = _pick_block(N, 128, 1024)
+    BM = 512 if M > 256 else max(-(-M // 16) * 16, 16)
+    Mp = -(-M // BM) * BM
+    xb = x.astype(jnp.bfloat16)
+    if Mp != M:
+        xb = jnp.pad(xb, ((0, Mp - M), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // BM, N // BN, K // BK),
+        in_specs=[
+            pl.BlockSpec(
+                (BM, BK), lambda m, n, k, l_ref: (m, k),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, BK, BN), lambda m, n, k, l_ref: (l_ref[0], k, n),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, BN), lambda m, n, k, l_ref: (l_ref[0], 0, n),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (BM, BN), lambda m, n, k, l_ref: (m, n), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _drop_prefetch(_w8_matmul_kernel), out_dtype=x.dtype,
+            stacked=True,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        xb,
+        qw,
+        s.reshape(s.shape[0], 1, N).astype(jnp.float32),
+    )
+    return out[:M]
+
+
+def einsum_w8_stacked(x: jax.Array, w, layer, eq: str) -> jax.Array:
+    """Stacked-layer twin of `einsum_w8` (trunk scan path)."""
+    import os
+
+    interpret = bool(os.environ.get("SGLANG_TPU_PALLAS_INTERPRET"))
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    out = matmul_w8_stacked(x2, w.q, w.s, layer, interpret=interpret)
+    return out.reshape(*lead, out.shape[-1])
 
 
 def einsum_w8(x: jax.Array, w, eq: str) -> jax.Array:

@@ -466,3 +466,43 @@ def test_matmul_w8_int8_and_fp8():
         )
         tol = 0.02 * np.abs(ref).max()
         assert np.abs(got - ref).max() <= tol, np.abs(got - ref).max()
+
+
+def test_pallas_stacked_kernels_match_per_layer():
+    """Stacked-layer kernel variants (scalar-prefetched layer index; the
+    trunk-scan path that avoids per-layer weight copies) must be bit-exact
+    vs the per-layer kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_npu_tpu.ops.pallas.quant_matmul import (
+        matmul_w4, matmul_w4_stacked, matmul_w4a8, matmul_w4a8_stacked,
+        matmul_w8, matmul_w8_stacked,
+    )
+
+    key = jax.random.PRNGKey(0)
+    L, M, K, N, g = 3, 16, 256, 256, 128
+    qw = jax.random.randint(key, (L, K // 2, N), 0, 255, jnp.int32).astype(
+        jnp.uint8
+    )
+    s = jax.random.uniform(key, (L, K // g, N), jnp.float32, 0.001, 0.01)
+    b = s * 8.0
+    x = jax.random.normal(key, (M, K), jnp.bfloat16)
+    q8 = jax.random.randint(key, (L, K, N), -127, 128, jnp.int32).astype(
+        jnp.int8
+    )
+    s8 = jax.random.uniform(key, (L, 1, N), jnp.float32, 0.001, 0.01)
+    for l in range(L):
+        li = jnp.int32(l)
+        np.testing.assert_array_equal(
+            np.asarray(matmul_w4_stacked(x, qw, s, b, li, interpret=True)),
+            np.asarray(matmul_w4(x, qw[l], s[l], b[l], interpret=True)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(matmul_w4a8_stacked(x, qw, s, b, li, interpret=True)),
+            np.asarray(matmul_w4a8(x, qw[l], s[l], b[l], interpret=True)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(matmul_w8_stacked(x, q8, s8, li, interpret=True)),
+            np.asarray(matmul_w8(x, q8[l], s8[l], interpret=True)),
+        )
