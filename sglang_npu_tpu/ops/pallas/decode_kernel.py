@@ -42,7 +42,7 @@ def _decode_kernel(
     # inputs: q, new_k, new_v, pool [, scale_pool]
     # outputs: o, pool [, scale_pool]
     # scratch: k_buf, v_buf, page_buf, acc, m, l, sems, wsems
-    #          [, ssb, wsbuf, ssems]
+    #          [, wsbuf, snew]
     *refs,
     page_size: int,
     block_t: int,
@@ -54,10 +54,10 @@ def _decode_kernel(
 ):
     if quantized:
         (
-            q_ref, new_k_ref, new_v_ref, pool_in_ref, scale_in_ref,
+            q_ref, new_k_ref, new_v_ref, gs_ref, pool_in_ref, scale_in_ref,
             o_ref, pool_ref, scale_ref,
             k_buf, v_buf, page_buf, acc_ref, m_ref, l_ref, sems, wsems,
-            ssb, wsbuf, ssems,
+            wsbuf, snew_ref,
         ) = refs
     else:
         (
@@ -65,7 +65,7 @@ def _decode_kernel(
             o_ref, pool_ref,
             k_buf, v_buf, page_buf, acc_ref, m_ref, l_ref, sems, wsems,
         ) = refs
-        scale_ref = ssb = wsbuf = ssems = None
+        scale_ref = gs_ref = wsbuf = snew_ref = None
 
     b = pl.program_id(0)
     layer = layer_ref[0]
@@ -165,6 +165,10 @@ def _decode_kernel(
                     jnp.broadcast_to(s_new, wsbuf[kv].shape),
                     wsbuf[kv],
                 )
+                # flash phase reads the LAST page's scale from here: the
+                # XLA-side gather (gs_ref) snapshots scales BEFORE this
+                # write grew them
+                snew_ref[kv] = jnp.broadcast_to(s_new, snew_ref[kv].shape)
         for kv in range(2):
             pltpu.make_async_copy(
                 page_buf.at[kv],
@@ -213,17 +217,6 @@ def _decode_kernel(
                     v_buf.at[slot, :, j],
                     sems.at[slot, 1, j],
                 ).start()
-                if quantized:
-                    pltpu.make_async_copy(
-                        scale_ref.at[layer, 0, page // 128],
-                        ssb.at[slot, 0, j],
-                        ssems.at[slot, 0, j],
-                    ).start()
-                    pltpu.make_async_copy(
-                        scale_ref.at[layer, 1, page // 128],
-                        ssb.at[slot, 1, j],
-                        ssems.at[slot, 1, j],
-                    ).start()
 
     def wait_dma(blk, slot):
         for j in range(np_per_blk):
@@ -242,17 +235,6 @@ def _decode_kernel(
                     v_buf.at[slot, :, j],
                     sems.at[slot, 1, j],
                 ).wait()
-                if quantized:
-                    pltpu.make_async_copy(
-                        scale_ref.at[layer, 0, page // 128],
-                        ssb.at[slot, 0, j],
-                        ssems.at[slot, 0, j],
-                    ).wait()
-                    pltpu.make_async_copy(
-                        scale_ref.at[layer, 1, page // 128],
-                        ssb.at[slot, 1, j],
-                        ssems.at[slot, 1, j],
-                    ).wait()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     m_ref[...] = jnp.full_like(m_ref, NEG_INF)
@@ -275,30 +257,36 @@ def _decode_kernel(
 
         wait_dma(blk, slot)
 
-        if not quantized:
-            k = k_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
-            v = v_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
-        else:
-            # dequant per page at convert time: int rows * per-(head,page)
-            # scale selected from the slab lane (page % 128)
-            kparts, vparts = [], []
+        k = k_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
+        v = v_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
+        kvec = vvec = None
+        if quantized:
+            # LOGIT-domain dequant (r5 rework): k/v convert WITHOUT the
+            # per-element scale multiply; the per-(head, page) scale lands
+            # on the [H, G, T] score/prob tensors instead (G*ps vs ps*D
+            # muls per head-page) — and scales come from the XLA-side
+            # gather (gs_ref, indexed by page POSITION) instead of two
+            # slab DMAs per page (issue cost dominated the kernel at
+            # batch 256).  The write phase may have grown the LAST page's
+            # scale after the gather snapshot: snew_ref overrides it.
+            tdiv = (
+                jax.lax.broadcasted_iota(jnp.int32, (Hkv, block_t), 1)
+                // page_size
+            )
+            kvec = jnp.zeros((Hkv, block_t), jnp.float32)
+            vvec = jnp.zeros((Hkv, block_t), jnp.float32)
             for j in range(np_per_blk):
-                page = page_tables_ref[
-                    b, jnp.minimum(blk * np_per_blk + j, num_pages - 1)
-                ]
-                slane = jax.lax.rem(page, 128)
-                ks = lane_select(ssb[slot, 0, j], slane)  # [Hkv, 1]
-                vs = lane_select(ssb[slot, 1, j], slane)
-                kparts.append(
-                    k_buf[slot][:, j].astype(jnp.float32)
-                    * ks[:, :, None]
+                page_pos = blk * np_per_blk + j
+                pp = jnp.minimum(page_pos, num_pages - 1)
+                is_last = pp == num_pages - 1
+                sk = jnp.where(
+                    is_last, snew_ref[0][:, :1], lane_select(gs_ref[0, 0], pp)
                 )
-                vparts.append(
-                    v_buf[slot][:, j].astype(jnp.float32)
-                    * vs[:, :, None]
+                sv = jnp.where(
+                    is_last, snew_ref[1][:, :1], lane_select(gs_ref[0, 1], pp)
                 )
-            k = jnp.concatenate(kparts, axis=1)  # [Hkv, block_t, D]
-            v = jnp.concatenate(vparts, axis=1)
+                kvec = jnp.where(tdiv == j, sk, kvec)
+                vvec = jnp.where(tdiv == j, sv, vvec)
         # zero out invalid token rows of v: p is 0 there, but 0 * garbage
         # (uninitialized scratch can be NaN) would poison the pv matmul
         valid_t = (
@@ -313,6 +301,8 @@ def _decode_kernel(
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
+        if quantized:
+            s = s * kvec[:, None, :]
         if logit_cap > 0:
             s = logit_cap * jnp.tanh(s / logit_cap)
         tok_idx = blk * block_t + jax.lax.broadcasted_iota(
@@ -330,7 +320,7 @@ def _decode_kernel(
         p = jnp.exp(s - m_new)  # [Hkv, G, T]
         l_new = l_ref[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p,
+            p if vvec is None else p * vvec[:, None, :],
             v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -438,6 +428,24 @@ def paged_decode_attention_fused(
     aliases = {6: 1}  # pool (after 3 scalar-prefetch + 3 tensor args)
     qmax = 127.0
     if quantized:
+        # XLA-side scale gather, indexed by page POSITION: [B, 2, H, Pp].
+        # Snapshot semantics: decode writes touch only each sequence's OWN
+        # last page, whose post-write scale the kernel reads from its
+        # snew scratch instead.
+        sg, sl = page_tables // 128, page_tables % 128
+        gathered = kv_pool.scale[layer_idx, :, sg, :, sl]  # [B, P, 2, H]
+        gathered = jnp.transpose(gathered, (0, 2, 3, 1))  # [B, 2, H, P]
+        Pp = -(-P // 128) * 128
+        if Pp != P:
+            gathered = jnp.pad(gathered, ((0, 0),) * 3 + ((0, Pp - P),))
+        in_specs.insert(
+            3,
+            pl.BlockSpec(
+                (1, 2, Hkv, Pp),
+                lambda b, *_: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(
@@ -445,13 +453,13 @@ def paged_decode_attention_fused(
         )
         scratch.extend(
             [
-                pltpu.VMEM((4, 2, np_per_blk, Hkv, 128), jnp.float32),
-                pltpu.VMEM((2, Hkv, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((4, 2, np_per_blk)),
+                pltpu.VMEM((2, Hkv, 128), jnp.float32),  # wsbuf (slab RMW)
+                pltpu.VMEM((2, Hkv, 128), jnp.float32),  # snew
             ]
         )
+        args.insert(6, gathered)
         args.append(kv_pool.scale)
-        aliases[7] = 2
+        aliases = {7: 1, 8: 2}
         qmax = kv_pool.qmax
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
