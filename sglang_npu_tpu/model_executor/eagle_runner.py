@@ -102,11 +102,18 @@ class EagleRunner:
         if not self.is_eagle3 and cfg.vocab_size != tc.vocab_size:
             raise ValueError("EAGLE draft vocab must match target")
         if self.is_mtp:
-            from sglang_npu_tpu.models.deepseek_nextn import (
-                DeepseekNextNModel,
-            )
+            if any("MiMo" in a for a in (cfg.architectures or [])):
+                # Xiaomi MiMo MTP head (reference srt/models/mimo_mtp.py):
+                # a Qwen2-block draft over a standard paged KV pool
+                from sglang_npu_tpu.models.mimo import MiMoMTPModel
 
-            self.model = DeepseekNextNModel(cfg)
+                self.model = MiMoMTPModel(cfg)
+            else:
+                from sglang_npu_tpu.models.deepseek_nextn import (
+                    DeepseekNextNModel,
+                )
+
+                self.model = DeepseekNextNModel(cfg)
         elif self.is_eagle3:
             from sglang_npu_tpu.models.llama_eagle import Eagle3DraftModel
 

@@ -444,6 +444,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         B, E = fb.input_ids.shape
         dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         x = params["embed"][fb.input_ids].astype(dt)
+        if self.embedding_multiplier != 1.0:
+            x = x * jnp.asarray(self.embedding_multiplier, x.dtype)
+        rm = self.residual_multiplier
         eps = c.rms_norm_eps
         H = self.n_heads
 
@@ -507,8 +510,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     self.scale,
                 )  # [B, E, H, R]
             att = jnp.einsum("behr,rhv->behv", ctx, w_kb_v)
-            x = x + jnp.einsum(
+            att_out = jnp.einsum(
                 "beh,hd->bed", att.reshape(B, E, H * self.v_dim), lp["wo"]
+            )
+            x = x + (
+                att_out if rm == 1.0 else att_out * jnp.asarray(rm, x.dtype)
             )
 
             # ---- MLP / MoE ----
@@ -517,11 +523,16 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 delta, stats = self._ffn(
                     lp, h2, i, collect_stats=True, stats_mask=smask
                 )
-                x = x + delta
+                x = x + (
+                    delta if rm == 1.0 else delta * jnp.asarray(rm, x.dtype)
+                )
                 if stats is not None:
                     moe_stats.append(stats)
             else:
-                x = x + self._ffn(lp, h2, i)
+                delta = self._ffn(lp, h2, i)
+                x = x + (
+                    delta if rm == 1.0 else delta * jnp.asarray(rm, x.dtype)
+                )
 
         x = rms_norm(x, params["final_norm"], eps)
         if collect_moe:

@@ -110,6 +110,11 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "XverseMoeForCausalLM": (
         "sglang_npu_tpu.models.xverse_moe", "XverseMoeForCausalLM",
     ),
+    "MiMoForCausalLM": ("sglang_npu_tpu.models.mimo", "MiMoForCausalLM"),
+    "MiMoMTP": ("sglang_npu_tpu.models.mimo", "MiMoMTPModel"),
+    "MiniCPM3ForCausalLM": (
+        "sglang_npu_tpu.models.minicpm3", "MiniCPM3ForCausalLM",
+    ),
 }
 
 
