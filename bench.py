@@ -114,6 +114,16 @@ CONFIGS = {
         max_total_tokens=81920, num_requests=256, decode_steps=32,
         page_size=32,
     ),
+    "llama8b_w4a8r_int8kv": dict(
+        # W4 checkpoint repacked to per-channel INT8 at load (Marlin-style
+        # serving repack): decode matmuls ride the int8 MXU with zero
+        # per-weight VPU work vs the 240-305 GB/s bf16-dequant wall.
+        # 2x weight bytes (9.1GB) caps the KV budget below the packed-W4
+        # twins.
+        model=LLAMA_8B, quantization="w4a8", kv_cache_dtype="int8",
+        max_total_tokens=73728, num_requests=256, decode_steps=32,
+        page_size=32, extra=dict(w4_repack_int8=True),
+    ),
     "llama8b_w4a16_bf16kv": dict(  # perf isolation: W4 matmul only
         model=LLAMA_8B, quantization="w4a16", kv_cache_dtype="auto",
         max_total_tokens=24576,
@@ -182,6 +192,7 @@ def run_config(name, spec, args):
             # the tunneled chip costs ~30ms per dispatch+fetch round trip
             # (scripts/probe_util.py); deeper fused windows amortize it
             decode_steps=decode_steps,
+            **spec.get("extra", {}),
         )
     )
     try:
@@ -375,7 +386,8 @@ def main():
         type=str,
         default=(
             "llama1b_bf16,llama8b_fp8,llama8b_int8_int8kv,"
-            "llama8b_w4a16_int8kv,llama8b_w4a8_int8kv"
+            "llama8b_w4a16_int8kv,llama8b_w4a8_int8kv,"
+            "llama8b_w4a8r_int8kv"
         ),
     )
     p.add_argument("--one-config", type=str, default=None)
@@ -453,7 +465,12 @@ def main():
     # the W4 twins share kernels and trade places run to run on the
     # wandering tunnel — the north-star number is the better of the two
     w4 = [
-        p for p in ("llama8b_w4a16_int8kv", "llama8b_w4a8_int8kv")
+        p
+        for p in (
+            "llama8b_w4a16_int8kv",
+            "llama8b_w4a8_int8kv",
+            "llama8b_w4a8r_int8kv",
+        )
         if "tok_per_s" in results.get(p, {})
     ]
     if w4:

@@ -185,15 +185,15 @@ def matmul(x: jax.Array, w, eq: str, layer=None) -> jax.Array:
         and isinstance(w, QuantizedWeight)
         and w.q.ndim == 3
     ):
-        if (
-            _W4_BACKEND[0] == "pallas"
-            and w.q.dtype == jnp.int8
-            and _ACT_QUANT[0] != "a8"
-        ):
+        if _W4_BACKEND[0] == "pallas" and w.q.dtype == jnp.int8:
             from sglang_npu_tpu.ops.pallas.quant_matmul import (
                 einsum_w8_stacked,
+                einsum_w8a8_stacked,
             )
 
+            if _ACT_QUANT[0] == "a8":
+                # int8 x int8 on the int8 MXU: zero per-weight VPU work
+                return einsum_w8a8_stacked(x, w, layer, eq)
             return einsum_w8_stacked(x, w, layer, eq)
         w = QuantizedWeight(q=w.q[layer], s=w.s[layer])
     if isinstance(w, QuantizedWeightW4) and _W4_BACKEND[0] == "pallas":
@@ -371,6 +371,55 @@ def quantize_params_w4(params: dict, group_size: int = 128) -> dict:
     out = dict(params)
     out["layers"] = layers
     logger.info("W4A16 RTN: quantized %d stacked weights (g=%d)", n, group_size)
+    return out
+
+
+def repack_w4_to_int8(params: dict) -> dict:
+    """Serving-time repack of grouped W4 weights into per-output-channel
+    INT8 (reference analogue: Marlin-style serving repacks of AWQ/GPTQ
+    checkpoints).  Motivation (r5 measurements): the bf16-dequant W4
+    kernel is VPU-bound at ~240-305 GB/s (mask+convert+mul per nibble)
+    while int8 x int8 rides the int8 MXU with ZERO per-weight VPU work —
+    for the per-token-int8-activation (w4a8) serving class the repack
+    roughly doubles decode matmul bandwidth for 2x the weight bytes.
+
+    Accuracy: the added error is <= s_max/254 per weight (half an int8
+    step at the channel's amax); relative to a group's own W4 step s_g
+    that is s_max/(254*s_g) — under 1/16 of a W4 LSB while group scales
+    within a channel stay within ~16x.  The w4a8 class already quantizes
+    activations to int8 per token, which dominates.  Validate with
+    scripts/quant_accuracy_probe.py.
+    """
+
+    @jax.jit
+    def r8(w: QuantizedWeightW4):
+        g = w.group_size
+
+        def one(qsb):
+            q, s, b = qsb
+            deq = dequant(
+                QuantizedWeightW4(q=q, s=s, b=b), jnp.float32
+            )  # [K, N]
+            sc = jnp.maximum(
+                jnp.max(jnp.abs(deq), axis=0, keepdims=True) / 127.0, 1e-10
+            )
+            q8 = jnp.clip(jnp.round(deq / sc), -127, 127).astype(jnp.int8)
+            return q8, sc
+
+        # sequential over layers: a whole-stack f32 dequant would not fit
+        q8, sc = jax.lax.map(one, (w.q, w.s, w.b))
+        return q8, sc
+
+    layers = dict(params["layers"])
+    n = 0
+    for k, w in list(layers.items()):
+        if isinstance(w, QuantizedWeightW4) and w.perm is None:
+            q8, sc = r8(w)
+            layers[k] = QuantizedWeight(q=q8, s=sc)
+            n += 1
+    out = dict(params)
+    out["layers"] = layers
+    logger.info("w4->int8 serving repack: %d stacked weights", n)
     return out
 
 

@@ -276,6 +276,12 @@ class ModelRunner:
                     )
             if qclass in ("w4a8", "w8a8_int8"):
                 set_act_quant("a8")
+                if qclass == "w4a8" and server_args.w4_repack_int8:
+                    from sglang_npu_tpu.layers.quantization import (
+                        repack_w4_to_int8,
+                    )
+
+                    self.params = repack_w4_to_int8(self.params)
             elif (
                 jax.default_backend() not in ("cpu",)
                 and server_args.w4_mxu_precision == "int8x2"

@@ -742,6 +742,129 @@ def einsum_w8_stacked(x: jax.Array, w, layer, eq: str) -> jax.Array:
     return out.reshape(*lead, out.shape[-1])
 
 
+# ----------------------------------------------------------------------
+# W8A8 on the int8 MXU: raw int8 weights AND activations feed the MXU
+# directly (i32 accumulation), so per-weight-element VPU work is ZERO —
+# unlike the w8 dequant kernel, whose int8->bf16 convert serializes with
+# the MXU (measured 247 GB/s), and the bf16-dequant W4 kernel's
+# mask/convert/mul chain (240-305 GB/s).  Per-token activation scales and
+# per-output-channel weight scales combine as a rank-1 epilogue at the
+# k-loop end.  Reference counterpart: `layers/quantization/w8a8_int8.py`
+# (the Ascend headline path) / sgl-kernel int8 GEMMs.
+# ----------------------------------------------------------------------
+def _w8a8_matmul_kernel(
+    xq_ref,  # [BM, BK] int8 (pre-quantized activations)
+    qw_ref,  # [1, BK, BN] int8 (stacked) | [BK, BN]
+    s_ref,  # [1, 1, BN] f32 | [1, BN]
+    sx_ref,  # [BM, 128] f32 per-token activation scale (col 0)
+    o_ref,  # [BM, BN] out dtype
+    acc_ref,  # [BM, BN] i32 scratch (exact)
+    *,
+    out_dtype,
+    stacked: bool = False,
+):
+    if stacked:
+        qw_ref = qw_ref.at[0]
+        s_ref = s_ref.at[0]
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jnp.dot(
+        xq_ref[...], qw_ref[...], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = (
+            acc_ref[...].astype(jnp.float32)
+            * sx_ref[:, :1]
+            * s_ref[0, :][None, :]
+        ).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def matmul_w8a8_stacked(
+    x: jax.Array,  # [M, K] bf16/f32
+    qw: jax.Array,  # [L, K, N] int8
+    s: jax.Array,  # [L, 1, N] f32 per-output-channel
+    layer: jax.Array,  # scalar int32
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    N = qw.shape[-1]
+    BK = _pick_block(K, 128, 2048)
+    BN = _pick_block(N, 128, 1024)
+    BM = 512 if M > 256 else max(-(-M // 16) * 16, 16)
+    Mp = -(-M // BM) * BM
+    x32 = x.astype(jnp.float32)
+    if Mp != M:
+        x32 = jnp.pad(x32, ((0, Mp - M), (0, 0)))
+    sx, sxt = _sx_tile(x32, Mp)
+    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // BM, N // BN, K // BK),
+        in_specs=[
+            pl.BlockSpec(
+                (BM, BK), lambda m, n, k, l_ref: (m, k),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, BK, BN), lambda m, n, k, l_ref: (l_ref[0], k, n),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, BN), lambda m, n, k, l_ref: (l_ref[0], 0, n),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BM, 128), lambda m, n, k, l_ref: (m, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (BM, BN), lambda m, n, k, l_ref: (m, n), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _drop_prefetch(_w8a8_matmul_kernel), out_dtype=x.dtype,
+            stacked=True,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        xq,
+        qw,
+        s.reshape(s.shape[0], 1, N).astype(jnp.float32),
+        sxt,
+    )
+    return out[:M]
+
+
+def einsum_w8a8_stacked(x: jax.Array, w, layer, eq: str) -> jax.Array:
+    """Stacked-layer W8A8 int8-MXU path (trunk scan)."""
+    import os
+
+    interpret = bool(os.environ.get("SGLANG_TPU_PALLAS_INTERPRET"))
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    out = matmul_w8a8_stacked(x2, w.q, w.s, layer, interpret=interpret)
+    return out.reshape(*lead, out.shape[-1])
+
+
 def einsum_w8(x: jax.Array, w, eq: str) -> jax.Array:
     """Route a weight-only int8/fp8 einsum (contraction of x's last dim)
     through the Pallas W8 kernel."""

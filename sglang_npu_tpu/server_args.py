@@ -189,6 +189,12 @@ class ServerArgs:
     # --enable-custom-logit-processor; sampling/custom_logit_processor.py:
     # registered-by-name or dill blobs, applied inside the jitted chain)
     enable_custom_logit_processor: bool = False
+    # w4a8 serving: repack grouped W4 weights to per-channel INT8 at load
+    # so decode rides the int8 MXU with zero per-weight VPU work (Marlin-
+    # style serving repack; see layers/quantization.repack_w4_to_int8 for
+    # the accuracy analysis).  2x weight HBM vs packed int4 — leave off
+    # when HBM capacity is the binding constraint.
+    w4_repack_int8: bool = False
     reasoning_parser: Optional[str] = None
     tool_call_parser: Optional[str] = None
 

