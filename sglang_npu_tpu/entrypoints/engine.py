@@ -527,6 +527,17 @@ class Engine:
         out = self.tokenizer_manager.control_mailbox.get(timeout=600)
         return out.success, out.message
 
+    def save_sharded_state(self, path: str):
+        """Persist the prepared param tree as per-host shard files; a
+        later Engine(model_path=path, load_format="sharded_state") (or
+        auto) cold-starts without HF parsing / re-quantization
+        (reference ShardedStateLoader, `model_loader/loader.py:589`)."""
+        from sglang_npu_tpu.managers.io_struct import SaveShardedStateReqInput
+
+        self._sched_in.put(SaveShardedStateReqInput(path=path))
+        out = self.tokenizer_manager.control_mailbox.get(timeout=600)
+        return out.success, out.message
+
     def score(self, query: str, items):
         """Mean per-token logprob of each item continuation after the
         query (the `/v1/score` computation as a library call; reference

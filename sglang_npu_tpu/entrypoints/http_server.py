@@ -79,6 +79,7 @@ class HttpServer:
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post("/save_sharded_state", self.save_sharded_state)
         r.add_post("/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
         r.add_post(
@@ -294,6 +295,17 @@ class HttpServer:
                 "model": body.get("model", "default"),
                 "usage": {"prompt_tokens": total, "total_tokens": total},
             }
+        )
+
+    async def save_sharded_state(self, request: web.Request) -> web.Response:
+        body = await _json_body(request)
+        if "path" not in body:
+            return _json_error("path required")
+        ok, msg = await asyncio.to_thread(
+            self.engine.save_sharded_state, body["path"]
+        )
+        return web.json_response(
+            {"success": ok, "message": msg}, status=200 if ok else 400
         )
 
     async def update_weights_from_disk(self, request: web.Request) -> web.Response:

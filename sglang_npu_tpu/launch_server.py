@@ -16,6 +16,10 @@ if os.environ.get("SGLANG_TPU_FORCE_CPU") == "1":
 from sglang_npu_tpu.entrypoints.http_server import launch_server
 from sglang_npu_tpu.server_args import prepare_server_args
 
-if __name__ == "__main__":
+def main():
     server_args = prepare_server_args(sys.argv[1:])
     launch_server(server_args)
+
+
+if __name__ == "__main__":
+    main()

@@ -237,6 +237,14 @@ class UpdateWeightFromDiskReqOutput:
 
 
 @dataclasses.dataclass
+class SaveShardedStateReqInput:
+    """Dump the prepared (quantized+fused) param tree as per-host shards
+    (reference ShardedStateLoader save / save_remote_model)."""
+
+    path: str
+
+
+@dataclasses.dataclass
 class RebalanceExpertsReqInput:
     """Force an EPLB rebalance (reference eplb_manager RPC); must run on
     the scheduler thread — it permutes live expert weights."""

@@ -44,6 +44,7 @@ from sglang_npu_tpu.managers.io_struct import (
     PauseGenerationReqInput,
     PauseGenerationReqOutput,
     ReleaseMemoryOccupationReqInput,
+    SaveShardedStateReqInput,
     ResumeMemoryOccupationReqInput,
     TokenizedGenerateReqInput,
     InitWeightsUpdateGroupReqInput,
@@ -604,6 +605,16 @@ class Scheduler:
                     self.flush_cache()
             except Exception as e:
                 ok, msg = False, str(e)
+            self.output_queue.put(
+                UpdateWeightFromDiskReqOutput(success=ok, message=msg)
+            )
+        elif isinstance(item, SaveShardedStateReqInput):
+            try:
+                n = self.runner.save_sharded_state(item.path)
+                ok, msg = True, f"saved {n} leaves to {item.path}"
+            except Exception as e:
+                logger.exception("sharded state save failed")
+                ok, msg = False, repr(e)
             self.output_queue.put(
                 UpdateWeightFromDiskReqOutput(success=ok, message=msg)
             )

@@ -221,14 +221,29 @@ class ModelRunner:
             self.model.use_hybrid_pool = True
 
         t0 = time.time()
-        self.params = load_model_weights(
-            self.model,
-            self._model_path,
-            server_args.load_format,
-            self.mesh,
-            seed=server_args.random_seed,
-            quantization=server_args.quantization,
+        from sglang_npu_tpu.model_loader.sharded_state import (
+            has_sharded_state,
+            load_sharded_state,
         )
+
+        if server_args.load_format == "sharded_state" or (
+            server_args.load_format == "auto"
+            and has_sharded_state(self._model_path)
+        ):
+            # cold-start from a prepared shard dump (reference
+            # ShardedStateLoader, model_loader/loader.py:589): the tree is
+            # already quantized + fused, so the post-load passes below
+            # no-op on it
+            self.params = load_sharded_state(self._model_path, self.mesh)
+        else:
+            self.params = load_model_weights(
+                self.model,
+                self._model_path,
+                server_args.load_format,
+                self.mesh,
+                seed=server_args.random_seed,
+                quantization=server_args.quantization,
+            )
         if server_args.quantization:
             from sglang_npu_tpu.layers.quantization import (
                 apply_quantization,
@@ -2087,6 +2102,36 @@ class ModelRunner:
         if ok:
             self._refresh_lora_params()
         return ok, msg
+
+    def save_sharded_state(self, path: str) -> int:
+        """Dump the prepared param tree (post quant/fusion) as per-host
+        shards + the model config, so `path` works directly as a
+        cold-start model_path (reference ShardedStateLoader /
+        save_remote_model, `model_loader/loader.py:589`,
+        `model_runner.py:1760`)."""
+        import json as _json
+        import shutil
+
+        from sglang_npu_tpu.model_loader.sharded_state import (
+            save_sharded_state,
+        )
+
+        n = save_sharded_state(self.params, path)
+        if jax.process_index() == 0:
+            src = os.path.join(self._model_path, "config.json")
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(path, "config.json"))
+            else:
+                with open(os.path.join(path, "config.json"), "w") as f:
+                    _json.dump(self.model_config.hf_config, f, default=str)
+            for aux in (
+                "tokenizer.json", "tokenizer_config.json",
+                "special_tokens_map.json", "generation_config.json",
+            ):
+                s = os.path.join(self._model_path, aux)
+                if os.path.exists(s):
+                    shutil.copy(s, os.path.join(path, aux))
+        return n
 
     def update_weights_from_disk(self, model_path: str, load_format: str = "auto"):
         """Live weight swap (reference `model_runner.py:731`
