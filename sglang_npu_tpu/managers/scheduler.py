@@ -462,7 +462,39 @@ class Scheduler:
             if item is None:
                 self._running = False
                 return
-            self.process_input_request(item)
+            try:
+                self.process_input_request(item)
+            except Exception as e:
+                # a failing control RPC must still ANSWER its caller —
+                # logging alone leaves the client blocked on its mailbox
+                # for the full timeout (observed: post-OOM flush_cache
+                # raising turned every later bench phase into a 600s hang)
+                logger.exception(
+                    "input handling failed: %s", type(item).__name__
+                )
+                try:
+                    if isinstance(item, TokenizedGenerateReqInput):
+                        stub = Req(
+                            rid=item.rid,
+                            origin_input_text=item.input_text,
+                            origin_input_ids=list(item.input_ids),
+                            sampling_params=item.sampling_params,
+                        )
+                        stub.finished_reason = FINISH_ABORT(
+                            f"request handling failed: {e!r}"
+                        )
+                        self._emit_finished_stub(stub)
+                    else:
+                        self.output_queue.put(
+                            UpdateWeightFromDiskReqOutput(
+                                success=False,
+                                message=(
+                                    f"{type(item).__name__} failed: {e!r}"
+                                ),
+                            )
+                        )
+                except Exception:
+                    logger.exception("error-response emission failed")
             try:
                 item = self.input_queue.get_nowait()
             except queue.Empty:
