@@ -102,6 +102,8 @@ def moe_mlp(
     norm_topk_prob: bool = True,
     collect_stats: bool = False,
     stats_mask: jax.Array | None = None,  # [T]
+    activation: str = "silu",
+    router_softcap: float = 0.0,  # grok-1: 30*tanh(logits/30) before topk
 ):
     """Dropless top-k MoE: sort tokens by expert, grouped matmuls, unsort.
 
@@ -114,12 +116,18 @@ def moe_mlp(
     router_logits = jnp.einsum(
         "td,de->te", x, router_w, preferred_element_type=jnp.float32
     )
+    if router_softcap > 0:
+        router_logits = router_softcap * jnp.tanh(
+            router_logits / router_softcap
+        )
     weights, expert_ids = topk_routing(router_logits, top_k, norm_topk_prob)
     stats = (
         routing_counts(expert_ids, E, stats_mask) if collect_stats else None
     )
 
-    out = moe_apply(x, w_gate, w_up, w_down, weights, expert_ids)
+    out = moe_apply(
+        x, w_gate, w_up, w_down, weights, expert_ids, activation=activation
+    )
     return (out, stats) if collect_stats else out
 
 
@@ -130,6 +138,7 @@ def moe_apply(
     w_down: jax.Array,  # [E, F, Dm]
     weights: jax.Array,  # [T, K] combine weights
     expert_ids: jax.Array,  # [T, K] i32
+    activation: str = "silu",
 ) -> jax.Array:
     """Dropless grouped-GEMM compute for precomputed routing: sort tokens
     by expert, `lax.ragged_dot` the groups, unsort, weighted combine."""
@@ -145,7 +154,12 @@ def moe_apply(
 
     gate = jax.lax.ragged_dot(sorted_x, w_gate, group_sizes)
     up = jax.lax.ragged_dot(sorted_x, w_up, group_sizes)
-    act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(
+    act_fn = (
+        jax.nn.silu
+        if activation == "silu"
+        else functools.partial(jax.nn.gelu, approximate=False)
+    )
+    act = (act_fn(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(
         x.dtype
     )
     out_sorted = jax.lax.ragged_dot(act, w_down, group_sizes)  # [T*K, Dm]

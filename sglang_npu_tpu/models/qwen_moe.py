@@ -225,6 +225,8 @@ class QwenMoeForCausalLM(LlamaForCausalLM):
                 norm_topk_prob=self.norm_topk,
                 collect_stats=collect_stats,
                 stats_mask=stats_mask,
+                activation=getattr(self, "moe_act", "silu"),
+                router_softcap=getattr(self, "router_softcap", 0.0),
             )
         if collect_stats:
             out, stats = out

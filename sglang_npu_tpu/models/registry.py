@@ -115,6 +115,10 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "MiniCPM3ForCausalLM": (
         "sglang_npu_tpu.models.minicpm3", "MiniCPM3ForCausalLM",
     ),
+    "Grok1ForCausalLM": ("sglang_npu_tpu.models.grok", "Grok1ForCausalLM"),
+    "Grok1ModelForCausalLM": (
+        "sglang_npu_tpu.models.grok", "Grok1ForCausalLM",
+    ),
 }
 
 

@@ -677,3 +677,112 @@ def test_xverse_moe(tmp_path):
         router_key="mlp.router.weight",
     )
     assert got == ref
+
+
+# ----------------------------------------------------------------------
+# Grok-1: sandwich norms, softcapped attn + router, gelu MoE, multipliers
+# ----------------------------------------------------------------------
+def grok_manual_greedy(sd, prompt, steps, *, L=2, H=4, KV=2, D=16,
+                       hidden=64, E=4, top_k=2, Fm=32, eps=1e-5,
+                       theta=10000.0, emb_scale=2.0, out_scale=0.5,
+                       cap=30.0):
+    def rms(x, w):
+        v = x / torch.sqrt((x * x).mean(-1, keepdim=True) + eps)
+        return v * w
+
+    def rope(x, pos):
+        half = D // 2
+        inv = 1.0 / (theta ** (torch.arange(half, dtype=torch.float32) / half))
+        ang = pos[:, None].float() * inv[None]
+        cos = torch.cat([ang.cos(), ang.cos()], -1)[:, None, :]
+        sin = torch.cat([ang.sin(), ang.sin()], -1)[:, None, :]
+        x1, x2 = x[..., :half], x[..., half:]
+        return x * cos + torch.cat([-x2, x1], -1) * sin
+
+    ids = list(prompt)
+    for _ in range(steps):
+        T = len(ids)
+        x = sd["model.embed_tokens.weight"][torch.tensor(ids)] * emb_scale
+        pos = torch.arange(T)
+        for i in range(L):
+            p = f"model.layers.{i}."
+            h = rms(x, sd[p + "pre_attn_norm.weight"])
+            q = (h @ sd[p + "self_attn.q_proj.weight"].T).view(T, H, D)
+            k = (h @ sd[p + "self_attn.k_proj.weight"].T).view(T, KV, D)
+            v = (h @ sd[p + "self_attn.v_proj.weight"].T).view(T, KV, D)
+            q, k = rope(q, pos), rope(k, pos)
+            g = H // KV
+            k = k.repeat_interleave(g, 1)
+            v = v.repeat_interleave(g, 1)
+            s = torch.einsum("thd,shd->hts", q, k) / math.sqrt(D)
+            s = cap * torch.tanh(s / cap)
+            mask = torch.tril(torch.ones(T, T, dtype=torch.bool))
+            s = s.masked_fill(~mask[None], float("-inf"))
+            o = torch.einsum("hts,shd->thd", torch.softmax(s, -1), v).reshape(T, -1)
+            att_out = o @ sd[p + "self_attn.o_proj.weight"].T
+            x = x + rms(att_out, sd[p + "post_attn_norm.weight"])
+
+            h2 = rms(x, sd[p + "pre_moe_norm.weight"])
+            logits = h2 @ sd[p + "block_sparse_moe.gate.weight"].T
+            logits = cap * torch.tanh(logits.float() / cap)
+            probs = torch.softmax(logits, -1)
+            w, e_ids = torch.topk(probs, top_k, dim=-1)  # NO renormalize
+            moe = torch.zeros_like(h2)
+            for t in range(T):
+                for j in range(top_k):
+                    e = int(e_ids[t, j])
+                    gg = h2[t] @ sd[p + f"block_sparse_moe.experts.{e}.w1.weight"].T
+                    uu = h2[t] @ sd[p + f"block_sparse_moe.experts.{e}.w3.weight"].T
+                    moe[t] += w[t, j] * (
+                        (torch.nn.functional.gelu(gg, approximate="none") * uu)
+                        @ sd[p + f"block_sparse_moe.experts.{e}.w2.weight"].T
+                    )
+            x = x + rms(moe, sd[p + "post_moe_norm.weight"])
+        x = rms(x, sd["model.norm.weight"])
+        logits = (x[-1] @ sd["lm_head.weight"].T) * out_scale
+        ids.append(int(torch.argmax(logits)))
+    return ids[len(prompt):]
+
+
+def test_grok1(tmp_path):
+    torch.manual_seed(21)
+    L, H, KV, D, hidden, E, Fm = 2, 4, 2, 16, 64, 4, 32
+    sd = {
+        "model.embed_tokens.weight": torch.randn(VOCAB, hidden) * 0.2,
+        "model.norm.weight": torch.rand(hidden) + 0.5,
+        "lm_head.weight": torch.randn(VOCAB, hidden) * 0.2,
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        for nm in ("pre_attn_norm", "post_attn_norm", "pre_moe_norm",
+                   "post_moe_norm"):
+            sd[p + nm + ".weight"] = torch.rand(hidden) + 0.5
+        sd[p + "self_attn.q_proj.weight"] = torch.randn(H * D, hidden) * 0.1
+        sd[p + "self_attn.k_proj.weight"] = torch.randn(KV * D, hidden) * 0.1
+        sd[p + "self_attn.v_proj.weight"] = torch.randn(KV * D, hidden) * 0.1
+        sd[p + "self_attn.o_proj.weight"] = torch.randn(hidden, H * D) * 0.1
+        sd[p + "block_sparse_moe.gate.weight"] = torch.randn(E, hidden) * 0.5
+        for e in range(E):
+            sd[p + f"block_sparse_moe.experts.{e}.w1.weight"] = torch.randn(Fm, hidden) * 0.1
+            sd[p + f"block_sparse_moe.experts.{e}.w3.weight"] = torch.randn(Fm, hidden) * 0.1
+            sd[p + f"block_sparse_moe.experts.{e}.w2.weight"] = torch.randn(hidden, Fm) * 0.1
+    cd = {
+        "architectures": ["Grok1ForCausalLM"],
+        "model_type": "grok-1",
+        "vocab_size": VOCAB, "hidden_size": hidden,
+        "intermediate_size": Fm, "moe_intermediate_size": Fm,
+        "num_hidden_layers": L, "num_attention_heads": H,
+        "num_key_value_heads": KV, "head_dim": D,
+        "num_local_experts": E, "num_experts_per_tok": 2,
+        "max_position_embeddings": 256, "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0, "torch_dtype": "float32",
+        "eos_token_id": 2,
+        "embedding_multiplier_scale": 2.0,
+        "output_multiplier_scale": 0.5,
+        "attn_logit_softcapping": 30.0,
+        "router_logit_softcapping": 30.0,
+    }
+    save_ckpt(tmp_path, cd, sd)
+    got = engine_greedy(tmp_path, PROMPT)
+    ref = grok_manual_greedy(sd, PROMPT, SP["max_new_tokens"])
+    assert got == ref
