@@ -232,6 +232,10 @@ def main():
     if what == "scanmm":
         bench_scan_mm(256, zp=False)
         bench_scan_mm(256, zp=True)
+    if what == "attn3":  # post-rework: ps32 at high iters (tunnel noise
+        # at iters=30 is ~±0.5ms/call — the earlier 0.39/0.0 readings)
+        bench_attn(256, 192, "int8", 32, iters=150)
+        bench_attn(256, 192, "bf16", 32, iters=150)
 
 
 def bench_scan_mm(M, L=32, zp=False, iters=20):

@@ -444,6 +444,12 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         B, E = fb.input_ids.shape
         dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         x = params["embed"][fb.input_ids].astype(dt)
+        if fb.input_embeds is not None:
+            # multimodal splice (deepseek-vl2 class): vision rows replace
+            # their image-token embeddings
+            x = jnp.where(
+                fb.embed_mask[..., None], fb.input_embeds.astype(x.dtype), x
+            )
         if self.embedding_multiplier != 1.0:
             x = x * jnp.asarray(self.embedding_multiplier, x.dtype)
         rm = self.residual_multiplier

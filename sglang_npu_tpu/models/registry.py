@@ -119,6 +119,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "Grok1ModelForCausalLM": (
         "sglang_npu_tpu.models.grok", "Grok1ForCausalLM",
     ),
+    "DeepseekVL2ForCausalLM": (
+        "sglang_npu_tpu.models.deepseek_vl2", "DeepseekVL2ForCausalLM",
+    ),
 }
 
 

@@ -109,6 +109,10 @@ def process_images(
     model_type = hf_config.get("model_type", "")
     if model_type in ("llava", "gemma3", "internvl", "llama4"):
         return _process_fixed_grid(proc, prompt_text, input_ids, pil, hf_config)
+    if model_type == "deepseek_vl_v2":
+        return _process_deepseek_vl2(
+            model_path, prompt_text, input_ids, pil, hf_config
+        )
     if model_type == "mllama":
         return _process_mllama(proc, prompt_text, input_ids, pil, hf_config)
     vc = hf_config.get("vision_config", {})
@@ -296,6 +300,113 @@ def _process_mllama(proc, prompt_text, input_ids, pil, hf_config):
         "pixel_values": pixel_values,
         "aspect_ratio_ids": aspect_ids,
         "aspect_ratio_mask": aspect_mask,
+        "image_token_id": int(image_token_id),
+    }
+
+
+def _process_deepseek_vl2(
+    model_path, prompt_text, input_ids, pil, hf_config
+) -> Dict[str, Any]:
+    """DeepSeek-VL2 tiling (hand-ported behavioral spec:
+    `srt/configs/deepseekvl2.py tokenize_with_images` — the HF processor
+    is remote-code): per image, one padded global view plus best-
+    candidate-resolution local tiles; token count =
+    h*(w+1) + 1 + (hi*h)*(wi*w+1) with h = w =
+    ceil((image_size/patch)/downsample_ratio)."""
+    import math
+
+    from PIL import ImageOps
+
+    vc = hf_config.get("vision_config", {}) or {}
+    pc = hf_config.get("projector_config", {}) or {}
+    S = vc.get("image_size", 384)
+    patch = vc.get("patch_size", 14)
+    down = int(pc.get("downsample_ratio", 2))
+    cands = hf_config.get("candidate_resolutions") or [(S, S)]
+    mean = tuple(hf_config.get("image_mean", (0.5, 0.5, 0.5)))
+    std = tuple(hf_config.get("image_std", (0.5, 0.5, 0.5)))
+    image_token_id = hf_config.get("image_token_id")
+    h = w = math.ceil((S // patch) / down)
+
+    def best_res(size):
+        # reference select_best_resolution: max effective pixels, then
+        # min wasted area
+        ow, oh = size
+        best, best_fit, best_waste = None, -1, None
+        for cw, ch in cands:
+            scale = min(cw / ow, ch / oh)
+            dw, dh = int(ow * scale), int(oh * scale)
+            eff = min(dw * dh, ow * oh)
+            waste = cw * ch - eff
+            if eff > best_fit or (eff == best_fit and waste < best_waste):
+                best, best_fit, best_waste = (cw, ch), eff, waste
+        return best
+
+    def transform(img):
+        a = np.asarray(img.convert("RGB"), np.float32) / 255.0
+        a = (a - np.asarray(mean)) / np.asarray(std)
+        return a.transpose(2, 0, 1)
+
+    tiles, crops, per_image_tokens = [], [], []
+    fill = tuple(int(x * 255) for x in mean)
+    for img in pil:
+        bw, bh = best_res(img.size)
+        g = ImageOps.pad(img, (S, S), color=fill)
+        tiles.append(transform(g))
+        loc = ImageOps.pad(img, (bw, bh), color=fill)
+        for i in range(0, bh, S):
+            for j in range(0, bw, S):
+                tiles.append(transform(loc.crop((j, i, j + S, i + S))))
+        wi, hi = bw // S, bh // S
+        crops.append([wi, hi])
+        per_image_tokens.append(h * (w + 1) + 1 + (hi * h) * (wi * w + 1))
+
+    if prompt_text is None:
+        ids = list(input_ids)
+    else:
+        from sglang_npu_tpu.tokenizer import get_tokenizer
+
+        tok = get_tokenizer(model_path)
+        pieces = prompt_text.split("<image>")
+        ids = []
+        for i, piece in enumerate(pieces):
+            ids += tok.encode(piece) if piece else []
+            if i < len(pieces) - 1:
+                ids += [image_token_id]
+    # expand single placeholders to the per-image token counts
+    n_placeholder = sum(1 for t in ids if t == image_token_id)
+    if n_placeholder == len(pil):
+        expanded: List[int] = []
+        img_i = 0
+        for t in ids:
+            if t == image_token_id:
+                expanded.extend([image_token_id] * per_image_tokens[img_i])
+                img_i += 1
+            else:
+                expanded.append(int(t))
+        ids = expanded
+    pixel_values = (
+        np.stack(tiles).astype(np.float32)
+        if tiles
+        else np.zeros((0, 3, S, S), np.float32)
+    )
+    key = list(ids)
+    spans = _image_spans(ids, image_token_id)
+    off = 0
+    for n_img, (st, ln) in enumerate(spans):
+        n_tiles = 1 + crops[n_img][0] * crops[n_img][1]
+        digest = hashlib.sha256(
+            pixel_values[off : off + n_tiles].tobytes()
+        ).digest()
+        off += n_tiles
+        rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+        pseudo = rng.integers(1 << 30, 1 << 31, size=ln, dtype=np.int64)
+        key[st : st + ln] = [int(x) for x in pseudo]
+    return {
+        "input_ids": ids,
+        "key_ids": key,
+        "pixel_values": pixel_values,
+        "images_spatial_crop": np.asarray(crops, np.int64),
         "image_token_id": int(image_token_id),
     }
 
