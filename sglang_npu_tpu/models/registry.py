@@ -122,6 +122,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "DeepseekVL2ForCausalLM": (
         "sglang_npu_tpu.models.deepseek_vl2", "DeepseekVL2ForCausalLM",
     ),
+    "KimiVLForConditionalGeneration": (
+        "sglang_npu_tpu.models.kimi_vl", "KimiVLForCausalLM",
+    ),
 }
 
 

@@ -113,6 +113,8 @@ def process_images(
         return _process_deepseek_vl2(
             model_path, prompt_text, input_ids, pil, hf_config
         )
+    if model_type == "kimi_vl":
+        return _process_kimi_vl(prompt_text, input_ids, pil, hf_config)
     if model_type == "mllama":
         return _process_mllama(proc, prompt_text, input_ids, pil, hf_config)
     vc = hf_config.get("vision_config", {})
@@ -300,6 +302,80 @@ def _process_mllama(proc, prompt_text, input_ids, pil, hf_config):
         "pixel_values": pixel_values,
         "aspect_ratio_ids": aspect_ids,
         "aspect_ratio_mask": aspect_mask,
+        "image_token_id": int(image_token_id),
+    }
+
+
+def _process_kimi_vl(prompt_text, input_ids, pil, hf_config) -> Dict[str, Any]:
+    """Kimi-VL native-resolution packing (hand-ported behavioral spec of
+    the remote-code Kimi image processor): each image resizes to a patch
+    grid (h, w) — multiples of the 2x2 merge kernel, capped by the
+    1024-pixel MaxImageTokenMeta box — and packs into [h*w, 3*ps*ps]
+    patch rows (conv-flatten order); the media placeholder expands to
+    (h/2)*(w/2) tokens."""
+    vc = hf_config.get("vision_config", {}) or {}
+    ps = vc.get("patch_size", 14)
+    mk = vc.get("merge_kernel_size", (2, 2))
+    kh, kw = int(mk[0]), int(mk[1])
+    max_g = vc.get("init_pos_emb_height", 64)
+    mean = np.asarray(hf_config.get("image_mean", (0.5, 0.5, 0.5)))
+    std = np.asarray(hf_config.get("image_std", (0.5, 0.5, 0.5)))
+    image_token_id = hf_config.get(
+        "media_placeholder_token_id", hf_config.get("image_token_id")
+    )
+
+    packs, grids, per_tokens = [], [], []
+    for img in pil:
+        W, H = img.size
+        h = min(max(round(H / ps / kh) * kh, kh), max_g)
+        w = min(max(round(W / ps / kw) * kw, kw), max_g)
+        a = np.asarray(
+            img.convert("RGB").resize((w * ps, h * ps)), np.float32
+        ) / 255.0
+        a = (a - mean) / std  # [h*ps, w*ps, 3]
+        a = a.transpose(2, 0, 1).reshape(3, h, ps, w, ps)
+        a = a.transpose(1, 3, 0, 2, 4).reshape(h * w, 3 * ps * ps)
+        packs.append(a.astype(np.float32))
+        grids.append([h, w])
+        per_tokens.append((h // kh) * (w // kw))
+
+    if prompt_text is None:
+        ids = list(input_ids)
+    else:
+        raise ValueError(
+            "kimi-vl text-mode processing requires pre-tokenized input_ids"
+        )
+    n_placeholder = sum(1 for t in ids if t == image_token_id)
+    if n_placeholder == len(pil):
+        expanded: List[int] = []
+        img_i = 0
+        for t in ids:
+            if t == image_token_id:
+                expanded.extend([image_token_id] * per_tokens[img_i])
+                img_i += 1
+            else:
+                expanded.append(int(t))
+        ids = expanded
+    pixel_values = (
+        np.concatenate(packs)
+        if packs
+        else np.zeros((0, 3 * ps * ps), np.float32)
+    )
+    key = list(ids)
+    spans = _image_spans(ids, image_token_id)
+    off = 0
+    for n_img, (st, ln) in enumerate(spans):
+        T = grids[n_img][0] * grids[n_img][1]
+        digest = hashlib.sha256(pixel_values[off : off + T].tobytes()).digest()
+        off += T
+        rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+        pseudo = rng.integers(1 << 30, 1 << 31, size=ln, dtype=np.int64)
+        key[st : st + ln] = [int(x) for x in pseudo]
+    return {
+        "input_ids": ids,
+        "key_ids": key,
+        "pixel_values": pixel_values,
+        "image_grid_hws": np.asarray(grids, np.int64),
         "image_token_id": int(image_token_id),
     }
 
