@@ -120,10 +120,11 @@ CONFIGS = {
         # per-weight VPU work vs the 240-305 GB/s bf16-dequant wall.
         # 2x weight bytes (9.1GB) caps the KV budget below the packed-W4
         # twins.
-        # batch 192: the 9.1GB int8 weights + 256-batch KV OOMed the 16GB
-        # chip (r5); 192 x 320 tokens = 4.0GB KV fits with headroom
+        # batch 160: the 9.1GB int8 weights OOM with larger KV pools —
+        # usable HBM through the tunnel measures ~12.5GB (batch 192 /
+        # 4.0GB KV still hit ResourceExhausted in r5)
         model=LLAMA_8B, quantization="w4a8", kv_cache_dtype="int8",
-        max_total_tokens=61440, num_requests=192, decode_steps=32,
+        max_total_tokens=51200, num_requests=160, decode_steps=32,
         page_size=32, extra=dict(w4_repack_int8=True),
     ),
     "llama8b_w4a16_bf16kv": dict(  # perf isolation: W4 matmul only
