@@ -817,40 +817,7 @@ def paged_decode_attention_fused(
     ]
     aliases = {6: 1}  # pool (after 3 scalar-prefetch + 3 tensor args)
     qmax = 127.0
-    if quantized:
-        # XLA-side scale gather, indexed by page POSITION: [B, 2, H, Pp].
-        # Snapshot semantics: decode writes touch only each sequence's OWN
-        # last page, whose post-write scale the kernel reads from its
-        # snew scratch instead.
-        sg, sl = page_tables // 128, page_tables % 128
-        gathered = kv_pool.scale[layer_idx, :, sg, :, sl]  # [B, P, 2, H]
-        gathered = jnp.transpose(gathered, (0, 2, 3, 1))  # [B, 2, H, P]
-        Pp = -(-P // 128) * 128
-        if Pp != P:
-            gathered = jnp.pad(gathered, ((0, 0),) * 3 + ((0, Pp - P),))
-        in_specs.insert(
-            3,
-            pl.BlockSpec(
-                (1, 2, Hkv, Pp),
-                lambda b, *_: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        )
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_shape.append(
-            jax.ShapeDtypeStruct(kv_pool.scale.shape, kv_pool.scale.dtype)
-        )
-        scratch.extend(
-            [
-                pltpu.VMEM((2, Hkv, 128), jnp.float32),  # wsbuf (slab RMW)
-                pltpu.VMEM((2, Hkv, 128), jnp.float32),  # snew
-            ]
-        )
-        args.insert(6, gathered)
-        args.append(kv_pool.scale)
-        aliases = {7: 1, 8: 2}
-        qmax = kv_pool.qmax
+    # (quantized pools returned above through the batched kernel)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -881,9 +848,6 @@ def paged_decode_attention_fused(
             has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
         ),
     )(*args)
-    if quantized:
-        out, pool, spool = outs
-        return out.reshape(B, Hq, D), PagedQuantKV(data=pool, scale=spool)
     out, pool = outs
     return out.reshape(B, Hq, D), pool
 
