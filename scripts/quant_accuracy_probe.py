@@ -149,10 +149,14 @@ def main():
     from sglang_npu_tpu.entrypoints.engine import Engine
 
     def run(mode):
+        repack = False
+        if mode == "w4a8_repack":
+            mode, repack = "w4a8", True
         e = Engine(
             model_path=d, dtype="float32" if not args.on_chip else "bfloat16",
             skip_tokenizer_init=True, page_size=16, max_total_tokens=32768,
             random_seed=0, quantization=mode,
+            w4_repack_int8=repack,
             watchdog_timeout=3600.0,
         )
         try:
@@ -187,7 +191,7 @@ def main():
         flush=True,
     )
     results = {}
-    for mode in ("fp8", "w8a8_int8", "w4a16", "w4a8"):
+    for mode in ("fp8", "w8a8_int8", "w4a16", "w4a8", "w4a8_repack"):
         toks, lps = run(mode)
         agree = total = 0
         deltas = []

@@ -170,3 +170,77 @@ class LiteLLMBackend(OpenAIBackend):
             api_key=api_key or os.environ.get("LITELLM_API_KEY", ""),
             timeout=timeout,
         )
+
+
+class VertexAIBackend:
+    """Google Vertex AI generateContent client (reference
+    `lang/backend/vertexai.py`): bearer token from
+    GOOGLE_APPLICATION_ACCESS_TOKEN (or an explicit ``access_token``),
+    prompts map to a single-user `contents` turn, images ride as
+    inlineData parts.  `select` scoring is not exposed by the Vertex API
+    (same limitation as the reference backend)."""
+
+    def __init__(
+        self,
+        model: str,
+        project: str = None,
+        location: str = "us-central1",
+        access_token: str = None,
+        timeout: float = 600.0,
+    ):
+        self.model = model
+        self.project = project or os.environ.get("GCP_PROJECT", "")
+        self.location = location
+        self.access_token = access_token or os.environ.get(
+            "GOOGLE_APPLICATION_ACCESS_TOKEN", ""
+        )
+        self.timeout = timeout
+        self.tokenizer = None
+        self.base_url = (
+            f"https://{location}-aiplatform.googleapis.com/v1/projects/"
+            f"{self.project}/locations/{location}/publishers/google/models"
+        )
+
+    def generate(
+        self, prompt: str, sampling_params: Dict[str, Any], image_data=None
+    ) -> str:
+        parts = [{"text": prompt}]
+        for u in (
+            image_data
+            if isinstance(image_data, list)
+            else ([image_data] if image_data else [])
+        ):
+            parts.append(
+                {"inlineData": {"mimeType": "image/jpeg", "data": u}}
+            )
+        cfg = {}
+        mp = _map_params(sampling_params)
+        if "max_tokens" in mp:
+            cfg["maxOutputTokens"] = mp["max_tokens"]
+        if "temperature" in mp:
+            cfg["temperature"] = mp["temperature"]
+        if "top_p" in mp:
+            cfg["topP"] = mp["top_p"]
+        if "stop" in mp:
+            cfg["stopSequences"] = mp["stop"]
+        out = _post_json(
+            f"{self.base_url}/{self.model}:generateContent",
+            {
+                "contents": [{"role": "user", "parts": parts}],
+                "generationConfig": cfg,
+            },
+            {"Authorization": f"Bearer {self.access_token}"},
+            self.timeout,
+        )
+        cands = out.get("candidates") or []
+        if not cands:
+            return ""
+        return "".join(
+            p.get("text", "")
+            for p in cands[0].get("content", {}).get("parts", [])
+        )
+
+    def score(self, prompt: str, continuation: str):
+        raise NotImplementedError(
+            "Vertex AI exposes no token-logprob scoring API"
+        )

@@ -573,40 +573,54 @@ def _decode_kernel_bbq(
             + jax.lax.broadcasted_iota(jnp.int32, (bb, 1, block_t, 1), 2)
         ) < lens_vec[:, :, None, None]
         v = jnp.where(valid_t, v, 0.0)
+        # Mosaic matmuls support ONE batch dim: merge (BB, H)
+        qm = q.reshape(bb * Hkv, G, D)
+        km = k.reshape(bb * Hkv, block_t, D)
+        vm = v.reshape(bb * Hkv, block_t, D)
+        kvec_m = kvec.reshape(bb * Hkv, 1, block_t)
+        vvec_m = vvec.reshape(bb * Hkv, 1, block_t)
         s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            qm, km,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [BB, H, G, T]
-        s = s * kvec[:, :, None, :]
+        )  # [BB*H, G, T]
+        s = s * kvec_m
         if logit_cap > 0:
             s = logit_cap * jnp.tanh(s / logit_cap)
+        lens_m = jnp.broadcast_to(
+            lens_vec[:, :, None, None], (bb, Hkv, 1, 1)
+        ).reshape(bb * Hkv, 1, 1)
         tok_idx = blk * block_t + jax.lax.broadcasted_iota(
-            jnp.int32, (bb, Hkv, G, block_t), 3
+            jnp.int32, (bb * Hkv, G, block_t), 2
         )
-        mask = tok_idx < lens_vec[:, :, None, None]
+        mask = tok_idx < lens_m
         if sliding_window > 0:
             mask = jnp.logical_and(
-                mask,
-                tok_idx > lens_vec[:, :, None, None] - 1 - sliding_window,
+                mask, tok_idx > lens_m - 1 - sliding_window
             )
         s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_ref[:, :, :, :1]
+        mr = m_ref[...].reshape(bb * Hkv, G, 128)
+        lr = l_ref[...].reshape(bb * Hkv, G, 128)
+        m_prev = mr[:, :, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
-        l_new = l_ref[:, :, :, :1] * alpha + jnp.sum(
-            p, axis=-1, keepdims=True
-        )
+        l_new = lr[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p * vvec[:, :, None, :], v,
-            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            p * vvec_m, vm,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
-        acc_ref[...] = acc_ref[...] * alpha + pv
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+        )  # [BB*H, G, D]
+        acc_ref[...] = (
+            acc_ref[...].reshape(bb * Hkv, G, D) * alpha + pv
+        ).reshape(bb, Hkv, G, D)
+        m_ref[...] = jnp.broadcast_to(
+            m_new, (bb * Hkv, G, 128)
+        ).reshape(bb, Hkv, G, 128)
+        l_ref[...] = jnp.broadcast_to(
+            l_new, (bb * Hkv, G, 128)
+        ).reshape(bb, Hkv, G, 128)
         return 0
 
     jax.lax.fori_loop(0, num_blocks, body, 0)

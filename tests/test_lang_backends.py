@@ -93,3 +93,38 @@ def test_anthropic_backend_shape():
         be.score("a", "b")
     with pytest.raises(Exception):  # connection refused, not a crash
         be.generate("hi", {"max_new_tokens": 2})
+
+
+def test_vertexai_backend_request_shape(monkeypatch):
+    """VertexAI client (reference lang/backend/vertexai.py): request maps
+    to generateContent with generationConfig; response parts concatenate."""
+    from sglang_npu_tpu.lang import backends as B
+
+    seen = {}
+
+    def fake_post(url, payload, headers, timeout):
+        seen["url"] = url
+        seen["payload"] = payload
+        seen["headers"] = headers
+        return {
+            "candidates": [
+                {"content": {"parts": [{"text": "Hel"}, {"text": "lo"}]}}
+            ]
+        }
+
+    monkeypatch.setattr(B, "_post_json", fake_post)
+    be = B.VertexAIBackend(
+        "gemini-pro", project="p1", access_token="tok123"
+    )
+    out = be.generate(
+        "hi", {"max_new_tokens": 7, "temperature": 0.5, "top_p": 0.9}
+    )
+    assert out == "Hello"
+    assert ":generateContent" in seen["url"] and "p1" in seen["url"]
+    cfg = seen["payload"]["generationConfig"]
+    assert cfg["maxOutputTokens"] == 7 and cfg["temperature"] == 0.5
+    assert seen["headers"]["Authorization"] == "Bearer tok123"
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        be.score("a", "b")
