@@ -34,309 +34,6 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _decode_kernel(
-    # scalar prefetch
-    layer_ref,  # [1] int32
-    page_tables_ref,  # [B, P] int32
-    seq_lens_ref,  # [B] int32
-    # inputs: q, new_k, new_v, pool [, scale_pool]
-    # outputs: o, pool [, scale_pool]
-    # scratch: k_buf, v_buf, page_buf, acc, m, l, sems, wsems
-    #          [, wsbuf, snew]
-    *refs,
-    page_size: int,
-    block_t: int,
-    scale: float,
-    sliding_window: int,
-    logit_cap: float,
-    quantized: bool = False,
-    qmax: float = 127.0,
-):
-    if quantized:
-        (
-            q_ref, new_k_ref, new_v_ref, gs_ref, pool_in_ref, scale_in_ref,
-            o_ref, pool_ref, scale_ref,
-            k_buf, v_buf, page_buf, acc_ref, m_ref, l_ref, sems, wsems,
-            wsbuf, snew_ref,
-        ) = refs
-    else:
-        (
-            q_ref, new_k_ref, new_v_ref, pool_in_ref,
-            o_ref, pool_ref,
-            k_buf, v_buf, page_buf, acc_ref, m_ref, l_ref, sems, wsems,
-        ) = refs
-        scale_ref = gs_ref = wsbuf = snew_ref = None
-
-    b = pl.program_id(0)
-    layer = layer_ref[0]
-    seq_len = seq_lens_ref[b]
-    num_pages = pl.cdiv(seq_len, page_size)
-    np_per_blk = block_t // page_size
-    num_blocks = pl.cdiv(num_pages, np_per_blk)
-
-    Hkv, G, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
-
-    def lane_select(slab, lane):
-        """slab [H, 128] -> per-head value at `lane` ([H, 1] f32).
-
-        keepdims: rank-1 vectors make Mosaic's layout inference join
-        mismatched implicit-dim layouts (observed SIGABRT in
-        VectorLayoutInferer::inferElementwise on v5e) — keep every
-        intermediate >= 2-D."""
-        li = jax.lax.broadcasted_iota(jnp.int32, slab.shape, 1)
-        return jnp.sum(jnp.where(li == lane, slab, 0.0), axis=-1, keepdims=True)
-
-    def to_q(x):
-        if qmax >= 100.0 and page_buf.dtype == jnp.int8:
-            return jnp.clip(jnp.round(x), -127, 127).astype(page_buf.dtype)
-        return x.astype(page_buf.dtype)
-
-    # ------------------------------------------------------------------
-    # Phase 1: insert the current token's K/V into its page (in-place
-    # read-modify-write of the last page).  seq_len counts the current
-    # token, so it lives at position seq_len-1.  Quantized pools also RMW
-    # the page's scale slab: if the new token grows the per-head page
-    # scale, the staged page is requantized before the insert.
-    # ------------------------------------------------------------------
-    @pl.when(seq_len > 0)
-    def _write_phase():
-        pos = seq_len - 1
-        page = page_tables_ref[b, pos // page_size]
-        off = pos % page_size
-        for kv in range(2):
-            pltpu.make_async_copy(
-                pool_ref.at[layer, kv, :, page],
-                page_buf.at[kv],
-                wsems.at[kv],
-            ).start()
-        if quantized:
-            sgrp = page // 128
-            for kv in range(2):
-                pltpu.make_async_copy(
-                    scale_ref.at[layer, kv, sgrp],
-                    wsbuf.at[kv],
-                    wsems.at[2 + kv],
-                ).start()
-        for kv in range(2):
-            pltpu.make_async_copy(
-                pool_ref.at[layer, kv, :, page],
-                page_buf.at[kv],
-                wsems.at[kv],
-            ).wait()
-        if quantized:
-            for kv in range(2):
-                pltpu.make_async_copy(
-                    scale_ref.at[layer, kv, sgrp],
-                    wsbuf.at[kv],
-                    wsems.at[2 + kv],
-                ).wait()
-        # dynamic sublane-offset stores are not supported; insert the row
-        # with a masked select over the whole page
-        ps_, D_ = page_buf.shape[2], page_buf.shape[3]
-        row_idx = jax.lax.broadcasted_iota(jnp.int32, (Hkv, ps_, D_), 1)
-        row_mask = row_idx == off
-        if not quantized:
-            nk = jnp.broadcast_to(
-                new_k_ref[0].astype(page_buf.dtype), (Hkv, ps_, D_)
-            )
-            nv = jnp.broadcast_to(
-                new_v_ref[0].astype(page_buf.dtype), (Hkv, ps_, D_)
-            )
-            page_buf[0] = jnp.where(row_mask, nk, page_buf[0])
-            page_buf[1] = jnp.where(row_mask, nv, page_buf[1])
-        else:
-            slane = jax.lax.rem(page, 128)
-            for kv, new_ref in ((0, new_k_ref), (1, new_v_ref)):
-                old_s = lane_select(wsbuf[kv], slane)  # [Hkv, 1]
-                row = new_ref[0, :, 0, :].astype(jnp.float32)  # [Hkv, D]
-                amax = jnp.max(jnp.abs(row), axis=-1, keepdims=True)
-                s_new = jnp.maximum(jnp.maximum(old_s, amax / qmax), 1e-8)
-                factor = jnp.where(old_s > 0, old_s / s_new, 0.0)
-                pf = page_buf[kv].astype(jnp.float32) * factor[:, :, None]
-                ins = jnp.broadcast_to(
-                    (row / s_new)[:, None, :], (Hkv, ps_, D_)
-                )
-                page_buf[kv] = to_q(jnp.where(row_mask, ins, pf))
-                li = jax.lax.broadcasted_iota(
-                    jnp.int32, wsbuf[kv].shape, 1
-                )
-                wsbuf[kv] = jnp.where(
-                    li == slane,
-                    jnp.broadcast_to(s_new, wsbuf[kv].shape),
-                    wsbuf[kv],
-                )
-                # flash phase reads the LAST page's scale from here: the
-                # XLA-side gather (gs_ref) snapshots scales BEFORE this
-                # write grew them
-                snew_ref[kv] = jnp.broadcast_to(s_new, snew_ref[kv].shape)
-        for kv in range(2):
-            pltpu.make_async_copy(
-                page_buf.at[kv],
-                pool_ref.at[layer, kv, :, page],
-                wsems.at[kv],
-            ).start()
-        if quantized:
-            for kv in range(2):
-                pltpu.make_async_copy(
-                    wsbuf.at[kv],
-                    scale_ref.at[layer, kv, sgrp],
-                    wsems.at[2 + kv],
-                ).start()
-        for kv in range(2):
-            pltpu.make_async_copy(
-                page_buf.at[kv],
-                pool_ref.at[layer, kv, :, page],
-                wsems.at[kv],
-            ).wait()
-        if quantized:
-            for kv in range(2):
-                pltpu.make_async_copy(
-                    wsbuf.at[kv],
-                    scale_ref.at[layer, kv, sgrp],
-                    wsems.at[2 + kv],
-                ).wait()
-
-    # ------------------------------------------------------------------
-    # Phase 2: flash attention over the paged KV (now including the
-    # current token).
-    # ------------------------------------------------------------------
-    def start_dma(blk, slot):
-        for j in range(np_per_blk):  # static unroll
-            page_pos = blk * np_per_blk + j
-
-            @pl.when(page_pos < num_pages)
-            def _():
-                page = page_tables_ref[b, page_pos]
-                pltpu.make_async_copy(
-                    pool_ref.at[layer, 0, :, page],
-                    k_buf.at[slot, :, j],
-                    sems.at[slot, 0, j],
-                ).start()
-                pltpu.make_async_copy(
-                    pool_ref.at[layer, 1, :, page],
-                    v_buf.at[slot, :, j],
-                    sems.at[slot, 1, j],
-                ).start()
-
-    def wait_dma(blk, slot):
-        for j in range(np_per_blk):
-            page_pos = blk * np_per_blk + j
-
-            @pl.when(page_pos < num_pages)
-            def _():
-                page = page_tables_ref[b, page_pos]
-                pltpu.make_async_copy(
-                    pool_ref.at[layer, 0, :, page],
-                    k_buf.at[slot, :, j],
-                    sems.at[slot, 0, j],
-                ).wait()
-                pltpu.make_async_copy(
-                    pool_ref.at[layer, 1, :, page],
-                    v_buf.at[slot, :, j],
-                    sems.at[slot, 1, j],
-                ).wait()
-
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[...] = jnp.zeros_like(l_ref)
-
-    q = q_ref[0].astype(jnp.float32) * scale  # [Hkv, G, D]
-
-    NSLOT = 4
-    for w in range(NSLOT - 1):  # warm the pipeline 3 blocks deep
-        @pl.when(w < num_blocks)
-        def _(w=w):
-            start_dma(w, w % NSLOT)
-
-    def body(blk, _):
-        slot = jax.lax.rem(blk, NSLOT)
-
-        @pl.when(blk + (NSLOT - 1) < num_blocks)
-        def _():
-            start_dma(blk + (NSLOT - 1), jax.lax.rem(blk + (NSLOT - 1), NSLOT))
-
-        wait_dma(blk, slot)
-
-        k = k_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
-        v = v_buf[slot].reshape(Hkv, block_t, D).astype(jnp.float32)
-        kvec = vvec = None
-        if quantized:
-            # LOGIT-domain dequant (r5 rework): k/v convert WITHOUT the
-            # per-element scale multiply; the per-(head, page) scale lands
-            # on the [H, G, T] score/prob tensors instead (G*ps vs ps*D
-            # muls per head-page) — and scales come from the XLA-side
-            # gather (gs_ref, indexed by page POSITION) instead of two
-            # slab DMAs per page (issue cost dominated the kernel at
-            # batch 256).  The write phase may have grown the LAST page's
-            # scale after the gather snapshot: snew_ref overrides it.
-            tdiv = (
-                jax.lax.broadcasted_iota(jnp.int32, (Hkv, block_t), 1)
-                // page_size
-            )
-            kvec = jnp.zeros((Hkv, block_t), jnp.float32)
-            vvec = jnp.zeros((Hkv, block_t), jnp.float32)
-            for j in range(np_per_blk):
-                page_pos = blk * np_per_blk + j
-                pp = jnp.minimum(page_pos, num_pages - 1)
-                is_last = pp == num_pages - 1
-                sk = jnp.where(
-                    is_last, snew_ref[0][:, :1], lane_select(gs_ref[0, 0], pp)
-                )
-                sv = jnp.where(
-                    is_last, snew_ref[1][:, :1], lane_select(gs_ref[0, 1], pp)
-                )
-                kvec = jnp.where(tdiv == j, sk, kvec)
-                vvec = jnp.where(tdiv == j, sv, vvec)
-        # zero out invalid token rows of v: p is 0 there, but 0 * garbage
-        # (uninitialized scratch can be NaN) would poison the pv matmul
-        valid_t = (
-            blk * block_t
-            + jax.lax.broadcasted_iota(jnp.int32, (1, block_t, 1), 1)
-        ) < seq_len
-        v = jnp.where(valid_t, v, 0.0)
-        # [Hkv, G, T] = batch-h (G, D) x (T, D)^T
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        if quantized:
-            s = s * kvec[:, None, :]
-        if logit_cap > 0:
-            s = logit_cap * jnp.tanh(s / logit_cap)
-        tok_idx = blk * block_t + jax.lax.broadcasted_iota(
-            jnp.int32, (Hkv, G, block_t), 2
-        )
-        mask = tok_idx < seq_len
-        if sliding_window > 0:
-            mask = jnp.logical_and(mask, tok_idx > seq_len - 1 - sliding_window)
-        s = jnp.where(mask, s, NEG_INF)
-
-        m_prev = m_ref[:, :, :1]  # [Hkv, G, 1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # [Hkv, G, T]
-        l_new = l_ref[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p if vvec is None else p * vvec[:, None, :],
-            v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[...] = acc_ref[...] * alpha + pv
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
-        return 0
-
-    jax.lax.fori_loop(0, num_blocks, body, 0)
-
-    l = l_ref[:, :, :1]
-    l = jnp.where(l <= 0.0, 1.0, l)
-    o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
-
-
 def _decode_kernel_bbq(
     # scalar prefetch: layer [1], page_tables [B, P], seq_lens [B]
     layer_ref,
@@ -352,20 +49,29 @@ def _decode_kernel_bbq(
     scale: float,
     sliding_window: int,
     logit_cap: float,
+    quantized: bool = True,
     qmax: float = 127.0,
 ):
-    """Quantized decode, BB sequences per grid program (r5): the
-    per-sequence fixed costs that dominate at batch 256 — write-phase DMA
-    round-trip latency and the softmax/flash op soup on tiny [H, G, T]
-    tensors — amortize across the group: RMW copies for all BB sequences
-    fly together, and every vector op runs [BB, ...]-batched.  Per-page
-    scale handling stays positional (gs_ref) + logit-domain."""
-    (
-        q_ref, new_k_ref, new_v_ref, gs_ref, pool_in_ref, scale_in_ref,
-        o_ref, pool_ref, scale_ref,
-        k_buf, v_buf, page_buf, acc_ref, m_ref, l_ref, sems, wsems,
-        wsbuf, snew_ref,
-    ) = refs
+    """Decode with BB sequences per grid program (r5): the per-sequence
+    fixed costs that dominate at batch 256 — write-phase DMA round-trip
+    latency and the softmax/flash op soup on tiny [H, G, T] tensors —
+    amortize across the group: RMW copies for all BB sequences fly
+    together, and every vector op runs [BB, ...]-batched.  Quantized
+    pools keep per-page scales positional (gs_ref) + logit-domain."""
+    if quantized:
+        (
+            q_ref, new_k_ref, new_v_ref, gs_ref, pool_in_ref, scale_in_ref,
+            o_ref, pool_ref, scale_ref,
+            k_buf, v_buf, page_buf, acc_ref, m_ref, l_ref, sems, wsems,
+            wsbuf, snew_ref,
+        ) = refs
+    else:
+        (
+            q_ref, new_k_ref, new_v_ref, pool_in_ref,
+            o_ref, pool_ref,
+            k_buf, v_buf, page_buf, acc_ref, m_ref, l_ref, sems, wsems,
+        ) = refs
+        gs_ref = scale_ref = wsbuf = snew_ref = None
 
     g0 = pl.program_id(0)
     layer = layer_ref[0]
@@ -403,11 +109,12 @@ def _decode_kernel_bbq(
                     page_buf.at[i, kv],
                     wsems.at[i, kv],
                 ).start()
-                pltpu.make_async_copy(
-                    scale_ref.at[layer, kv, page // 128],
-                    wsbuf.at[i, kv],
-                    wsems.at[i, 2 + kv],
-                ).start()
+                if quantized:
+                    pltpu.make_async_copy(
+                        scale_ref.at[layer, kv, page // 128],
+                        wsbuf.at[i, kv],
+                        wsems.at[i, 2 + kv],
+                    ).start()
     for i in range(bb):
         @pl.when(seq_lens[i] > 0)
         def _(i=i):
@@ -418,15 +125,32 @@ def _decode_kernel_bbq(
                     page_buf.at[i, kv],
                     wsems.at[i, kv],
                 ).wait()
-                pltpu.make_async_copy(
-                    scale_ref.at[layer, kv, page // 128],
-                    wsbuf.at[i, kv],
-                    wsems.at[i, 2 + kv],
-                ).wait()
+                if quantized:
+                    pltpu.make_async_copy(
+                        scale_ref.at[layer, kv, page // 128],
+                        wsbuf.at[i, kv],
+                        wsems.at[i, 2 + kv],
+                    ).wait()
             off = (seq_lens[i] - 1) % page_size
             ps_, D_ = page_buf.shape[3], page_buf.shape[4]
             row_idx = jax.lax.broadcasted_iota(jnp.int32, (Hkv, ps_, D_), 1)
             row_mask = row_idx == off
+            if not quantized:
+                for kv, new_ref in ((0, new_k_ref), (1, new_v_ref)):
+                    ins = jnp.broadcast_to(
+                        new_ref[i].astype(page_buf.dtype)[:, None, :],
+                        (Hkv, ps_, D_),
+                    )
+                    page_buf[i, kv] = jnp.where(
+                        row_mask, ins, page_buf[i, kv]
+                    )
+                for kv in range(2):
+                    pltpu.make_async_copy(
+                        page_buf.at[i, kv],
+                        pool_ref.at[layer, kv, :, page],
+                        wsems.at[i, kv],
+                    ).start()
+                return
             slane = jax.lax.rem(page, 128)
             for kv, new_ref in ((0, new_k_ref), (1, new_v_ref)):
                 li = jax.lax.broadcasted_iota(jnp.int32, (Hkv, 128), 1)
@@ -470,11 +194,12 @@ def _decode_kernel_bbq(
                     pool_ref.at[layer, kv, :, page],
                     wsems.at[i, kv],
                 ).wait()
-                pltpu.make_async_copy(
-                    wsbuf.at[i, kv],
-                    scale_ref.at[layer, kv, page // 128],
-                    wsems.at[i, 2 + kv],
-                ).wait()
+                if quantized:
+                    pltpu.make_async_copy(
+                        wsbuf.at[i, kv],
+                        scale_ref.at[layer, kv, page // 128],
+                        wsems.at[i, 2 + kv],
+                    ).wait()
 
     # ---- Phase 2: batched flash over the group's pages ----
     max_pages = num_pages[0]
@@ -547,26 +272,28 @@ def _decode_kernel_bbq(
         k = k_buf[slot].reshape(bb, Hkv, block_t, D).astype(jnp.float32)
         v = v_buf[slot].reshape(bb, Hkv, block_t, D).astype(jnp.float32)
 
-        # positional per-page scales -> [BB, H, T] vectors (logit domain)
-        tdiv = (
-            jax.lax.broadcasted_iota(jnp.int32, (bb, Hkv, block_t), 2)
-            // page_size
-        )
-        kvec = jnp.zeros((bb, Hkv, block_t), jnp.float32)
-        vvec = jnp.zeros((bb, Hkv, block_t), jnp.float32)
-        for j in range(np_per_blk):
-            page_pos = blk * np_per_blk + j
-            is_last = (page_pos == (npages_vec - 1))[:, :, None]  # [BB,1,1]
-            sk = jnp.where(
-                is_last, snew_ref[:, 0, :, :1],
-                lane_select_b(gs_ref[:, 0], page_pos),
-            )  # [BB, H, 1]
-            sv = jnp.where(
-                is_last, snew_ref[:, 1, :, :1],
-                lane_select_b(gs_ref[:, 1], page_pos),
+        kvec = vvec = None
+        if quantized:
+            # positional per-page scales -> [BB, H, T] (logit domain)
+            tdiv = (
+                jax.lax.broadcasted_iota(jnp.int32, (bb, Hkv, block_t), 2)
+                // page_size
             )
-            kvec = jnp.where(tdiv == j, sk, kvec)
-            vvec = jnp.where(tdiv == j, sv, vvec)
+            kvec = jnp.zeros((bb, Hkv, block_t), jnp.float32)
+            vvec = jnp.zeros((bb, Hkv, block_t), jnp.float32)
+            for j in range(np_per_blk):
+                page_pos = blk * np_per_blk + j
+                is_last = (page_pos == (npages_vec - 1))[:, :, None]
+                sk = jnp.where(
+                    is_last, snew_ref[:, 0, :, :1],
+                    lane_select_b(gs_ref[:, 0], page_pos),
+                )  # [BB, H, 1]
+                sv = jnp.where(
+                    is_last, snew_ref[:, 1, :, :1],
+                    lane_select_b(gs_ref[:, 1], page_pos),
+                )
+                kvec = jnp.where(tdiv == j, sk, kvec)
+                vvec = jnp.where(tdiv == j, sv, vvec)
 
         valid_t = (
             blk * block_t
@@ -577,14 +304,13 @@ def _decode_kernel_bbq(
         qm = q.reshape(bb * Hkv, G, D)
         km = k.reshape(bb * Hkv, block_t, D)
         vm = v.reshape(bb * Hkv, block_t, D)
-        kvec_m = kvec.reshape(bb * Hkv, 1, block_t)
-        vvec_m = vvec.reshape(bb * Hkv, 1, block_t)
         s = jax.lax.dot_general(
             qm, km,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [BB*H, G, T]
-        s = s * kvec_m
+        if quantized:
+            s = s * kvec.reshape(bb * Hkv, 1, block_t)
         if logit_cap > 0:
             s = logit_cap * jnp.tanh(s / logit_cap)
         lens_m = jnp.broadcast_to(
@@ -608,7 +334,8 @@ def _decode_kernel_bbq(
         p = jnp.exp(s - m_new)
         l_new = lr[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p * vvec_m, vm,
+            p if vvec is None else p * vvec.reshape(bb * Hkv, 1, block_t),
+            vm,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [BB*H, G, D]
@@ -677,181 +404,109 @@ def paged_decode_attention_fused(
     nk4 = new_k.reshape(B, Hkv, 1, D)
     nv4 = new_v.reshape(B, Hkv, 1, D)
 
+    # batched-program path: BB sequences per grid step (r5 — per-seq fixed
+    # costs dominated at batch 256; see _decode_kernel_bbq)
+    BB = 4
+    Bp = -(-B // BB) * BB
+    qb, nkb, nvb, pt, sl_ = q4, new_k, new_v, page_tables, seq_lens
+    if Bp != B:
+        qb = jnp.pad(q4, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
+        nkb = jnp.pad(new_k, ((0, Bp - B), (0, 0), (0, 0)))
+        nvb = jnp.pad(new_v, ((0, Bp - B), (0, 0), (0, 0)))
+        pt = jnp.pad(page_tables, ((0, Bp - B), (0, 0)))
+        sl_ = jnp.pad(seq_lens, (0, Bp - B))
+    in_specs = [
+        pl.BlockSpec(
+            (BB, Hkv, G, D), lambda b, *_: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (BB, Hkv, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (BB, Hkv, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (BB, Hkv, G, D), lambda b, *_: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp, Hkv, G, D), q.dtype),
+        jax.ShapeDtypeStruct(pool_data.shape, pool_data.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((2, BB, Hkv, np_per_blk, page_size, D), pool_data.dtype),
+        pltpu.VMEM((2, BB, Hkv, np_per_blk, page_size, D), pool_data.dtype),
+        pltpu.VMEM((BB, 2, Hkv, page_size, D), pool_data.dtype),
+        pltpu.VMEM((BB, Hkv, G, D), jnp.float32),
+        pltpu.VMEM((BB, Hkv, G, 128), jnp.float32),
+        pltpu.VMEM((BB, Hkv, G, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, BB, 2, np_per_blk)),
+        pltpu.SemaphoreType.DMA((BB, 4)),
+    ]
+    args = [
+        jnp.asarray([layer_idx], dtype=jnp.int32).reshape(1),
+        pt,
+        sl_,
+        qb,
+        nkb,
+        nvb,
+    ]
+    qmax = 127.0
     if quantized:
-        # batched-program path: BB sequences per grid step (r5 — per-seq
-        # fixed costs dominated at batch 256; see _decode_kernel_bbq)
-        BB = 4
-        Bp = -(-B // BB) * BB
-        qb = q4
-        nkb = new_k
-        nvb = new_v
-        pt = page_tables
-        sl_ = seq_lens
-        if Bp != B:
-            qb = jnp.pad(q4, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
-            nkb = jnp.pad(new_k, ((0, Bp - B), (0, 0), (0, 0)))
-            nvb = jnp.pad(new_v, ((0, Bp - B), (0, 0), (0, 0)))
-            pt = jnp.pad(page_tables, ((0, Bp - B), (0, 0)))
-            sl_ = jnp.pad(seq_lens, (0, Bp - B))
         sg, slx = pt // 128, pt % 128
         gathered = kv_pool.scale[layer_idx, :, sg, :, slx]  # [Bp, P, 2, H]
         gathered = jnp.transpose(gathered, (0, 2, 3, 1))  # [Bp, 2, H, P]
         Pp = -(-P // 128) * 128
         if Pp != P:
             gathered = jnp.pad(gathered, ((0, 0),) * 3 + ((0, Pp - P),))
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(Bp // BB,),
-            in_specs=[
-                pl.BlockSpec(
-                    (BB, Hkv, G, D), lambda b, *_: (b, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (BB, Hkv, D), lambda b, *_: (b, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (BB, Hkv, D), lambda b, *_: (b, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (BB, 2, Hkv, Pp), lambda b, *_: (b, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),  # pool
-                pl.BlockSpec(memory_space=pl.ANY),  # scale slabs
-            ],
-            out_specs=(
-                pl.BlockSpec(
-                    (BB, Hkv, G, D), lambda b, *_: (b, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM(
-                    (2, BB, Hkv, np_per_blk, page_size, D), pool_data.dtype
-                ),
-                pltpu.VMEM(
-                    (2, BB, Hkv, np_per_blk, page_size, D), pool_data.dtype
-                ),
-                pltpu.VMEM((BB, 2, Hkv, page_size, D), pool_data.dtype),
-                pltpu.VMEM((BB, Hkv, G, D), jnp.float32),
-                pltpu.VMEM((BB, Hkv, G, 128), jnp.float32),
-                pltpu.VMEM((BB, Hkv, G, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, BB, 2, np_per_blk)),
-                pltpu.SemaphoreType.DMA((BB, 4)),
+        in_specs.append(
+            pl.BlockSpec(
+                (BB, 2, Hkv, Pp), lambda b, *_: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(gathered)
+        qmax = kv_pool.qmax
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # pool
+    args.append(pool_data)
+    aliases = {(7 if quantized else 6): 1}
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scale slabs
+        args.append(kv_pool.scale)
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct(kv_pool.scale.shape, kv_pool.scale.dtype)
+        )
+        aliases[8] = 2
+        scratch.extend(
+            [
                 pltpu.VMEM((BB, 2, Hkv, 128), jnp.float32),  # wsbuf
                 pltpu.VMEM((BB, 2, Hkv, 128), jnp.float32),  # snew
-            ],
+            ]
         )
-        kernel = functools.partial(
-            _decode_kernel_bbq,
-            page_size=page_size,
-            block_t=block_t,
-            bb=BB,
-            scale=scale,
-            sliding_window=sliding_window,
-            logit_cap=logit_cap,
-            qmax=kv_pool.qmax,
-        )
-        out, pool, spool = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct((Bp, Hkv, G, D), q.dtype),
-                jax.ShapeDtypeStruct(pool_data.shape, pool_data.dtype),
-                jax.ShapeDtypeStruct(
-                    kv_pool.scale.shape, kv_pool.scale.dtype
-                ),
-            ),
-            input_output_aliases={7: 1, 8: 2},
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
-            ),
-        )(
-            jnp.asarray([layer_idx], dtype=jnp.int32).reshape(1),
-            pt,
-            sl_,
-            qb,
-            nkb,
-            nvb,
-            gathered,
-            pool_data,
-            kv_pool.scale,
-        )
-        return (
-            out[:B].reshape(B, Hq, D),
-            PagedQuantKV(data=pool, scale=spool),
-        )
-
-    in_specs = [
-        pl.BlockSpec(
-            (1, Hkv, G, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (1, Hkv, 1, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (1, Hkv, 1, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(memory_space=pl.ANY),  # pool stays in HBM
-    ]
-    out_specs = [
-        pl.BlockSpec(
-            (1, Hkv, G, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
-        jax.ShapeDtypeStruct(pool_data.shape, pool_data.dtype),
-    ]
-    scratch = [
-        pltpu.VMEM((4, Hkv, np_per_blk, page_size, D), pool_data.dtype),
-        pltpu.VMEM((4, Hkv, np_per_blk, page_size, D), pool_data.dtype),
-        pltpu.VMEM((2, Hkv, page_size, D), pool_data.dtype),
-        pltpu.VMEM((Hkv, G, D), jnp.float32),
-        pltpu.VMEM((Hkv, G, 128), jnp.float32),
-        pltpu.VMEM((Hkv, G, 128), jnp.float32),
-        pltpu.SemaphoreType.DMA((4, 2, np_per_blk)),
-        pltpu.SemaphoreType.DMA((4,)),
-    ]
-    args = [
-        jnp.asarray([layer_idx], dtype=jnp.int32).reshape(1),
-        page_tables,
-        seq_lens,
-        q4,
-        nk4,
-        nv4,
-        pool_data,
-    ]
-    aliases = {6: 1}  # pool (after 3 scalar-prefetch + 3 tensor args)
-    qmax = 127.0
-    # (quantized pools returned above through the batched kernel)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B,),
+        grid=(Bp // BB,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
     )
-
     kernel = functools.partial(
-        _decode_kernel,
+        _decode_kernel_bbq,
         page_size=page_size,
         block_t=block_t,
+        bb=BB,
         scale=scale,
         sliding_window=sliding_window,
         logit_cap=logit_cap,
         quantized=quantized,
         qmax=qmax,
     )
-
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -859,11 +514,17 @@ def paged_decode_attention_fused(
         input_output_aliases=aliases,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(*args)
+    if quantized:
+        out, pool, spool = outs
+        return (
+            out[:B].reshape(B, Hq, D),
+            PagedQuantKV(data=pool, scale=spool),
+        )
     out, pool = outs
-    return out.reshape(B, Hq, D), pool
+    return out[:B].reshape(B, Hq, D), pool
 
 
 def paged_decode_attention(
