@@ -124,7 +124,7 @@ CONFIGS = {
         # usable HBM through the tunnel measures ~12.5GB (batch 192 /
         # 4.0GB KV still hit ResourceExhausted in r5)
         model=LLAMA_8B, quantization="w4a8", kv_cache_dtype="int8",
-        max_total_tokens=51200, num_requests=160, decode_steps=32,
+        max_total_tokens=53760, num_requests=168, decode_steps=32,
         page_size=32, extra=dict(w4_repack_int8=True),
     ),
     "llama8b_w4a16_bf16kv": dict(  # perf isolation: W4 matmul only
